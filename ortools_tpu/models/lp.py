@@ -38,8 +38,8 @@ class QuadraticProgram:
     variable_upper: np.ndarray  # shape [n], may be +inf
     objective_constant: float = 0.0
     objective_matrix_diagonal: Optional[np.ndarray] = None  # q, shape [n]
-    # True iff the stored objective was negated from a maximization problem
-    # (apply_objective_scaling undoes this on reported objective values).
+    # The stored objective is always in the ORIGINAL sense; maximize=True
+    # means callers should maximize it (as_minimization() negates).
     maximize: bool = False
     integrality: Optional[np.ndarray] = None  # bool, shape [n]
     variable_names: Optional[List[str]] = None

@@ -261,13 +261,13 @@ def read_mps(path_or_text: str, is_text: bool = False) -> QuadraticProgram:
         obj[c] = v
 
     qp = QuadraticProgram(
-        objective_vector=-obj if maximize else obj,
+        objective_vector=obj,
         constraint_matrix=a,
         constraint_lower=c_lo,
         constraint_upper=c_hi,
         variable_lower=v_lo,
         variable_upper=v_hi,
-        objective_constant=-obj_constant if maximize else obj_constant,
+        objective_constant=obj_constant,
         maximize=maximize,
         integrality=np.asarray(col_integrality, dtype=bool),
         variable_names=col_order,
@@ -315,7 +315,7 @@ def write_mps(qp: QuadraticProgram, path: Optional[str] = None) -> str:
         row_type.append(t)
         out.append(f" {t}  {rnames[i]}")
     out.append("COLUMNS")
-    obj = -qp.objective_vector if qp.maximize else qp.objective_vector
+    obj = qp.objective_vector
     csc = sp.csc_matrix(qp.constraint_matrix)
     in_int = False
     marker = 0
@@ -336,7 +336,7 @@ def write_mps(qp: QuadraticProgram, path: Optional[str] = None) -> str:
     if in_int:
         out.append(f"    MARKER{marker}  'MARKER'  'INTEND'")
     out.append("RHS")
-    const = -qp.objective_constant if qp.maximize else qp.objective_constant
+    const = qp.objective_constant
     if const != 0.0:
         out.append(f"    RHS  OBJ  {-const:.17g}")
     for i in range(m):

@@ -90,10 +90,19 @@ class BlockSparseMatrix:
         block_shape: Tuple[int, int] = (8, 128),
         dtype=jnp.float32,
         pad_blocks_to_multiple_of: int = 1,
+        padded_shape: Optional[Tuple[int, int]] = None,
     ) -> "BlockSparseMatrix":
+        """``padded_shape`` overrides the default round-up-to-block padding —
+        used to make A and its separately-stored transpose agree on padded
+        vector lengths (each dim must be a multiple of the block dim)."""
         m, n = a.shape
         bm, bn = block_shape
-        mm, nn = _ceil_to(max(m, 1), bm), _ceil_to(max(n, 1), bn)
+        if padded_shape is not None:
+            mm, nn = padded_shape
+            assert mm % bm == 0 and nn % bn == 0, (padded_shape, block_shape)
+            assert mm >= m and nn >= n, (padded_shape, a.shape)
+        else:
+            mm, nn = _ceil_to(max(m, 1), bm), _ceil_to(max(n, 1), bn)
         coo = sp.coo_matrix(a)
         br = coo.row // bm
         bc = coo.col // bn

@@ -1,0 +1,806 @@
+"""Restarted adaptive primal-dual hybrid gradient (PDLP) on TPU.
+
+Capability parity: ``ortools/pdlp/primal_dual_hybrid_gradient.{h,cc}`` —
+the reference's first-order LP/QP solver (SURVEY §2.1, §3.2) — re-designed
+for XLA/TPU:
+
+- the inner loop (2 SpMVs + ~10 elementwise vector ops + 4 reductions per
+  iteration, reference ``TakeAdaptiveStep`` primal_dual_hybrid_gradient.cc:2295)
+  runs fully on device under ``jit`` (``lax.fori_loop`` over iterations,
+  ``lax.while_loop`` for the adaptive step-size search);
+- the host syncs only at *major iterations* (every
+  ``termination_check_frequency`` steps, reference default 64) to read
+  scalar stats, decide restarts, and check termination — mirroring
+  ``MajorIterationAndTerminationCheck`` (:2128);
+- the reference's Sharder thread parallelism (sharder.h:34) becomes block
+  sharding of the constraint matrix over a ``jax.sharding.Mesh`` with
+  ``psum`` combining partial SpMV products (see solve() with
+  params.num_shards > 1 / mesh argument);
+- problem data is block-sparse with static shapes (ops/block_sparse.py), so
+  the whole solve compiles once per (shape, dtype).
+
+Algorithmic semantics reproduced (SURVEY Appendix A.1-A.3):
+- two-sided constraint dual prox with exact sign structure;
+- reduced costs absorbed on finite variable bounds, remainder = dual
+  residual; dual objective computed with sign-splitting so 0·inf never
+  occurs (iteration_stats.cc:294-316);
+- adaptive step size: accept iff step <= movement/interaction, with
+  reduction/growth exponents 0.3/0.6 on the total attempt count
+  (:2330-2371);
+- primal weight update w <- exp(0.5 log(Δdual/Δprimal) + 0.5 log w)
+  on restarts (:1983-2011);
+- restart-to-average with step-size-weighted averages; averages restart
+  empty after each restart (ShardedWeightedAverage semantics).
+
+Round-1 deviations (planned work, tracked in SURVEY §7):
+- adaptive restarts trigger on the weighted KKT error (cuPDLP scheme,
+  same 0.1/0.9 reduction constants) instead of the trust-region localized
+  duality gap; infeasibility certificates and feasibility polishing are
+  not yet implemented (iteration/time limits still terminate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import time
+from typing import Any, Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ortools_tpu.models.lp import QuadraticProgram
+from ortools_tpu.ops.block_sparse import BlockSparseMatrix, auto_block_shape
+from ortools_tpu.pdlp.params import OptimalityNorm, PdhgParams, RestartStrategy
+from ortools_tpu.utils.status import TerminationReason
+
+
+# ---------------------------------------------------------------------------
+# Device problem representation
+# ---------------------------------------------------------------------------
+
+
+class DeviceProblem(NamedTuple):
+    """Scaled, padded problem living on device.
+
+    Scaling convention: A' = D_r A D_c, x = D_c x', y = D_r y',
+    c' = D_c c, bounds scaled accordingly.  ``orig_*`` arrays are the
+    padded original-space data used for residual/objective computation
+    (residuals are always reported in the original space, like the
+    reference's ComputeConvergenceInformation).
+    """
+
+    a: BlockSparseMatrix  # scaled A'  (M x N padded)
+    at: BlockSparseMatrix  # scaled A'^T
+    c: jax.Array  # scaled objective [N]
+    q: jax.Array  # scaled diagonal objective [N] (zeros for LP)
+    var_lb: jax.Array  # scaled [N]
+    var_ub: jax.Array
+    con_lb: jax.Array  # scaled [M]
+    con_ub: jax.Array
+    orig_c: jax.Array
+    orig_q: jax.Array
+    orig_var_lb: jax.Array
+    orig_var_ub: jax.Array
+    orig_con_lb: jax.Array
+    orig_con_ub: jax.Array
+    row_scale: jax.Array  # D_r [M]
+    col_scale: jax.Array  # D_c [N]
+    norm_b: jax.Array  # scalar: norm of finite combined constraint bounds
+    norm_c: jax.Array  # scalar: norm of objective vector
+
+
+class PdhgState(NamedTuple):
+    x: jax.Array  # scaled primal [N]
+    y: jax.Array  # scaled dual [M]
+    ax: jax.Array  # A'x' [M]
+    aty: jax.Array  # A'^T y' [N]
+    step_size: jax.Array  # eta (scalar)
+    primal_weight: jax.Array  # omega (scalar)
+    x_sum: jax.Array  # step-size-weighted sum for the average
+    y_sum: jax.Array
+    sum_weights: jax.Array
+    x_restart: jax.Array  # iterate at last restart (for distance traveled)
+    y_restart: jax.Array
+    num_steps: jax.Array  # int32: total step attempts (accepted + rejected)
+    num_accepted: jax.Array  # int32
+    kkt_passes: jax.Array  # cumulative KKT matrix passes (1 = A and A^T)
+
+
+@dataclasses.dataclass
+class SolveResult:
+    termination_reason: TerminationReason
+    primal_solution: np.ndarray  # original space, length n
+    dual_solution: np.ndarray  # original space, length m
+    reduced_costs: np.ndarray  # original space, length n
+    primal_objective: float
+    dual_objective: float
+    primal_residual: float  # norm per params.optimality_norm, original space
+    dual_residual: float
+    relative_gap: float
+    iterations: int
+    kkt_matrix_passes: float
+    solve_time_sec: float
+    iteration_stats: List[dict]
+
+    @property
+    def objective_value(self) -> float:
+        return self.primal_objective
+
+
+# ---------------------------------------------------------------------------
+# Host-side preprocessing: rescaling (Ruiz + L2) and device upload
+# ---------------------------------------------------------------------------
+
+
+def _ruiz_and_l2_rescale(
+    a: sp.csr_matrix, ruiz_iters: int, l2: bool
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Compute D_r, D_c such that D_r A D_c is well scaled.
+
+    Ruiz L-inf equilibration (reference sharded_optimization_utils.h:94):
+    repeatedly divide each row/col by sqrt of its max |entry|.  Then one
+    pass of L2 scaling (divide by sqrt of the row/col L2 norm, :103).
+    """
+    m, n = a.shape
+    d_r = np.ones(m)
+    d_c = np.ones(n)
+    if m == 0 or n == 0 or a.nnz == 0:
+        return d_r, d_c
+    work = sp.csr_matrix(a, copy=True).astype(np.float64)
+    work.eliminate_zeros()
+    for _ in range(ruiz_iters):
+        abs_w = abs(work)
+        row_max = abs_w.max(axis=1).toarray().ravel()
+        col_max = abs_w.max(axis=0).toarray().ravel()
+        r = np.sqrt(np.where(row_max > 0, row_max, 1.0))
+        c = np.sqrt(np.where(col_max > 0, col_max, 1.0))
+        d_r /= r
+        d_c /= c
+        work = sp.diags(1.0 / r) @ work @ sp.diags(1.0 / c)
+    if l2:
+        sq = work.multiply(work)
+        row_norm = np.sqrt(np.asarray(sq.sum(axis=1)).ravel())
+        col_norm = np.sqrt(np.asarray(sq.sum(axis=0)).ravel())
+        r = np.sqrt(np.where(row_norm > 0, row_norm, 1.0))
+        c = np.sqrt(np.where(col_norm > 0, col_norm, 1.0))
+        d_r /= r
+        d_c /= c
+    return d_r, d_c
+
+
+def build_device_problem(
+    qp: QuadraticProgram, params: PdhgParams,
+    pad_blocks_to_multiple_of: int = 1,
+) -> DeviceProblem:
+    qp = qp.as_minimization()
+    m, n = qp.num_constraints, qp.num_variables
+    a = sp.csr_matrix(qp.constraint_matrix).astype(np.float64)
+    if params.l_inf_ruiz_iterations > 0 or params.l2_norm_rescaling:
+        d_r, d_c = _ruiz_and_l2_rescale(
+            a, params.l_inf_ruiz_iterations, params.l2_norm_rescaling
+        )
+    else:
+        d_r, d_c = np.ones(m), np.ones(n)
+    a_scaled = sp.diags(d_r) @ a @ sp.diags(d_c)
+
+    block = params.block_shape or auto_block_shape(m, n, a.nnz)
+    dtype = params.dtype
+    # Pad both logical dims to multiples of 128 so A (blocks bm x 128) and
+    # its stored transpose (also bm x 128 blocks) agree on padded vector
+    # lengths: A is (M, N), A^T is (N, M).
+    mm = -(-max(m, 1) // 128) * 128
+    nn = -(-max(n, 1) // 128) * 128
+    dev_a = BlockSparseMatrix.from_scipy(
+        a_scaled, block_shape=block, dtype=dtype,
+        pad_blocks_to_multiple_of=pad_blocks_to_multiple_of,
+        padded_shape=(mm, nn),
+    )
+    dev_at = BlockSparseMatrix.from_scipy(
+        sp.csr_matrix(a_scaled.T), block_shape=block, dtype=dtype,
+        pad_blocks_to_multiple_of=pad_blocks_to_multiple_of,
+        padded_shape=(nn, mm),
+    )
+
+    def padv(v, fill, size):
+        out = np.full(size, fill, dtype=np.float64)
+        out[: len(v)] = v
+        return jnp.asarray(out, dtype=dtype)
+
+    q = qp.objective_matrix_diagonal
+    q = np.zeros(n) if q is None else np.asarray(q, dtype=np.float64)
+
+    # Padded variables are fixed at 0 with zero cost; padded constraints are
+    # free ([-inf, inf]) so they never generate duals or residuals.
+    prob = DeviceProblem(
+        a=dev_a,
+        at=dev_at,
+        c=padv(qp.objective_vector * d_c, 0.0, nn),
+        q=padv(q * d_c * d_c, 0.0, nn),
+        var_lb=padv(qp.variable_lower / d_c, 0.0, nn),
+        var_ub=padv(qp.variable_upper / d_c, 0.0, nn),
+        con_lb=padv(qp.constraint_lower * d_r, -np.inf, mm),
+        con_ub=padv(qp.constraint_upper * d_r, np.inf, mm),
+        orig_c=padv(qp.objective_vector, 0.0, nn),
+        orig_q=padv(q, 0.0, nn),
+        orig_var_lb=padv(qp.variable_lower, 0.0, nn),
+        orig_var_ub=padv(qp.variable_upper, 0.0, nn),
+        orig_con_lb=padv(qp.constraint_lower, -np.inf, mm),
+        orig_con_ub=padv(qp.constraint_upper, np.inf, mm),
+        row_scale=padv(d_r, 1.0, mm),
+        col_scale=padv(d_c, 1.0, nn),
+        norm_b=jnp.asarray(
+            _combined_bounds_norm(qp.constraint_lower, qp.constraint_upper),
+            dtype=dtype,
+        ),
+        norm_c=jnp.asarray(
+            float(np.linalg.norm(qp.objective_vector)), dtype=dtype
+        ),
+    )
+    return prob
+
+
+def _combined_bounds_norm(lo: np.ndarray, hi: np.ndarray) -> float:
+    bv = np.maximum(
+        np.where(np.isfinite(lo), np.abs(lo), 0.0),
+        np.where(np.isfinite(hi), np.abs(hi), 0.0),
+    )
+    return float(np.linalg.norm(bv))
+
+
+# ---------------------------------------------------------------------------
+# Device kernels: power iteration, PDHG step, stats
+# ---------------------------------------------------------------------------
+
+
+def estimate_matrix_norm(
+    a: BlockSparseMatrix,
+    at: BlockSparseMatrix,
+    steps: int,
+    seed: int = 0,
+    psum: Optional[Callable] = None,
+) -> jax.Array:
+    """sigma_max(A) by power iteration on A^T A (reference
+    sharded_optimization_utils.h:179)."""
+    n = a.padded_shape[1]
+    v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=a.dtype)
+    mv = _make_matvecs(a, at, psum)
+
+    def body(_, v):
+        w = mv.rmatvec(mv.matvec(v))
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = jax.lax.fori_loop(0, steps, body, v0 / jnp.linalg.norm(v0))
+    return jnp.sqrt(jnp.linalg.norm(mv.rmatvec(mv.matvec(v))))
+
+
+class _Matvecs(NamedTuple):
+    matvec: Callable[[jax.Array], jax.Array]
+    rmatvec: Callable[[jax.Array], jax.Array]
+
+
+def _make_matvecs(
+    a: BlockSparseMatrix, at: BlockSparseMatrix, psum: Optional[Callable]
+) -> _Matvecs:
+    """SpMV closures; under shard_map each device holds a slice of the block
+    list and `psum` combines full-length partial products (the TPU-native
+    analogue of the reference Sharder's per-thread shards +
+    ParallelSumOverShards)."""
+    if psum is None:
+        return _Matvecs(a.matvec, at.matvec)
+    return _Matvecs(
+        lambda x: psum(a.matvec(x)),
+        lambda y: psum(at.matvec(y)),
+    )
+
+
+def _dual_prox(y_hat, sigma, con_lb, con_ub):
+    """y' for two-sided constraints: y' = y_hat + sigma*l on the positive
+    branch, y_hat + sigma*u on the negative branch, else 0 (SURVEY §3.2;
+    keeps exact sign structure so the dual objective never sees 0*inf)."""
+    pos = y_hat + sigma * con_lb  # -inf when l = -inf -> branch disabled
+    neg = y_hat + sigma * con_ub  # +inf when u = +inf -> branch disabled
+    return jnp.where(pos > 0, pos, jnp.where(neg < 0, neg, 0.0))
+
+
+def _make_iteration(prob: DeviceProblem, params: PdhgParams,
+                    psum: Optional[Callable] = None):
+    """Build the jittable single-iteration function (adaptive step)."""
+    mv = _make_matvecs(prob.a, prob.at, psum)
+    reduction_exp = params.step_size_reduction_exponent
+    growth_exp = params.step_size_growth_exponent
+    max_attempts = params.max_step_attempts
+    dtype = prob.c.dtype
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+
+    def iteration(state: PdhgState) -> PdhgState:
+        grad = prob.c + prob.q * state.x - state.aty
+
+        def attempt_cond(carry):
+            accepted, attempts, *_ = carry
+            return jnp.logical_and(~accepted, attempts < max_attempts)
+
+        def attempt_body(carry):
+            _, attempts, step, num_steps, _, _, _ = carry
+            omega = state.primal_weight
+            tau = step / omega
+            sigma = step * omega
+            x_cand = jnp.clip(state.x - tau * grad, prob.var_lb, prob.var_ub)
+            ax_mid = mv.matvec(2.0 * x_cand - state.x)  # SpMV
+            y_hat = state.y - sigma * ax_mid
+            y_cand = _dual_prox(y_hat, sigma, prob.con_lb, prob.con_ub)
+            dx = x_cand - state.x
+            dy = y_cand - state.y
+            movement = 0.5 * (
+                omega * jnp.vdot(dx, dx) + jnp.vdot(dy, dy) / omega
+            )
+            # A dx = (A(2x'-x) - Ax)/2; for QPs the quadratic objective
+            # contributes 1/2 dx^T Q dx to the nonlinearity (without it the
+            # step is unconditionally accepted when A dx = 0 and the
+            # iteration oscillates).
+            interaction = jnp.abs(
+                jnp.vdot(dy, ax_mid - state.ax)
+            ) * 0.5 + 0.5 * jnp.vdot(dx, prob.q * dx)
+            limit = jnp.where(
+                interaction > 0, movement / jnp.maximum(interaction, tiny),
+                jnp.asarray(np.inf, dtype),
+            )
+            accepted = step <= limit
+            k = (num_steps + 1).astype(dtype)
+            first = (1.0 - k ** (-reduction_exp)) * limit
+            second = (1.0 + k ** (-growth_exp)) * step
+            new_step = jnp.minimum(first, second)
+            # Guard against a zero/NaN step killing the solve.
+            new_step = jnp.where(
+                jnp.isfinite(new_step) & (new_step > 0), new_step, step * 0.5
+            )
+            return (accepted, attempts + 1, new_step, num_steps + 1,
+                    x_cand, y_cand, ax_mid)
+
+        init = (
+            jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
+            state.step_size,
+            state.num_steps,
+            state.x,
+            state.y,
+            state.ax,
+        )
+        accepted, attempts, new_step, num_steps, x_new, y_new, ax_mid = (
+            jax.lax.while_loop(attempt_cond, attempt_body, init)
+        )
+        # On acceptance: A x_new = (A(2x'-x) + A x)/2; fresh A^T y (SpMV).
+        ax_new = 0.5 * (ax_mid + state.ax)
+        aty_new = mv.rmatvec(y_new)  # SpMV
+        weight = state.step_size
+        return PdhgState(
+            x=x_new,
+            y=y_new,
+            ax=ax_new,
+            aty=aty_new,
+            step_size=new_step,
+            primal_weight=state.primal_weight,
+            x_sum=state.x_sum + weight * x_new,
+            y_sum=state.y_sum + weight * y_new,
+            sum_weights=state.sum_weights + weight,
+            x_restart=state.x_restart,
+            y_restart=state.y_restart,
+            num_steps=num_steps,
+            num_accepted=state.num_accepted + 1,
+            kkt_passes=state.kkt_passes
+            + 0.5 * (attempts.astype(dtype) + 1.0),
+        )
+
+    return iteration
+
+
+def _make_run_major(prob: DeviceProblem, params: PdhgParams,
+                    psum: Optional[Callable] = None):
+    iteration = _make_iteration(prob, params, psum)
+    freq = params.termination_check_frequency
+
+    def run_major(state: PdhgState) -> PdhgState:
+        return jax.lax.fori_loop(0, freq, lambda _, s: iteration(s), state)
+
+    return run_major
+
+
+def _norm(v: jax.Array, norm: OptimalityNorm) -> jax.Array:
+    if norm == OptimalityNorm.L_INF:
+        return jnp.max(jnp.abs(v)) if v.size else jnp.asarray(0.0, v.dtype)
+    return jnp.sqrt(jnp.vdot(v, v))
+
+
+def _iterate_stats(prob: DeviceProblem, x, y, ax, aty,
+                   norm: OptimalityNorm) -> dict:
+    """Residuals/objectives of one (scaled-space) iterate, computed in the
+    ORIGINAL problem space (reference iteration_stats.cc:180-316)."""
+    inv_row = 1.0 / prob.row_scale
+    inv_col = 1.0 / prob.col_scale
+    x_o = prob.col_scale * x
+    y_o = prob.row_scale * y
+    ax_o = ax * inv_row
+    aty_o = aty * inv_col
+
+    primal_viol = jnp.maximum(prob.orig_con_lb - ax_o, 0.0) + jnp.maximum(
+        ax_o - prob.orig_con_ub, 0.0
+    )
+    r = prob.orig_c + prob.orig_q * x_o - aty_o  # primal gradient
+    lb_finite = jnp.isfinite(prob.orig_var_lb)
+    ub_finite = jnp.isfinite(prob.orig_var_ub)
+    reduced_costs = jnp.where(
+        r > 0,
+        jnp.where(lb_finite, r, 0.0),
+        jnp.where(ub_finite, r, 0.0),
+    )
+    dual_viol = r - reduced_costs
+
+    primal_obj = jnp.vdot(prob.orig_c, x_o) + 0.5 * jnp.vdot(
+        prob.orig_q, x_o * x_o
+    )
+    # Dual objective: constraint-bound term l^T[y]+ - u^T[y]- plus the
+    # variable-bound term for absorbed reduced costs, minus the quadratic
+    # correction; sign-split with `where` so 0*inf never appears.
+    con_term = jnp.sum(
+        jnp.where(y_o > 0, prob.orig_con_lb * y_o, 0.0)
+        + jnp.where(y_o < 0, prob.orig_con_ub * y_o, 0.0)
+    )
+    var_term = jnp.sum(
+        jnp.where(reduced_costs > 0, prob.orig_var_lb * reduced_costs, 0.0)
+        + jnp.where(reduced_costs < 0, prob.orig_var_ub * reduced_costs, 0.0)
+    )
+    dual_obj = con_term + var_term - 0.5 * jnp.vdot(prob.orig_q, x_o * x_o)
+
+    return dict(
+        primal_objective=primal_obj,
+        dual_objective=dual_obj,
+        primal_residual=_norm(primal_viol, norm),
+        dual_residual=_norm(dual_viol, norm),
+        reduced_costs=reduced_costs,
+    )
+
+
+def _make_compute_stats(prob: DeviceProblem, params: PdhgParams,
+                        psum: Optional[Callable] = None):
+    mv = _make_matvecs(prob.a, prob.at, psum)
+    norm = params.optimality_norm
+
+    def compute_stats(state: PdhgState) -> dict:
+        cur = _iterate_stats(prob, state.x, state.y, state.ax, state.aty, norm)
+        w = jnp.maximum(state.sum_weights, 1e-30)
+        x_avg = state.x_sum / w
+        y_avg = state.y_sum / w
+        has_avg = state.sum_weights > 0
+        x_avg = jnp.where(has_avg, x_avg, state.x)
+        y_avg = jnp.where(has_avg, y_avg, state.y)
+        ax_avg = mv.matvec(x_avg)
+        aty_avg = mv.rmatvec(y_avg)
+        avg = _iterate_stats(prob, x_avg, y_avg, ax_avg, aty_avg, norm)
+        omega = state.primal_weight
+
+        def kkt(s):
+            gap = s["primal_objective"] - s["dual_objective"]
+            return jnp.sqrt(
+                omega**2 * s["primal_residual"] ** 2
+                + s["dual_residual"] ** 2 / omega**2
+                + gap**2
+            )
+
+        out = dict(
+            current={k: v for k, v in cur.items() if k != "reduced_costs"},
+            average={k: v for k, v in avg.items() if k != "reduced_costs"},
+            kkt_current=kkt(cur),
+            kkt_average=kkt(avg),
+            x_avg=x_avg,
+            y_avg=y_avg,
+            num_steps=state.num_steps,
+            num_accepted=state.num_accepted,
+            kkt_passes=state.kkt_passes + 1.0,  # this stats pass
+            step_size=state.step_size,
+            primal_weight=state.primal_weight,
+        )
+        return out
+
+    return compute_stats
+
+
+def _make_apply_restart(prob: DeviceProblem, params: PdhgParams,
+                        psum: Optional[Callable] = None):
+    mv = _make_matvecs(prob.a, prob.at, psum)
+    smoothing = params.primal_weight_update_smoothing
+    dtype = prob.c.dtype
+
+    def apply_restart(state: PdhgState, use_avg: jax.Array,
+                      x_avg: jax.Array, y_avg: jax.Array) -> PdhgState:
+        x_new = jnp.where(use_avg, x_avg, state.x)
+        y_new = jnp.where(use_avg, y_avg, state.y)
+        ax = mv.matvec(x_new)
+        aty = mv.rmatvec(y_new)
+        # Primal weight update from distance traveled since last restart
+        # (reference ComputeNewPrimalWeight, :1983-2011).
+        dp = jnp.linalg.norm(x_new - state.x_restart)
+        dd = jnp.linalg.norm(y_new - state.y_restart)
+        valid = (dp > 1e-30) & (dd > 1e-30) & jnp.isfinite(dp) & jnp.isfinite(dd)
+        new_w = jnp.exp(
+            smoothing * jnp.log(jnp.maximum(dd, 1e-30) / jnp.maximum(dp, 1e-30))
+            + (1.0 - smoothing) * jnp.log(state.primal_weight)
+        )
+        omega = jnp.where(valid, new_w, state.primal_weight).astype(dtype)
+        zeros_x = jnp.zeros_like(state.x)
+        zeros_y = jnp.zeros_like(state.y)
+        return PdhgState(
+            x=x_new, y=y_new, ax=ax, aty=aty,
+            step_size=state.step_size,
+            primal_weight=omega,
+            x_sum=zeros_x, y_sum=zeros_y,
+            sum_weights=jnp.zeros_like(state.sum_weights),
+            x_restart=x_new, y_restart=y_new,
+            num_steps=state.num_steps,
+            num_accepted=state.num_accepted,
+            kkt_passes=state.kkt_passes + 1.0,
+        )
+
+    return apply_restart
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+
+def _initial_state(prob: DeviceProblem, params: PdhgParams,
+                   sigma_max: jax.Array) -> PdhgState:
+    dtype = prob.c.dtype
+    n = prob.c.shape[0]
+    m = prob.con_lb.shape[0]
+    x0 = jnp.clip(jnp.zeros(n, dtype), prob.var_lb, prob.var_ub)
+    y0 = jnp.zeros(m, dtype)
+    # For QPs the curvature of Q also bounds the step (lam_max(diag q) =
+    # max q); without constraints sigma_max(A) can be 0.
+    curvature = jnp.maximum(sigma_max, jnp.max(prob.q))
+    step0 = jnp.asarray(params.initial_step_size_scaling, dtype) / jnp.maximum(
+        curvature, 1e-30
+    )
+    if params.initial_primal_weight is not None:
+        w0 = jnp.asarray(params.initial_primal_weight, dtype)
+    else:
+        # ||c|| / ||b|| when both positive else 1 (reference :1268).
+        w0 = jnp.where(
+            (prob.norm_c > 0) & (prob.norm_b > 0),
+            prob.norm_c / jnp.maximum(prob.norm_b, 1e-30),
+            jnp.asarray(1.0, dtype),
+        )
+    return PdhgState(
+        x=x0,
+        y=y0,
+        ax=prob.a.matvec(x0),
+        aty=prob.at.matvec(y0),
+        step_size=step0.astype(dtype),
+        primal_weight=w0.astype(dtype),
+        x_sum=jnp.zeros(n, dtype),
+        y_sum=jnp.zeros(m, dtype),
+        sum_weights=jnp.asarray(0.0, dtype),
+        x_restart=x0,
+        y_restart=y0,
+        num_steps=jnp.asarray(0, jnp.int32),
+        num_accepted=jnp.asarray(0, jnp.int32),
+        kkt_passes=jnp.asarray(1.0, dtype),
+    )
+
+
+def _check_optimality(stats: dict, prob_consts: dict, params: PdhgParams) -> bool:
+    eps_a = params.eps_optimal_absolute
+    eps_r = params.eps_optimal_relative
+    nb, nc = prob_consts["norm_b"], prob_consts["norm_c"]
+    p, d = stats["primal_objective"], stats["dual_objective"]
+    gap_ok = abs(p - d) <= eps_a + eps_r * (abs(p) + abs(d))
+    pr_ok = stats["primal_residual"] <= eps_a + eps_r * nb
+    dr_ok = stats["dual_residual"] <= eps_a + eps_r * nc
+    return bool(gap_ok and pr_ok and dr_ok)
+
+
+def solve(
+    qp: QuadraticProgram,
+    params: Optional[PdhgParams] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> SolveResult:
+    """Solve an LP/QP with restarted adaptive PDHG.
+
+    With ``mesh`` given (a 1-D jax Mesh), the constraint-matrix block list is
+    sharded over the mesh axis and SpMV partials are psum-combined; vectors
+    are replicated (the reference Sharder's design, SURVEY §2.15, on ICI).
+    """
+    params = params or PdhgParams()
+    perrs = params.validate()
+    if perrs:
+        return _invalid_result(qp, TerminationReason.INVALID_PARAMETER)
+    errs = qp.validate()
+    if errs:
+        return _invalid_result(qp, TerminationReason.INVALID_PROBLEM)
+    start = time.perf_counter()
+    qp_min = qp.as_minimization()
+    sign = -1.0 if qp.maximize else 1.0
+
+    if mesh is not None:
+        return _solve_sharded(qp, params, mesh)
+
+    prob = build_device_problem(qp_min, params)
+    run_major = jax.jit(_make_run_major(prob, params))
+    compute_stats = jax.jit(_make_compute_stats(prob, params))
+    apply_restart = jax.jit(_make_apply_restart(prob, params))
+
+    sigma_max = estimate_matrix_norm(prob.a, prob.at,
+                                     params.power_iteration_steps)
+    state = _initial_state(prob, params, sigma_max)
+    prob_consts = dict(
+        norm_b=float(prob.norm_b), norm_c=float(prob.norm_c)
+    )
+
+    log: List[dict] = []
+    reason = TerminationReason.ITERATION_LIMIT
+    best = None  # (which, stats_dict, x, y) chosen at termination
+    kkt_at_last_restart = math.inf
+    last_candidate_kkt = math.inf
+    iters_at_last_restart = 0
+    iterations = 0
+
+    while True:
+        if iterations >= params.iteration_limit:
+            reason = TerminationReason.ITERATION_LIMIT
+            break
+        if time.perf_counter() - start > params.time_sec_limit:
+            reason = TerminationReason.TIME_LIMIT
+            break
+        state = run_major(state)
+        iterations += params.termination_check_frequency
+        stats = compute_stats(state)
+        cur = {k: float(v) for k, v in stats["current"].items()}
+        avg = {k: float(v) for k, v in stats["average"].items()}
+        kkt_cur = float(stats["kkt_current"])
+        kkt_avg = float(stats["kkt_average"])
+        kkt_passes = float(stats["kkt_passes"])
+        if params.record_iteration_stats or params.verbosity >= 2:
+            rec = dict(iteration=iterations, current=cur, average=avg,
+                       kkt_current=kkt_cur, kkt_average=kkt_avg,
+                       step_size=float(stats["step_size"]),
+                       primal_weight=float(stats["primal_weight"]),
+                       kkt_passes=kkt_passes)
+            log.append(rec)
+        if params.verbosity >= 2:
+            print(
+                f"iter={iterations} kkt_cur={kkt_cur:.3e} kkt_avg={kkt_avg:.3e}"
+                f" pobj={cur['primal_objective']:.8e}"
+                f" pres={cur['primal_residual']:.2e}"
+                f" dres={cur['dual_residual']:.2e}"
+                f" w={float(stats['primal_weight']):.2e}"
+            )
+        if not math.isfinite(kkt_cur):
+            reason = TerminationReason.NUMERICAL_ERROR
+            best = ("average", avg, stats["x_avg"], stats["y_avg"])
+            break
+        # Termination: check both current and average (reference checks all
+        # candidate points).
+        if _check_optimality(cur, prob_consts, params):
+            reason = TerminationReason.OPTIMAL
+            best = ("current", cur, state.x, state.y)
+            break
+        if _check_optimality(avg, prob_consts, params):
+            reason = TerminationReason.OPTIMAL
+            best = ("average", avg, stats["x_avg"], stats["y_avg"])
+            break
+        if kkt_passes >= params.kkt_matrix_pass_limit:
+            reason = TerminationReason.KKT_MATRIX_PASS_LIMIT
+            break
+
+        # Restart decision (host scalars only).
+        do_restart = False
+        use_avg = kkt_avg <= kkt_cur
+        cand_kkt = min(kkt_avg, kkt_cur)
+        strat = params.restart_strategy
+        if strat == RestartStrategy.EVERY_MAJOR_ITERATION:
+            do_restart = True
+        elif strat == RestartStrategy.ADAPTIVE_KKT:
+            if math.isinf(kkt_at_last_restart):
+                kkt_at_last_restart = cand_kkt
+            else:
+                suff = cand_kkt <= (
+                    params.sufficient_reduction_for_restart * kkt_at_last_restart
+                )
+                nec = cand_kkt <= (
+                    params.necessary_reduction_for_restart * kkt_at_last_restart
+                ) and cand_kkt > last_candidate_kkt
+                long_interval = (
+                    iterations - iters_at_last_restart
+                    >= params.artificial_restart_threshold * iterations
+                )
+                do_restart = suff or nec or long_interval
+        last_candidate_kkt = cand_kkt
+        if do_restart:
+            state = apply_restart(
+                state, jnp.asarray(use_avg), stats["x_avg"], stats["y_avg"]
+            )
+            kkt_at_last_restart = cand_kkt
+            last_candidate_kkt = math.inf
+            iters_at_last_restart = iterations
+            if params.verbosity >= 2:
+                print(f"  restart(to_{'avg' if use_avg else 'cur'}) "
+                      f"w={float(state.primal_weight):.3e}")
+
+    if best is None:
+        # Terminated by a limit: report the better of current/average.
+        stats = compute_stats(state)
+        cur = {k: float(v) for k, v in stats["current"].items()}
+        avg = {k: float(v) for k, v in stats["average"].items()}
+        if float(stats["kkt_average"]) < float(stats["kkt_current"]):
+            best = ("average", avg, stats["x_avg"], stats["y_avg"])
+        else:
+            best = ("current", cur, state.x, state.y)
+
+    which, bstats, x_dev, y_dev = best
+    # Unscale and unpad; recompute reduced costs for the reported iterate.
+    final = jax.jit(
+        functools.partial(_final_iterate, prob, params.optimality_norm)
+    )(x_dev, y_dev)
+    n, m = qp.num_variables, qp.num_constraints
+    x = np.asarray(final["x"], dtype=np.float64)[:n]
+    y = np.asarray(final["y"], dtype=np.float64)[:m]
+    rc = np.asarray(final["reduced_costs"], dtype=np.float64)[:n]
+
+    pobj = sign * (bstats["primal_objective"] + qp_min.objective_constant)
+    dobj = sign * (bstats["dual_objective"] + qp_min.objective_constant)
+    denom = abs(pobj) + abs(dobj)
+    rel_gap = abs(pobj - dobj) / (1.0 + denom)
+    return SolveResult(
+        termination_reason=reason,
+        primal_solution=x,
+        dual_solution=sign * y,
+        reduced_costs=sign * rc,
+        primal_objective=pobj,
+        dual_objective=dobj,
+        primal_residual=bstats["primal_residual"],
+        dual_residual=bstats["dual_residual"],
+        relative_gap=rel_gap,
+        iterations=iterations,
+        kkt_matrix_passes=float(state.kkt_passes),
+        solve_time_sec=time.perf_counter() - start,
+        iteration_stats=log,
+    )
+
+
+def _final_iterate(prob: DeviceProblem, norm, x, y) -> dict:
+    ax = prob.a.matvec(x)
+    aty = prob.at.matvec(y)
+    s = _iterate_stats(prob, x, y, ax, aty, norm)
+    return dict(
+        x=prob.col_scale * x,
+        y=prob.row_scale * y,
+        reduced_costs=s["reduced_costs"],
+    )
+
+
+def _invalid_result(qp: QuadraticProgram, reason: TerminationReason) -> SolveResult:
+    n, m = qp.num_variables, qp.num_constraints
+    return SolveResult(
+        termination_reason=reason,
+        primal_solution=np.zeros(n),
+        dual_solution=np.zeros(m),
+        reduced_costs=np.zeros(n),
+        primal_objective=math.nan,
+        dual_objective=math.nan,
+        primal_residual=math.nan,
+        dual_residual=math.nan,
+        relative_gap=math.nan,
+        iterations=0,
+        kkt_matrix_passes=0.0,
+        solve_time_sec=0.0,
+        iteration_stats=[],
+    )
+
+
+def _solve_sharded(qp, params, mesh):  # pragma: no cover - round 1 stub
+    raise NotImplementedError(
+        "sharded solve lands with ortools_tpu.parallel (see parallel/sharder.py)"
+    )

@@ -64,8 +64,11 @@ ENDATA
 """
     qp = read_mps(text, is_text=True)
     assert qp.maximize
-    # stored as minimization: c negated
-    np.testing.assert_allclose(qp.objective_vector, [-3.0, -2.0])
+    # stored in the original (maximization) sense
+    np.testing.assert_allclose(qp.objective_vector, [3.0, 2.0])
+    np.testing.assert_allclose(
+        qp.as_minimization().objective_vector, [-3.0, -2.0]
+    )
     assert qp.integrality.tolist() == [True, False]
 
 
