@@ -1,0 +1,260 @@
+"""Batched branch-and-bound MIP solver.
+
+Capability parity: the reference's MIP path (CP-SAT with an LP relaxation,
+``ortools/sat/linear_programming_constraint.*`` + integer search), re-designed
+per SURVEY §7 Phase 3 for TPU:
+
+- node LP relaxations are bounded by *batched* PDHG — B&B nodes differ from
+  the root only in variable bounds, so up to ``node_batch_size`` node LPs
+  advance simultaneously in one jitted program (pdlp/batched.py), warm
+  started from their parents;
+- vectorized interval bound propagation at every node (mip/propagation.py)
+  replaces watch-list propagation;
+- the frontier + incumbent live on the host (the analogue of the
+  reference's SharedTreeManager / SharedResponseManager, work_assignment.h
+  and synchronization.h) with best-bound node selection;
+- every incumbent is re-verified against the original model before being
+  accepted (the reference's solution-checker contract, SURVEY §4.5).
+
+Round-1 scope: most-fractional branching, LP-guided rounding heuristic;
+pseudo-cost branching and LNS polish are later-phase work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import math
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ortools_tpu.mip.propagation import propagate_bounds
+from ortools_tpu.models.lp import QuadraticProgram
+from ortools_tpu.pdlp.batched import solve_batch
+from ortools_tpu.pdlp.params import PdhgParams
+from ortools_tpu.utils.status import MPSolverStatus
+
+
+@dataclasses.dataclass
+class MipParams:
+    max_nodes: int = 100_000
+    node_batch_size: int = 64
+    time_limit_sec: float = math.inf
+    rel_gap: float = 1e-4
+    abs_gap: float = 1e-6
+    integrality_tol: float = 1e-5
+    feasibility_tol: float = 1e-6
+    lp_params: Optional[PdhgParams] = None
+    verbosity: int = 0
+
+
+@dataclasses.dataclass
+class MipResult:
+    status: MPSolverStatus
+    solution: np.ndarray
+    objective_value: float
+    best_bound: float
+    num_nodes: int
+    wall_time_sec: float
+
+
+@dataclasses.dataclass(order=True)
+class _Node:
+    bound: float
+    seq: int
+    lb: np.ndarray = dataclasses.field(compare=False)
+    ub: np.ndarray = dataclasses.field(compare=False)
+    warm_x: Optional[np.ndarray] = dataclasses.field(compare=False, default=None)
+    warm_y: Optional[np.ndarray] = dataclasses.field(compare=False, default=None)
+
+
+def _check_feasible(qp: QuadraticProgram, x: np.ndarray, tol: float) -> bool:
+    """Solution checker: verify x against the ORIGINAL model (runtime
+    self-verification contract, reference cp_model_solver.cc:4376)."""
+    ax = qp.constraint_matrix @ x
+    scale = 1.0 + np.maximum(
+        np.abs(qp.constraint_lower, where=np.isfinite(qp.constraint_lower),
+               out=np.zeros_like(ax)),
+        np.abs(qp.constraint_upper, where=np.isfinite(qp.constraint_upper),
+               out=np.zeros_like(ax)),
+    )
+    if np.any(ax < qp.constraint_lower - tol * scale):
+        return False
+    if np.any(ax > qp.constraint_upper + tol * scale):
+        return False
+    if np.any(x < qp.variable_lower - tol) or np.any(x > qp.variable_upper + tol):
+        return False
+    return True
+
+
+def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
+          **kw) -> MipResult:
+    import jax.numpy as jnp
+
+    params = params or MipParams(**kw)
+    start = time.perf_counter()
+    qp_min = qp.as_minimization()
+    sign = -1.0 if qp.maximize else 1.0
+    n = qp_min.num_variables
+    integrality = (
+        np.asarray(qp_min.integrality, dtype=bool)
+        if qp_min.integrality is not None
+        else np.zeros(n, dtype=bool)
+    )
+    int_idx = np.nonzero(integrality)[0]
+    a = sp.csr_matrix(qp_min.constraint_matrix)
+
+    lp_params = params.lp_params or PdhgParams(
+        dtype=jnp.float64,
+        eps_optimal_absolute=1e-7,
+        eps_optimal_relative=1e-7,
+        iteration_limit=50_000,
+    )
+
+    # Root propagation.
+    lb0, ub0, feasible = propagate_bounds(
+        a, qp_min.constraint_lower, qp_min.constraint_upper,
+        qp_min.variable_lower, qp_min.variable_upper, integrality,
+    )
+    if not feasible:
+        return MipResult(MPSolverStatus.INFEASIBLE, np.zeros(n), math.nan,
+                         math.inf, 0, time.perf_counter() - start)
+
+    incumbent_x: Optional[np.ndarray] = None
+    incumbent_obj = math.inf
+    seq = 0
+    frontier: List[_Node] = []
+    heapq.heappush(frontier, _Node(-math.inf, seq, lb0, ub0))
+    num_nodes = 0
+    status = MPSolverStatus.NOT_SOLVED
+
+    def gap_closed(bound: float) -> bool:
+        if incumbent_x is None:
+            return False
+        return incumbent_obj - bound <= params.abs_gap + params.rel_gap * (
+            1.0 + abs(incumbent_obj)
+        )
+
+    def try_incumbent(x_cand: np.ndarray) -> None:
+        nonlocal incumbent_x, incumbent_obj
+        x_r = np.array(x_cand)
+        x_r[int_idx] = np.round(x_r[int_idx])
+        x_r = np.clip(x_r, qp_min.variable_lower, qp_min.variable_upper)
+        if not _check_feasible(qp_min, x_r, params.feasibility_tol):
+            return
+        obj = qp_min.objective_value(x_r)
+        if obj < incumbent_obj - 1e-12:
+            incumbent_obj = obj
+            incumbent_x = x_r
+
+    while frontier:
+        if num_nodes >= params.max_nodes or (
+            time.perf_counter() - start > params.time_limit_sec
+        ):
+            status = MPSolverStatus.FEASIBLE if incumbent_x is not None \
+                else MPSolverStatus.NOT_SOLVED
+            break
+        # Best-bound batch selection.
+        batch: List[_Node] = []
+        while frontier and len(batch) < params.node_batch_size:
+            node = heapq.heappop(frontier)
+            if gap_closed(node.bound):
+                continue
+            batch.append(node)
+        if not batch:
+            break
+        num_nodes += len(batch)
+        lbs = np.stack([nd.lb for nd in batch])
+        ubs = np.stack([nd.ub for nd in batch])
+        warm_x = (
+            np.stack([
+                nd.warm_x if nd.warm_x is not None else np.zeros(n)
+                for nd in batch
+            ])
+            if any(nd.warm_x is not None for nd in batch)
+            else None
+        )
+        warm_y = (
+            np.stack([
+                nd.warm_y if nd.warm_y is not None
+                else np.zeros(qp_min.num_constraints)
+                for nd in batch
+            ])
+            if warm_x is not None
+            else None
+        )
+        res = solve_batch(qp_min, lbs, ubs, lp_params,
+                          warm_start_x=warm_x, warm_start_y=warm_y)
+        for i, nd in enumerate(batch):
+            x_lp = res.primal_solution[i]
+            lp_obj = res.primal_objective[i]
+            node_bound = max(nd.bound, res.dual_objective[i])
+            if not res.optimal[i]:
+                # Unconverged LP: infeasible node (large residual) or hard
+                # LP.  If the primal residual is clearly nonzero, prune as
+                # infeasible; otherwise keep the node's parent bound.
+                if res.primal_residual[i] > 1e-4 * (1.0 + float(np.abs(
+                        qp_min.constraint_upper[np.isfinite(
+                            qp_min.constraint_upper)]).max(initial=1.0))):
+                    continue
+                node_bound = nd.bound
+            if gap_closed(node_bound):
+                continue
+            try_incumbent(x_lp)
+            frac = np.abs(x_lp[int_idx] - np.round(x_lp[int_idx])) \
+                if len(int_idx) else np.zeros(0)
+            if frac.size == 0 or frac.max() <= params.integrality_tol:
+                # integer-feasible LP optimum: node is solved exactly
+                continue
+            # Branch on the most fractional integer variable.
+            j = int(int_idx[int(np.argmax(frac))])
+            xj = x_lp[j]
+            for lo_add, hi_add in (
+                (None, math.floor(xj + params.integrality_tol)),
+                (math.ceil(xj - params.integrality_tol), None),
+            ):
+                clb, cub = np.array(nd.lb), np.array(nd.ub)
+                if hi_add is not None:
+                    cub[j] = min(cub[j], hi_add)
+                if lo_add is not None:
+                    clb[j] = max(clb[j], lo_add)
+                if clb[j] > cub[j]:
+                    continue
+                plb, pub, ok = propagate_bounds(
+                    a, qp_min.constraint_lower, qp_min.constraint_upper,
+                    clb, cub, integrality, max_rounds=3,
+                )
+                if not ok:
+                    continue
+                seq += 1
+                heapq.heappush(frontier, _Node(
+                    node_bound, seq, plb, pub,
+                    warm_x=x_lp, warm_y=res.dual_solution[i],
+                ))
+        if params.verbosity >= 1:
+            fb = frontier[0].bound if frontier else incumbent_obj
+            print(f"nodes={num_nodes} frontier={len(frontier)} "
+                  f"incumbent={incumbent_obj:.6f} bound={fb:.6f}")
+
+    if not frontier and status == MPSolverStatus.NOT_SOLVED:
+        status = (
+            MPSolverStatus.OPTIMAL if incumbent_x is not None
+            else MPSolverStatus.INFEASIBLE
+        )
+    best_bound = (
+        min([nd.bound for nd in frontier], default=incumbent_obj)
+        if frontier else incumbent_obj
+    )
+    sol = incumbent_x if incumbent_x is not None else np.zeros(n)
+    return MipResult(
+        status=status,
+        solution=sol,
+        objective_value=sign * incumbent_obj if incumbent_x is not None
+        else math.nan,
+        best_bound=sign * best_bound,
+        num_nodes=num_nodes,
+        wall_time_sec=time.perf_counter() - start,
+    )

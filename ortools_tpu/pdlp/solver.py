@@ -256,25 +256,22 @@ def _combined_bounds_norm(lo: np.ndarray, hi: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 
 
-def estimate_matrix_norm(
-    a: BlockSparseMatrix,
-    at: BlockSparseMatrix,
-    steps: int,
-    seed: int = 0,
-    psum: Optional[Callable] = None,
-) -> jax.Array:
+def _make_power_iter(params: PdhgParams, psum: Optional[Callable] = None):
     """sigma_max(A) by power iteration on A^T A (reference
     sharded_optimization_utils.h:179)."""
-    n = a.padded_shape[1]
-    v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=a.dtype)
-    mv = _make_matvecs(a, at, psum)
+    steps = params.power_iteration_steps
 
-    def body(_, v):
-        w = mv.rmatvec(mv.matvec(v))
-        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+    def power_iter(prob: DeviceProblem, v0: jax.Array) -> jax.Array:
+        mv = _make_matvecs(prob.a, prob.at, psum)
 
-    v = jax.lax.fori_loop(0, steps, body, v0 / jnp.linalg.norm(v0))
-    return jnp.sqrt(jnp.linalg.norm(mv.rmatvec(mv.matvec(v))))
+        def body(_, v):
+            w = mv.rmatvec(mv.matvec(v))
+            return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+        v = jax.lax.fori_loop(0, steps, body, v0 / jnp.linalg.norm(v0))
+        return jnp.sqrt(jnp.linalg.norm(mv.rmatvec(mv.matvec(v))))
+
+    return power_iter
 
 
 class _Matvecs(NamedTuple):
@@ -306,17 +303,19 @@ def _dual_prox(y_hat, sigma, con_lb, con_ub):
     return jnp.where(pos > 0, pos, jnp.where(neg < 0, neg, 0.0))
 
 
-def _make_iteration(prob: DeviceProblem, params: PdhgParams,
-                    psum: Optional[Callable] = None):
-    """Build the jittable single-iteration function (adaptive step)."""
-    mv = _make_matvecs(prob.a, prob.at, psum)
+def _make_iteration(params: PdhgParams, psum: Optional[Callable] = None):
+    """Build the jittable single-iteration function (adaptive step).
+
+    ``prob`` is an explicit argument (not a closure) so the same function
+    works under shard_map with the matrix blocks sharded over the mesh."""
     reduction_exp = params.step_size_reduction_exponent
     growth_exp = params.step_size_growth_exponent
     max_attempts = params.max_step_attempts
-    dtype = prob.c.dtype
-    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
 
-    def iteration(state: PdhgState) -> PdhgState:
+    def iteration(prob: DeviceProblem, state: PdhgState) -> PdhgState:
+        mv = _make_matvecs(prob.a, prob.at, psum)
+        dtype = prob.c.dtype
+        tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
         grad = prob.c + prob.q * state.x - state.aty
 
         def attempt_cond(carry):
@@ -397,13 +396,14 @@ def _make_iteration(prob: DeviceProblem, params: PdhgParams,
     return iteration
 
 
-def _make_run_major(prob: DeviceProblem, params: PdhgParams,
-                    psum: Optional[Callable] = None):
-    iteration = _make_iteration(prob, params, psum)
+def _make_run_major(params: PdhgParams, psum: Optional[Callable] = None):
+    iteration = _make_iteration(params, psum)
     freq = params.termination_check_frequency
 
-    def run_major(state: PdhgState) -> PdhgState:
-        return jax.lax.fori_loop(0, freq, lambda _, s: iteration(s), state)
+    def run_major(prob: DeviceProblem, state: PdhgState) -> PdhgState:
+        return jax.lax.fori_loop(
+            0, freq, lambda _, s: iteration(prob, s), state
+        )
 
     return run_major
 
@@ -463,12 +463,12 @@ def _iterate_stats(prob: DeviceProblem, x, y, ax, aty,
     )
 
 
-def _make_compute_stats(prob: DeviceProblem, params: PdhgParams,
+def _make_compute_stats(params: PdhgParams,
                         psum: Optional[Callable] = None):
-    mv = _make_matvecs(prob.a, prob.at, psum)
     norm = params.optimality_norm
 
-    def compute_stats(state: PdhgState) -> dict:
+    def compute_stats(prob: DeviceProblem, state: PdhgState) -> dict:
+        mv = _make_matvecs(prob.a, prob.at, psum)
         cur = _iterate_stats(prob, state.x, state.y, state.ax, state.aty, norm)
         w = jnp.maximum(state.sum_weights, 1e-30)
         x_avg = state.x_sum / w
@@ -507,14 +507,15 @@ def _make_compute_stats(prob: DeviceProblem, params: PdhgParams,
     return compute_stats
 
 
-def _make_apply_restart(prob: DeviceProblem, params: PdhgParams,
+def _make_apply_restart(params: PdhgParams,
                         psum: Optional[Callable] = None):
-    mv = _make_matvecs(prob.a, prob.at, psum)
     smoothing = params.primal_weight_update_smoothing
-    dtype = prob.c.dtype
 
-    def apply_restart(state: PdhgState, use_avg: jax.Array,
+    def apply_restart(prob: DeviceProblem, state: PdhgState,
+                      use_avg: jax.Array,
                       x_avg: jax.Array, y_avg: jax.Array) -> PdhgState:
+        mv = _make_matvecs(prob.a, prob.at, psum)
+        dtype = prob.c.dtype
         x_new = jnp.where(use_avg, x_avg, state.x)
         y_new = jnp.where(use_avg, y_avg, state.y)
         ax = mv.matvec(x_new)
@@ -551,44 +552,47 @@ def _make_apply_restart(prob: DeviceProblem, params: PdhgParams,
 # ---------------------------------------------------------------------------
 
 
-def _initial_state(prob: DeviceProblem, params: PdhgParams,
-                   sigma_max: jax.Array) -> PdhgState:
-    dtype = prob.c.dtype
-    n = prob.c.shape[0]
-    m = prob.con_lb.shape[0]
-    x0 = jnp.clip(jnp.zeros(n, dtype), prob.var_lb, prob.var_ub)
-    y0 = jnp.zeros(m, dtype)
-    # For QPs the curvature of Q also bounds the step (lam_max(diag q) =
-    # max q); without constraints sigma_max(A) can be 0.
-    curvature = jnp.maximum(sigma_max, jnp.max(prob.q))
-    step0 = jnp.asarray(params.initial_step_size_scaling, dtype) / jnp.maximum(
-        curvature, 1e-30
-    )
-    if params.initial_primal_weight is not None:
-        w0 = jnp.asarray(params.initial_primal_weight, dtype)
-    else:
-        # ||c|| / ||b|| when both positive else 1 (reference :1268).
-        w0 = jnp.where(
-            (prob.norm_c > 0) & (prob.norm_b > 0),
-            prob.norm_c / jnp.maximum(prob.norm_b, 1e-30),
-            jnp.asarray(1.0, dtype),
+def _make_initial_state(params: PdhgParams, psum: Optional[Callable] = None):
+    def initial_state(prob: DeviceProblem, sigma_max: jax.Array) -> PdhgState:
+        mv = _make_matvecs(prob.a, prob.at, psum)
+        dtype = prob.c.dtype
+        n = prob.c.shape[0]
+        m = prob.con_lb.shape[0]
+        x0 = jnp.clip(jnp.zeros(n, dtype), prob.var_lb, prob.var_ub)
+        y0 = jnp.zeros(m, dtype)
+        # For QPs the curvature of Q also bounds the step (lam_max(diag q) =
+        # max q); without constraints sigma_max(A) can be 0.
+        curvature = jnp.maximum(sigma_max, jnp.max(prob.q))
+        step0 = jnp.asarray(
+            params.initial_step_size_scaling, dtype
+        ) / jnp.maximum(curvature, 1e-30)
+        if params.initial_primal_weight is not None:
+            w0 = jnp.asarray(params.initial_primal_weight, dtype)
+        else:
+            # ||c|| / ||b|| when both positive else 1 (reference :1268).
+            w0 = jnp.where(
+                (prob.norm_c > 0) & (prob.norm_b > 0),
+                prob.norm_c / jnp.maximum(prob.norm_b, 1e-30),
+                jnp.asarray(1.0, dtype),
+            )
+        return PdhgState(
+            x=x0,
+            y=y0,
+            ax=mv.matvec(x0),
+            aty=mv.rmatvec(y0),
+            step_size=step0.astype(dtype),
+            primal_weight=w0.astype(dtype),
+            x_sum=jnp.zeros(n, dtype),
+            y_sum=jnp.zeros(m, dtype),
+            sum_weights=jnp.asarray(0.0, dtype),
+            x_restart=x0,
+            y_restart=y0,
+            num_steps=jnp.asarray(0, jnp.int32),
+            num_accepted=jnp.asarray(0, jnp.int32),
+            kkt_passes=jnp.asarray(1.0, dtype),
         )
-    return PdhgState(
-        x=x0,
-        y=y0,
-        ax=prob.a.matvec(x0),
-        aty=prob.at.matvec(y0),
-        step_size=step0.astype(dtype),
-        primal_weight=w0.astype(dtype),
-        x_sum=jnp.zeros(n, dtype),
-        y_sum=jnp.zeros(m, dtype),
-        sum_weights=jnp.asarray(0.0, dtype),
-        x_restart=x0,
-        y_restart=y0,
-        num_steps=jnp.asarray(0, jnp.int32),
-        num_accepted=jnp.asarray(0, jnp.int32),
-        kkt_passes=jnp.asarray(1.0, dtype),
-    )
+
+    return initial_state
 
 
 def _check_optimality(stats: dict, prob_consts: dict, params: PdhgParams) -> bool:
@@ -625,16 +629,42 @@ def solve(
     sign = -1.0 if qp.maximize else 1.0
 
     if mesh is not None:
-        return _solve_sharded(qp, params, mesh)
+        axis = params.mesh_axis
+        psum = functools.partial(jax.lax.psum, axis_name=axis)
+        prob = build_device_problem(
+            qp_min, params, pad_blocks_to_multiple_of=mesh.devices.size
+        )
+        prob = _place_problem(prob, mesh, axis)
+        pspec = _problem_specs(prob, axis)
+        P = jax.sharding.PartitionSpec
 
-    prob = build_device_problem(qp_min, params)
-    run_major = jax.jit(_make_run_major(prob, params))
-    compute_stats = jax.jit(_make_compute_stats(prob, params))
-    apply_restart = jax.jit(_make_apply_restart(prob, params))
+        def wrap(fn, n_args):
+            sm = jax.shard_map(
+                fn, mesh=mesh, in_specs=(pspec,) + (P(),) * n_args,
+                out_specs=P(), check_vma=False,
+            )
+            return jax.jit(sm)
+    else:
+        psum = None
+        prob = build_device_problem(qp_min, params)
 
-    sigma_max = estimate_matrix_norm(prob.a, prob.at,
-                                     params.power_iteration_steps)
-    state = _initial_state(prob, params, sigma_max)
+        def wrap(fn, n_args):
+            return jax.jit(fn)
+
+    run_major = wrap(_make_run_major(params, psum), 1)
+    compute_stats = wrap(_make_compute_stats(params, psum), 1)
+    apply_restart = wrap(_make_apply_restart(params, psum), 4)
+    power_iter = wrap(_make_power_iter(params, psum), 1)
+    initial_state = wrap(_make_initial_state(params, psum), 1)
+    final_iterate = wrap(
+        functools.partial(_final_iterate, params.optimality_norm), 2
+    )
+
+    v0 = jax.random.normal(
+        jax.random.PRNGKey(0), (prob.c.shape[0],), dtype=prob.c.dtype
+    )
+    sigma_max = power_iter(prob, v0)
+    state = initial_state(prob, sigma_max)
     prob_consts = dict(
         norm_b=float(prob.norm_b), norm_c=float(prob.norm_c)
     )
@@ -654,9 +684,9 @@ def solve(
         if time.perf_counter() - start > params.time_sec_limit:
             reason = TerminationReason.TIME_LIMIT
             break
-        state = run_major(state)
+        state = run_major(prob, state)
         iterations += params.termination_check_frequency
-        stats = compute_stats(state)
+        stats = compute_stats(prob, state)
         cur = {k: float(v) for k, v in stats["current"].items()}
         avg = {k: float(v) for k, v in stats["average"].items()}
         kkt_cur = float(stats["kkt_current"])
@@ -720,7 +750,8 @@ def solve(
         last_candidate_kkt = cand_kkt
         if do_restart:
             state = apply_restart(
-                state, jnp.asarray(use_avg), stats["x_avg"], stats["y_avg"]
+                prob, state, jnp.asarray(use_avg),
+                stats["x_avg"], stats["y_avg"],
             )
             kkt_at_last_restart = cand_kkt
             last_candidate_kkt = math.inf
@@ -731,7 +762,7 @@ def solve(
 
     if best is None:
         # Terminated by a limit: report the better of current/average.
-        stats = compute_stats(state)
+        stats = compute_stats(prob, state)
         cur = {k: float(v) for k, v in stats["current"].items()}
         avg = {k: float(v) for k, v in stats["average"].items()}
         if float(stats["kkt_average"]) < float(stats["kkt_current"]):
@@ -741,9 +772,7 @@ def solve(
 
     which, bstats, x_dev, y_dev = best
     # Unscale and unpad; recompute reduced costs for the reported iterate.
-    final = jax.jit(
-        functools.partial(_final_iterate, prob, params.optimality_norm)
-    )(x_dev, y_dev)
+    final = final_iterate(prob, x_dev, y_dev)
     n, m = qp.num_variables, qp.num_constraints
     x = np.asarray(final["x"], dtype=np.float64)[:n]
     y = np.asarray(final["y"], dtype=np.float64)[:m]
@@ -770,7 +799,7 @@ def solve(
     )
 
 
-def _final_iterate(prob: DeviceProblem, norm, x, y) -> dict:
+def _final_iterate(norm, prob: DeviceProblem, x, y) -> dict:
     ax = prob.a.matvec(x)
     aty = prob.at.matvec(y)
     s = _iterate_stats(prob, x, y, ax, aty, norm)
@@ -800,7 +829,29 @@ def _invalid_result(qp: QuadraticProgram, reason: TerminationReason) -> SolveRes
     )
 
 
-def _solve_sharded(qp, params, mesh):  # pragma: no cover - round 1 stub
-    raise NotImplementedError(
-        "sharded solve lands with ortools_tpu.parallel (see parallel/sharder.py)"
+def _problem_specs(prob: DeviceProblem, axis: str) -> DeviceProblem:
+    """PartitionSpec pytree for a DeviceProblem: matrix block lists sharded
+    over ``axis``, everything else replicated (the reference Sharder's
+    nnz-mass partition mapped onto the mesh, SURVEY §2.15)."""
+    P = jax.sharding.PartitionSpec
+
+    def mat(mspec: BlockSparseMatrix) -> BlockSparseMatrix:
+        return BlockSparseMatrix(
+            data=P(axis), block_rows=P(axis), block_cols=P(axis),
+            shape=mspec.shape, padded_shape=mspec.padded_shape,
+            num_real_blocks=mspec.num_real_blocks,
+        )
+
+    reps = {f: P() for f in DeviceProblem._fields if f not in ("a", "at")}
+    return prob._replace(a=mat(prob.a), at=mat(prob.at), **reps)
+
+
+def _place_problem(prob: DeviceProblem, mesh: jax.sharding.Mesh,
+                   axis: str) -> DeviceProblem:
+    specs = _problem_specs(prob, axis)
+    return jax.tree_util.tree_map(
+        lambda leaf, spec: jax.device_put(
+            leaf, jax.sharding.NamedSharding(mesh, spec)
+        ),
+        prob, specs,
     )

@@ -1,0 +1,119 @@
+"""Host simplex tests vs scipy HiGHS (exact vertex oracle)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ortools_tpu.glop import solve
+from ortools_tpu.models.lp import QuadraticProgram, random_lp
+from ortools_tpu.models.mps import read_mps
+from ortools_tpu.utils.status import MPSolverStatus
+
+from tests.test_pdlp import scipy_solve
+
+
+@pytest.mark.parametrize("seed,m,n", [(0, 10, 8), (1, 25, 40), (2, 50, 30),
+                                      (5, 40, 40)])
+def test_random_lp_matches_scipy(seed, m, n):
+    qp = random_lp(m, n, density=0.4, seed=seed)
+    ref = scipy_solve(qp)
+    r = solve(qp)
+    assert r.status == MPSolverStatus.OPTIMAL
+    assert abs(r.objective_value - ref) <= 1e-7 * (1 + abs(ref))
+    # exact feasibility of the vertex
+    ax = qp.constraint_matrix @ r.primal_solution
+    assert np.all(ax <= qp.constraint_upper + 1e-7)
+    assert np.all(r.primal_solution >= qp.variable_lower - 1e-9)
+
+
+def test_equality_and_two_sided():
+    rng = np.random.default_rng(4)
+    n = 12
+    a = sp.vstack([
+        sp.csr_matrix(np.ones((1, n))),
+        sp.random(6, n, density=0.5, random_state=np.random.RandomState(1)),
+    ])
+    qp = QuadraticProgram(
+        objective_vector=rng.standard_normal(n),
+        constraint_matrix=sp.csr_matrix(a),
+        constraint_lower=np.concatenate([[3.0], np.full(6, -1.0)]),
+        constraint_upper=np.concatenate([[3.0], rng.uniform(1, 4, 6)]),
+        variable_lower=np.zeros(n),
+        variable_upper=np.full(n, 2.0),
+    )
+    ref = scipy_solve(qp)
+    r = solve(qp)
+    assert r.status == MPSolverStatus.OPTIMAL
+    assert abs(r.objective_value - ref) <= 1e-7 * (1 + abs(ref))
+
+
+def test_infeasible():
+    qp = QuadraticProgram(
+        objective_vector=np.ones(2),
+        constraint_matrix=sp.csr_matrix(np.array([[1.0, 1.0], [-1.0, -1.0]])),
+        constraint_lower=np.array([4.0, 1.0]),   # x+y>=4 and x+y<=-1
+        constraint_upper=np.array([np.inf, np.inf]),
+        variable_lower=np.zeros(2),
+        variable_upper=np.full(2, 10.0),
+    )
+    r = solve(qp)
+    assert r.status == MPSolverStatus.INFEASIBLE
+
+
+def test_unbounded():
+    qp = QuadraticProgram(
+        objective_vector=np.array([-1.0]),
+        constraint_matrix=sp.csr_matrix(np.array([[1.0]])),
+        constraint_lower=np.array([0.0]),
+        constraint_upper=np.array([np.inf]),
+        variable_lower=np.zeros(1),
+        variable_upper=np.array([np.inf]),
+    )
+    r = solve(qp)
+    assert r.status == MPSolverStatus.UNBOUNDED
+
+
+def test_duals_and_reduced_costs():
+    # min -x1-2x2, x1+x2<=4, x1<=2 (row), 0<=x<=10 -> x=(0,4)
+    qp = QuadraticProgram(
+        objective_vector=np.array([-1.0, -2.0]),
+        constraint_matrix=sp.csr_matrix(np.array([[1.0, 1.0], [1.0, 0.0]])),
+        constraint_lower=np.full(2, -np.inf),
+        constraint_upper=np.array([4.0, 2.0]),
+        variable_lower=np.zeros(2),
+        variable_upper=np.full(2, 10.0),
+    )
+    r = solve(qp)
+    assert r.status == MPSolverStatus.OPTIMAL
+    np.testing.assert_allclose(r.primal_solution, [0.0, 4.0], atol=1e-9)
+    # dual feasibility: c - A^T y == reduced costs; y1 = -2 (binding row 1)
+    resid = qp.objective_vector - qp.constraint_matrix.T @ r.dual_solution \
+        - r.reduced_costs
+    np.testing.assert_allclose(resid, 0.0, atol=1e-9)
+    np.testing.assert_allclose(r.dual_solution, [-2.0, 0.0], atol=1e-9)
+
+
+def test_maximization_fixture():
+    import os
+    path = "/root/reference/ortools/linear_solver/testdata/maximization.mps"
+    if not os.path.exists(path):
+        pytest.skip("reference data not mounted")
+    qp = read_mps(path)
+    r = solve(qp)
+    assert r.status == MPSolverStatus.OPTIMAL
+    assert abs(r.objective_value - 4.0) < 1e-9
+
+
+def test_free_variables():
+    # min x1 + x2 s.t. x1 + x2 >= 2, free vars
+    qp = QuadraticProgram(
+        objective_vector=np.array([1.0, 1.0]),
+        constraint_matrix=sp.csr_matrix(np.ones((1, 2))),
+        constraint_lower=np.array([2.0]),
+        constraint_upper=np.array([np.inf]),
+        variable_lower=np.full(2, -np.inf),
+        variable_upper=np.full(2, np.inf),
+    )
+    r = solve(qp)
+    assert r.status == MPSolverStatus.OPTIMAL
+    assert abs(r.objective_value - 2.0) < 1e-9

@@ -1,0 +1,180 @@
+"""Batched B&B MIP tests against scipy.optimize.milp (HiGHS oracle)."""
+
+import math
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.optimize import LinearConstraint as SciLin, milp, Bounds
+
+from ortools_tpu.mip import MipParams, solve
+from ortools_tpu.mip.propagation import propagate_bounds
+from ortools_tpu.models.lp import QuadraticProgram
+from ortools_tpu.utils.status import MPSolverStatus
+
+
+def milp_reference(qp: QuadraticProgram):
+    qpm = qp.as_minimization()
+    res = milp(
+        qpm.objective_vector,
+        constraints=SciLin(qpm.constraint_matrix, qpm.constraint_lower,
+                           qpm.constraint_upper),
+        bounds=Bounds(qpm.variable_lower, qpm.variable_upper),
+        integrality=qpm.integrality.astype(int),
+    )
+    return res
+
+
+def make_knapsack(n=12, seed=0, cap_frac=0.4):
+    rng = np.random.default_rng(seed)
+    w = rng.integers(1, 20, size=n).astype(float)
+    v = rng.integers(1, 30, size=n).astype(float)
+    cap = float(w.sum() * cap_frac)
+    return QuadraticProgram(
+        objective_vector=v,
+        constraint_matrix=sp.csr_matrix(w.reshape(1, -1)),
+        constraint_lower=np.array([-np.inf]),
+        constraint_upper=np.array([cap]),
+        variable_lower=np.zeros(n),
+        variable_upper=np.ones(n),
+        maximize=True,
+        integrality=np.ones(n, dtype=bool),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_knapsack_matches_highs(seed):
+    qp = make_knapsack(seed=seed)
+    ref = milp_reference(qp)
+    r = solve(qp, MipParams(node_batch_size=8))
+    assert r.status == MPSolverStatus.OPTIMAL
+    # qp is a maximization; milp ran the minimized form
+    assert abs(r.objective_value - (-ref.fun)) <= 1e-5 * (1 + abs(ref.fun))
+
+
+def test_mixed_integer_lp():
+    # 2 integer + 2 continuous vars, random constraints
+    rng = np.random.default_rng(7)
+    n, m = 4, 6
+    a = rng.standard_normal((m, n))
+    x0 = rng.uniform(0, 3, size=n)
+    b = a @ x0 + rng.uniform(0.2, 1.0, size=m)
+    qp = QuadraticProgram(
+        objective_vector=rng.standard_normal(n),
+        constraint_matrix=sp.csr_matrix(a),
+        constraint_lower=np.full(m, -np.inf),
+        constraint_upper=b,
+        variable_lower=np.zeros(n),
+        variable_upper=np.full(n, 5.0),
+        integrality=np.array([True, True, False, False]),
+    )
+    ref = milp_reference(qp)
+    r = solve(qp, MipParams(node_batch_size=4))
+    assert r.status == MPSolverStatus.OPTIMAL
+    assert abs(r.objective_value - ref.fun) <= 1e-4 * (1 + abs(ref.fun))
+    # returned solution must be integer + feasible
+    assert np.all(np.abs(r.solution[:2] - np.round(r.solution[:2])) < 1e-6)
+
+
+def test_binary_random_mips():
+    rng = np.random.default_rng(11)
+    for seed in range(3):
+        n, m = 10, 6
+        a = sp.random(m, n, density=0.5,
+                      random_state=np.random.RandomState(seed))
+        b = np.asarray(a.sum(axis=1)).ravel() * 0.5 + 0.5
+        qp = QuadraticProgram(
+            objective_vector=rng.standard_normal(n),
+            constraint_matrix=sp.csr_matrix(a),
+            constraint_lower=np.full(m, -np.inf),
+            constraint_upper=b,
+            variable_lower=np.zeros(n),
+            variable_upper=np.ones(n),
+            integrality=np.ones(n, dtype=bool),
+        )
+        ref = milp_reference(qp)
+        r = solve(qp, MipParams(node_batch_size=16))
+        assert r.status == MPSolverStatus.OPTIMAL, seed
+        assert abs(r.objective_value - ref.fun) <= 1e-4 * (1 + abs(ref.fun)), seed
+
+
+def test_infeasible_mip():
+    # x1 + x2 >= 3, x binary -> infeasible (max sum = 2)
+    qp = QuadraticProgram(
+        objective_vector=np.ones(2),
+        constraint_matrix=sp.csr_matrix(np.ones((1, 2))),
+        constraint_lower=np.array([3.0]),
+        constraint_upper=np.array([np.inf]),
+        variable_lower=np.zeros(2),
+        variable_upper=np.ones(2),
+        integrality=np.ones(2, dtype=bool),
+    )
+    r = solve(qp, MipParams())
+    assert r.status == MPSolverStatus.INFEASIBLE
+
+
+def test_pure_lp_through_mip():
+    # no integer vars: B&B reduces to one LP solve
+    rng = np.random.default_rng(3)
+    n = 5
+    qp = QuadraticProgram(
+        objective_vector=rng.standard_normal(n),
+        constraint_matrix=sp.csr_matrix(np.abs(rng.standard_normal((3, n)))),
+        constraint_lower=np.full(3, -np.inf),
+        constraint_upper=np.full(3, 10.0),
+        variable_lower=np.zeros(n),
+        variable_upper=np.ones(n),
+        integrality=np.zeros(n, dtype=bool),
+    )
+    r = solve(qp, MipParams())
+    assert r.status == MPSolverStatus.OPTIMAL
+
+
+# ---- propagation unit tests ----------------------------------------------
+
+
+def test_propagation_tightens():
+    # x + y <= 3, x,y int in [0,10] -> both <= 3
+    a = sp.csr_matrix(np.array([[1.0, 1.0]]))
+    lb, ub, ok = propagate_bounds(
+        a, np.array([-np.inf]), np.array([3.0]),
+        np.zeros(2), np.full(2, 10.0), np.ones(2, dtype=bool),
+    )
+    assert ok
+    np.testing.assert_allclose(ub, [3.0, 3.0])
+
+
+def test_propagation_detects_infeasible():
+    # x + y >= 5 with x,y in [0,2] -> max activity 4 < 5
+    a = sp.csr_matrix(np.ones((1, 2)))
+    _, _, ok = propagate_bounds(
+        a, np.array([5.0]), np.array([np.inf]),
+        np.zeros(2), np.full(2, 2.0), np.zeros(2, dtype=bool),
+    )
+    assert not ok
+
+
+def test_propagation_with_infinite_bounds():
+    # x - y <= 1 with y <= 4  ->  x <= 5; y stays unbounded below
+    a = sp.csr_matrix(np.array([[1.0, -1.0]]))
+    lb, ub, ok = propagate_bounds(
+        a, np.array([-np.inf]), np.array([1.0]),
+        np.array([-np.inf, -np.inf]), np.array([np.inf, 4.0]),
+        np.zeros(2, dtype=bool),
+    )
+    assert ok
+    assert ub[0] == 5.0
+    assert lb[1] == -np.inf
+
+
+def test_propagation_chain():
+    # x1 = 2; x2 >= x1 + 1; x3 >= x2 + 1 => lb propagates down the chain
+    rows = [[1, 0, 0], [-1, 1, 0], [0, -1, 1]]
+    a = sp.csr_matrix(np.array(rows, dtype=float))
+    lb, ub, ok = propagate_bounds(
+        a,
+        np.array([2.0, 1.0, 1.0]), np.array([2.0, np.inf, np.inf]),
+        np.zeros(3), np.full(3, 10.0), np.zeros(3, dtype=bool),
+    )
+    assert ok
+    np.testing.assert_allclose(lb, [2.0, 3.0, 4.0])
