@@ -1,0 +1,739 @@
+"""CP propagation + depth-first search engine (host).
+
+Capability parity: the roles of ``ortools/sat``'s propagation loop
+(SatSolver::Propagate + propagator classes, SURVEY §3.1 hot path) and
+integer search (integer_search.cc), re-scoped for round 1:
+
+- domains are host-side ``Domain`` interval lists (exact integer arithmetic);
+- propagators run to a fix point through a work queue (the analogue of
+  GenericLiteralWatcher, integer.h:1357) — bounds/value reasoning per
+  constraint kind, enforcement-literal semantics included;
+- search is DFS with fail-first variable selection and value splitting,
+  with user decision strategies honored first (cp_model.proto:506);
+- optimization is solve / tighten-objective-bound / re-solve (objective
+  constraint added between solutions), yielding proven optima;
+- no clause learning yet: the CDCL core is planned as a native (C++)
+  component in a later round (SURVEY §7 phase 4 note).
+
+Completeness: propagators only prune values that cannot appear in any
+solution, and the search enumerates remaining domains, so the engine is
+complete on finite domains; every returned solution is re-checked by
+sat/checker.py before leaving the solver facade.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
+
+from ortools_tpu.sat import model_ir as ir
+from ortools_tpu.utils.domain import Domain, INT_MAX, INT_MIN
+
+Doms = List[Domain]
+
+
+class Conflict(Exception):
+    pass
+
+
+class Engine:
+    def __init__(self, model: ir.CpModelIR, deadline: float = float("inf"),
+                 max_branches: int = 10_000_000) -> None:
+        self.model = model
+        self.deadline = deadline
+        self.max_branches = max_branches
+        self.num_branches = 0
+        self.num_conflicts = 0
+        self._circuit_cache: Dict[int, tuple] = {}
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _build(self) -> None:
+        m = self.model
+        self.nvars = len(m.variables)
+        # var -> constraint indices watching it
+        self.watchers: List[Set[int]] = [set() for _ in range(self.nvars)]
+        self.active_constraints: List[int] = []
+        for ci, ct in enumerate(m.constraints):
+            if ct.kind == "interval":
+                # intervals are propagated through their scheduling
+                # constraints and as plain linear relations added here
+                pass
+            self.active_constraints.append(ci)
+            for v in self._constraint_vars(ct):
+                if 0 <= v < self.nvars:
+                    self.watchers[v].add(ci)
+
+    def _constraint_vars(self, ct: ir.ConstraintIR) -> List[int]:
+        out = [ir.literal_index(l) for l in ct.enforcement_literals]
+        a = ct.args
+        k = ct.kind
+        if k in ("bool_or", "bool_and", "at_most_one", "exactly_one",
+                 "bool_xor"):
+            out += [ir.literal_index(l) for l in a.literals]
+        elif k == "linear":
+            out += list(a.vars)
+        elif k == "all_diff":
+            for e in a.exprs:
+                out += e.vars
+        elif k == "lin_max":
+            out += a.target.vars
+            for e in a.exprs:
+                out += e.vars
+        elif k == "int_prod":
+            out += a.target.vars
+            for e in a.exprs:
+                out += e.vars
+        elif k == "int_div":
+            out += a.target.vars + a.num.vars + a.den.vars
+        elif k == "int_mod":
+            out += a.target.vars + a.num.vars + a.mod.vars
+        elif k == "element":
+            out += a.index.vars + a.target.vars
+            for e in a.exprs:
+                out += e.vars
+        elif k == "table":
+            for e in a.exprs:
+                out += e.vars
+        elif k == "interval":
+            out += a.start.vars + a.size.vars + a.end.vars
+        elif k in ("no_overlap", "cumulative"):
+            for kk in a.intervals:
+                ict = self.model.constraints[kk]
+                out += self._constraint_vars(ict)
+            if k == "cumulative":
+                out += a.capacity.vars
+                for e in a.demands:
+                    out += e.vars
+        elif k == "circuit":
+            out += [ir.literal_index(l) for l in a.literals]
+        elif k == "inverse":
+            out += list(a.f_direct) + list(a.f_inverse)
+        return out
+
+    # ------------------------------------------------------------------
+    # domain helpers (raise Conflict on wipeout)
+    def _set(self, doms: Doms, v: int, nd: Domain, queue: Set[int]) -> None:
+        if nd.is_empty():
+            raise Conflict()
+        if nd != doms[v]:
+            doms[v] = nd
+            queue.update(self.watchers[v])
+
+    def _intersect(self, doms: Doms, v: int, d: Domain,
+                   queue: Set[int]) -> None:
+        self._set(doms, v, doms[v].intersection_with(d), queue)
+
+    def _fix_literal(self, doms: Doms, lit: int, value: bool,
+                     queue: Set[int]) -> None:
+        v = ir.literal_index(lit)
+        want = 1 if (value == (lit >= 0)) else 0
+        self._intersect(doms, v, Domain(want, want), queue)
+
+    def _lit_state(self, doms: Doms, lit: int) -> Optional[bool]:
+        v = ir.literal_index(lit)
+        d = doms[v]
+        if d.is_fixed():
+            val = bool(d.fixed_value())
+            return val if lit >= 0 else not val
+        return None
+
+    # expression bounds under doms
+    def _expr_hull(self, doms: Doms, e: ir.LinearExprIR) -> Tuple[int, int]:
+        lo = hi = e.offset
+        for v, c in zip(e.vars, e.coeffs):
+            d = doms[v]
+            a, b = c * d.min(), c * d.max()
+            lo += min(a, b)
+            hi += max(a, b)
+        return lo, hi
+
+    def _tighten_expr(self, doms: Doms, e: ir.LinearExprIR, lo: int, hi: int,
+                      queue: Set[int]) -> None:
+        """Enforce lo <= e <= hi by bounds propagation on e's variables."""
+        if lo > hi:
+            raise Conflict()
+        cur_lo, cur_hi = self._expr_hull(doms, e)
+        if cur_lo > hi or cur_hi < lo:
+            raise Conflict()
+        if cur_lo >= lo and cur_hi <= hi:
+            return
+        for v, c in zip(e.vars, e.coeffs):
+            d = doms[v]
+            a, b = c * d.min(), c * d.max()
+            t_lo, t_hi = min(a, b), max(a, b)
+            rest_lo = cur_lo - t_lo
+            rest_hi = cur_hi - t_hi
+            # c*v must lie within [lo - rest_hi, hi - rest_lo]
+            term_dom = Domain(lo - rest_hi, hi - rest_lo)
+            self._intersect(doms, v,
+                            term_dom.inverse_multiplication_by(c), queue)
+
+    # ------------------------------------------------------------------
+    def _enforcement_state(self, doms: Doms,
+                           ct: ir.ConstraintIR) -> Optional[bool]:
+        """True = enforced, False = inactive, None = undecided."""
+        all_true = True
+        for lit in ct.enforcement_literals:
+            s = self._lit_state(doms, lit)
+            if s is False:
+                return False
+            if s is None:
+                all_true = False
+        return True if all_true else None
+
+    def propagate(self, doms: Doms, queue: Set[int]) -> None:
+        """Run the constraint queue to a fix point; raises Conflict."""
+        rounds = 0
+        while queue:
+            rounds += 1
+            if rounds % 256 == 0 and time.perf_counter() > self.deadline:
+                raise TimeoutError()
+            ci = queue.pop()
+            ct = self.model.constraints[ci]
+            enf = self._enforcement_state(doms, ct)
+            if enf is False:
+                continue
+            if enf is None:
+                self._propagate_reverse(doms, ct, queue)
+                continue
+            self._propagate_one(doms, ct, queue)
+
+    def _propagate_reverse(self, doms: Doms, ct: ir.ConstraintIR,
+                           queue: Set[int]) -> None:
+        """Enforcement undecided: if the constraint is certainly violated,
+        force the last undecided enforcement literal to false."""
+        violated = False
+        a = ct.args
+        if ct.kind == "linear":
+            e = ir.LinearExprIR(a.vars, a.coeffs, 0)
+            lo, hi = self._expr_hull(doms, e)
+            violated = a.domain.intersection_with(Domain(lo, hi)).is_empty()
+        elif ct.kind == "bool_or":
+            violated = all(
+                self._lit_state(doms, l) is False for l in a.literals
+            )
+        elif ct.kind == "bool_and":
+            violated = any(
+                self._lit_state(doms, l) is False for l in a.literals
+            )
+        if not violated:
+            return
+        undecided = [l for l in ct.enforcement_literals
+                     if self._lit_state(doms, l) is None]
+        if len(undecided) == 1 and all(
+            self._lit_state(doms, l) is True
+            for l in ct.enforcement_literals if l not in undecided
+        ):
+            self._fix_literal(doms, undecided[0], False, queue)
+
+    # ------------------------------------------------------------------
+    def _propagate_one(self, doms: Doms, ct: ir.ConstraintIR,
+                       queue: Set[int]) -> None:
+        a = ct.args
+        k = ct.kind
+        if k == "bool_or":
+            unfixed = []
+            for lit in a.literals:
+                s = self._lit_state(doms, lit)
+                if s is True:
+                    return
+                if s is None:
+                    unfixed.append(lit)
+            if not unfixed:
+                raise Conflict()
+            if len(unfixed) == 1:
+                self._fix_literal(doms, unfixed[0], True, queue)
+        elif k == "bool_and":
+            for lit in a.literals:
+                self._fix_literal(doms, lit, True, queue)
+        elif k in ("at_most_one", "exactly_one"):
+            true_lits = []
+            unfixed = []
+            for lit in a.literals:
+                s = self._lit_state(doms, lit)
+                if s is True:
+                    true_lits.append(lit)
+                elif s is None:
+                    unfixed.append(lit)
+            if len(true_lits) > 1:
+                raise Conflict()
+            if len(true_lits) == 1:
+                for lit in unfixed:
+                    self._fix_literal(doms, lit, False, queue)
+            elif k == "exactly_one":
+                if not unfixed:
+                    raise Conflict()
+                if len(unfixed) == 1:
+                    self._fix_literal(doms, unfixed[0], True, queue)
+        elif k == "bool_xor":
+            parity = 0
+            unfixed = []
+            for lit in a.literals:
+                s = self._lit_state(doms, lit)
+                if s is None:
+                    unfixed.append(lit)
+                elif s:
+                    parity ^= 1
+            if not unfixed:
+                if parity != 1:
+                    raise Conflict()
+            elif len(unfixed) == 1:
+                self._fix_literal(doms, unfixed[0], parity == 0, queue)
+        elif k == "linear":
+            e = ir.LinearExprIR(a.vars, a.coeffs, 0)
+            hull = a.domain  # rhs domain (may have holes; use hull bounds)
+            self._tighten_expr(doms, e, hull.min(), hull.max(), queue)
+            # exact filtering when a single variable remains unfixed
+            unfixed = [i for i, v in enumerate(a.vars)
+                       if not doms[v].is_fixed()]
+            if len(unfixed) == 1 and a.domain.num_intervals() > 1:
+                i = unfixed[0]
+                v, c = a.vars[i], a.coeffs[i]
+                rest = sum(cc * doms[vv].fixed_value()
+                           for j, (vv, cc) in enumerate(zip(a.vars, a.coeffs))
+                           if j != i)
+                self._intersect(
+                    doms, v,
+                    a.domain.offset(-rest).inverse_multiplication_by(c),
+                    queue,
+                )
+            elif not unfixed:
+                s = sum(c * doms[v].fixed_value()
+                        for v, c in zip(a.vars, a.coeffs))
+                if not a.domain.contains(s):
+                    raise Conflict()
+        elif k == "all_diff":
+            # value propagation on fixed expressions + small pigeonhole
+            fixed_vals: Dict[int, int] = {}
+            for i, e in enumerate(a.exprs):
+                lo, hi = self._expr_hull(doms, e)
+                if lo == hi:
+                    if lo in fixed_vals.values():
+                        raise Conflict()
+                    fixed_vals[i] = lo
+            for i, e in enumerate(a.exprs):
+                if i in fixed_vals:
+                    continue
+                if len(e.vars) == 1 and e.coeffs[0] in (1, -1):
+                    v, c = e.vars[0], e.coeffs[0]
+                    for val in fixed_vals.values():
+                        # e = c*v + off == val  ->  v == (val-off)/c
+                        t = (val - e.offset) * c
+                        if doms[v].contains(t):
+                            self._intersect(
+                                doms, v,
+                                Domain(t, t).complement(), queue,
+                            )
+        elif k == "lin_max":
+            los, his = zip(*(self._expr_hull(doms, e) for e in a.exprs))
+            t_lo, t_hi = self._expr_hull(doms, a.target)
+            # target <= max(his); target >= max(los)
+            self._tighten_expr(doms, a.target, max(los), max(his), queue)
+            t_lo, t_hi = self._expr_hull(doms, a.target)
+            # each expr <= target_hi
+            for e, lo_e in zip(a.exprs, los):
+                self._tighten_expr(doms, e, lo_e, t_hi, queue)
+            # if only one expr can reach target_lo, it must
+            can = [i for i, h in enumerate(his) if h >= t_lo]
+            if len(can) == 1:
+                i = can[0]
+                self._tighten_expr(doms, a.exprs[i], t_lo, his[i], queue)
+        elif k == "int_prod":
+            lo = hi = 1
+            fixed_all = True
+            for e in a.exprs:
+                elo, ehi = self._expr_hull(doms, e)
+                cands = [lo * elo, lo * ehi, hi * elo, hi * ehi]
+                lo, hi = min(cands), max(cands)
+                fixed_all &= elo == ehi
+            self._tighten_expr(doms, a.target, lo, hi, queue)
+            if fixed_all:
+                pass  # target already pinned by hull equality
+            elif len(a.exprs) == 2:
+                # reverse: divide target hull by the fixed operand
+                t_lo, t_hi = self._expr_hull(doms, a.target)
+                for i in (0, 1):
+                    olo, ohi = self._expr_hull(doms, a.exprs[1 - i])
+                    if olo == ohi and olo != 0:
+                        d = Domain(t_lo, t_hi).inverse_multiplication_by(olo)
+                        self._tighten_expr(doms, a.exprs[i], d.min(), d.max(),
+                                           queue)
+        elif k == "int_div":
+            nlo, nhi = self._expr_hull(doms, a.num)
+            dlo, dhi = self._expr_hull(doms, a.den)
+            if dlo == dhi:
+                if dlo == 0:
+                    raise Conflict()
+                c = dlo
+
+                def div(x):
+                    q = abs(x) // abs(c)
+                    return q if (x >= 0) == (c > 0) else -q
+
+                cands = [div(nlo), div(nhi)]
+                self._tighten_expr(doms, a.target, min(cands), max(cands),
+                                   queue)
+        elif k == "int_mod":
+            mlo, mhi = self._expr_hull(doms, a.mod)
+            if mlo == mhi:
+                if mlo == 0:
+                    raise Conflict()
+                mm = abs(mlo)
+                nlo, nhi = self._expr_hull(doms, a.num)
+                lo = -(mm - 1) if nlo < 0 else 0
+                hi = (mm - 1) if nhi > 0 else 0
+                self._tighten_expr(doms, a.target, lo, hi, queue)
+                if nlo == nhi:
+                    r = abs(nlo) % mm
+                    if nlo < 0:
+                        r = -r
+                    self._tighten_expr(doms, a.target, r, r, queue)
+        elif k == "element":
+            n_exprs = len(a.exprs)
+            self._tighten_expr(doms, a.index, 0, n_exprs - 1, queue)
+            i_lo, i_hi = self._expr_hull(doms, a.index)
+            t_lo, t_hi = self._expr_hull(doms, a.target)
+            # prune index values whose expr hull misses target hull
+            if len(a.index.vars) == 1 and a.index.coeffs[0] in (1, -1):
+                iv, ic = a.index.vars[0], a.index.coeffs[0]
+                for idx in range(max(0, i_lo), min(n_exprs, i_hi + 1)):
+                    e_lo, e_hi = self._expr_hull(doms, a.exprs[idx])
+                    if e_hi < t_lo or e_lo > t_hi:
+                        vv = (idx - a.index.offset) * ic
+                        if doms[iv].contains(vv):
+                            self._intersect(doms, iv,
+                                            Domain(vv, vv).complement(),
+                                            queue)
+            i_lo, i_hi = self._expr_hull(doms, a.index)
+            if i_lo == i_hi:
+                e = a.exprs[i_lo]
+                # target == e
+                lo1, hi1 = self._expr_hull(doms, e)
+                self._tighten_expr(doms, a.target, lo1, hi1, queue)
+                t_lo, t_hi = self._expr_hull(doms, a.target)
+                self._tighten_expr(doms, e, t_lo, t_hi, queue)
+            else:
+                lows, highs = [], []
+                for idx in range(max(0, i_lo), min(n_exprs, i_hi + 1)):
+                    lo1, hi1 = self._expr_hull(doms, a.exprs[idx])
+                    lows.append(lo1)
+                    highs.append(hi1)
+                if lows:
+                    self._tighten_expr(doms, a.target, min(lows), max(highs),
+                                       queue)
+        elif k == "table":
+            self._propagate_table(doms, a, queue)
+        elif k == "interval":
+            # start + size = end, size >= 0
+            s, z, e = a.start, a.size, a.end
+            z_lo, z_hi = self._expr_hull(doms, z)
+            self._tighten_expr(doms, z, max(0, z_lo), z_hi, queue)
+            for _ in range(2):
+                s_lo, s_hi = self._expr_hull(doms, s)
+                z_lo, z_hi = self._expr_hull(doms, z)
+                e_lo, e_hi = self._expr_hull(doms, e)
+                self._tighten_expr(doms, e, s_lo + z_lo, s_hi + z_hi, queue)
+                self._tighten_expr(doms, s, e_lo - z_hi, e_hi - z_lo, queue)
+                self._tighten_expr(doms, z, e_lo - s_hi, e_hi - s_lo, queue)
+        elif k == "no_overlap":
+            self._propagate_no_overlap(doms, a, queue)
+        elif k == "cumulative":
+            self._propagate_cumulative(doms, a, queue)
+        elif k == "circuit":
+            self._propagate_circuit(doms, a, queue)
+        elif k == "inverse":
+            nn = len(a.f_direct)
+            for arr, other in ((a.f_direct, a.f_inverse),
+                               (a.f_inverse, a.f_direct)):
+                for i, v in enumerate(arr):
+                    self._intersect(doms, v, Domain(0, nn - 1), queue)
+                    if doms[v].is_fixed():
+                        j = doms[v].fixed_value()
+                        self._intersect(doms, other[j], Domain(i, i), queue)
+        else:
+            raise ValueError(f"unknown constraint kind {k}")
+
+    def _propagate_table(self, doms: Doms, a: ir.TableArgs,
+                         queue: Set[int]) -> None:
+        simple = all(len(e.vars) == 1 and e.coeffs[0] == 1 and e.offset == 0
+                     for e in a.exprs)
+        if a.negated:
+            # forbid each tuple once all-but-one positions are decided
+            for t in a.values:
+                undecided = []
+                ok = True
+                for pos, e in enumerate(a.exprs):
+                    lo, hi = self._expr_hull(doms, e)
+                    if lo == hi:
+                        if lo != t[pos]:
+                            ok = False
+                            break
+                    else:
+                        undecided.append(pos)
+                if not ok:
+                    continue
+                if not undecided:
+                    raise Conflict()
+                if len(undecided) == 1 and simple:
+                    pos = undecided[0]
+                    v = a.exprs[pos].vars[0]
+                    bad = t[pos]
+                    if doms[v].contains(bad):
+                        self._intersect(doms, v,
+                                        Domain(bad, bad).complement(), queue)
+            return
+        # positive table: GAC when all exprs are plain variables
+        if not simple:
+            # fall back: check only when everything is fixed
+            vals = []
+            for e in a.exprs:
+                lo, hi = self._expr_hull(doms, e)
+                if lo != hi:
+                    return
+                vals.append(lo)
+            if tuple(vals) not in a.values:
+                raise Conflict()
+            return
+    # (simple positive table)
+        vars_ = [e.vars[0] for e in a.exprs]
+        live = [t for t in a.values
+                if all(doms[v].contains(val) for v, val in zip(vars_, t))]
+        if not live:
+            raise Conflict()
+        for pos, v in enumerate(vars_):
+            support = Domain.from_values([t[pos] for t in live])
+            self._intersect(doms, v, support, queue)
+
+    def _interval_info(self, doms: Doms, k: int):
+        """(present?, s_lo, s_hi, z_lo, z_hi, e_lo, e_hi) for interval ct k;
+        present is True/False/None (optional undecided)."""
+        ct = self.model.constraints[k]
+        enf = self._enforcement_state(doms, ct)
+        a = ct.args
+        s_lo, s_hi = self._expr_hull(doms, a.start)
+        z_lo, z_hi = self._expr_hull(doms, a.size)
+        e_lo, e_hi = self._expr_hull(doms, a.end)
+        return enf, s_lo, s_hi, z_lo, z_hi, e_lo, e_hi
+
+    def _propagate_no_overlap(self, doms: Doms, a: ir.NoOverlapArgs,
+                              queue: Set[int]) -> None:
+        infos = [(k, self._interval_info(doms, k)) for k in a.intervals]
+        present = [(k, info) for k, info in infos if info[0] is True]
+        # pairwise disjunctive reasoning on mandatory parts
+        for i in range(len(present)):
+            ki, (_, si_lo, si_hi, zi_lo, _, ei_lo, ei_hi) = present[i]
+            if zi_lo <= 0 and ei_lo - si_hi <= 0:
+                continue
+            for j in range(i + 1, len(present)):
+                kj, (_, sj_lo, sj_hi, zj_lo, _, ej_lo, ej_hi) = present[j]
+                if zj_lo <= 0 and ej_lo - sj_hi <= 0:
+                    continue
+                # mandatory part of i: [si_hi, ei_lo) if nonempty
+                mi = (si_hi, ei_lo)
+                mj = (sj_hi, ej_lo)
+                if mi[0] < mi[1] and mj[0] < mj[1] and (
+                    mi[0] < mj[1] and mj[0] < mi[1]
+                ):
+                    raise Conflict()
+                # detectable precedences: if i cannot finish before j
+                # starts, then j must finish before i starts (and vice
+                # versa) — tighten end/start bounds accordingly.
+                ai = self.model.constraints[ki].args
+                aj = self.model.constraints[kj].args
+                if ei_lo > sj_hi:  # "i before j" impossible -> j before i
+                    self._tighten_expr(doms, aj.end,
+                                       ej_lo, min(ej_hi, si_hi), queue)
+                    self._tighten_expr(doms, ai.start,
+                                       max(si_lo, ej_lo), si_hi, queue)
+                elif ej_lo > si_hi:  # "j before i" impossible -> i before j
+                    self._tighten_expr(doms, ai.end,
+                                       ei_lo, min(ei_hi, sj_hi), queue)
+                    self._tighten_expr(doms, aj.start,
+                                       max(sj_lo, ei_lo), sj_hi, queue)
+
+    def _propagate_cumulative(self, doms: Doms, a: ir.CumulativeArgs,
+                              queue: Set[int]) -> None:
+        cap_lo, cap_hi = self._expr_hull(doms, a.capacity)
+        events = []
+        for kk, dem in zip(a.intervals, a.demands):
+            enf, s_lo, s_hi, z_lo, _, e_lo, _ = self._interval_info(doms, kk)
+            if enf is not True:
+                continue
+            d_lo, _ = self._expr_hull(doms, dem)
+            if d_lo <= 0:
+                continue
+            if s_hi < e_lo:  # mandatory part [s_hi, e_lo)
+                events.append((s_hi, d_lo))
+                events.append((e_lo, -d_lo))
+        if not events:
+            return
+        events.sort()
+        load = 0
+        i = 0
+        while i < len(events):
+            t = events[i][0]
+            while i < len(events) and events[i][0] == t and events[i][1] < 0:
+                load += events[i][1]
+                i += 1
+            while i < len(events) and events[i][0] == t:
+                load += events[i][1]
+                i += 1
+            if load > cap_hi:
+                raise Conflict()
+
+    def _propagate_circuit(self, doms: Doms, a: ir.CircuitArgs,
+                           queue: Set[int]) -> None:
+        # Degree reasoning: every node has exactly one outgoing and one
+        # incoming true arc (a true self-loop marks the node skipped).
+        key = id(a)
+        cached = self._circuit_cache.get(key)
+        if cached is None:
+            out_arcs: Dict[int, List[int]] = {}
+            in_arcs: Dict[int, List[int]] = {}
+            for t, h, lit in zip(a.tails, a.heads, a.literals):
+                out_arcs.setdefault(t, []).append(lit)
+                in_arcs.setdefault(h, []).append(lit)
+            cached = (out_arcs, in_arcs)
+            self._circuit_cache[key] = cached
+        out_arcs, in_arcs = cached
+        for group in list(out_arcs.values()) + list(in_arcs.values()):
+            true_lits = []
+            unfixed = []
+            for lit in group:
+                s = self._lit_state(doms, lit)
+                if s is True:
+                    true_lits.append(lit)
+                elif s is None:
+                    unfixed.append(lit)
+            if len(true_lits) > 1:
+                raise Conflict()
+            if len(true_lits) == 1:
+                for lit in unfixed:
+                    self._fix_literal(doms, lit, False, queue)
+            else:
+                if not unfixed:
+                    raise Conflict()  # node with no outgoing/incoming arc
+                if len(unfixed) == 1:
+                    self._fix_literal(doms, unfixed[0], True, queue)
+        # selected arc map; detect premature subcycles
+        nexts: Dict[int, int] = {}
+        nodes = set(a.tails) | set(a.heads)
+        for t, h, lit in zip(a.tails, a.heads, a.literals):
+            s = self._lit_state(doms, lit)
+            if s is True:
+                if t in nexts and nexts[t] != h:
+                    raise Conflict()
+                nexts[t] = h
+        # nodes that can still be skipped: their self-loop is true or
+        # undecided; everyone else must be on the circuit
+        may_skip: Set[int] = set()
+        for t, h, lit in zip(a.tails, a.heads, a.literals):
+            if t == h and self._lit_state(doms, lit) is not False:
+                may_skip.add(t)
+        definitely_visit = nodes - may_skip
+        active = {t: h for t, h in nexts.items() if t != h}
+        # follow chains; a closed cycle must cover every definite node
+        seen_global: Set[int] = set()
+        for start in list(active.keys()):
+            if start in seen_global:
+                continue
+            path = [start]
+            cur = start
+            while cur in active:
+                nxt = active[cur]
+                if nxt == start:
+                    if definitely_visit - set(path):
+                        raise Conflict()  # cycle closed, mandatory node out
+                    break
+                if nxt in path:
+                    raise Conflict()  # lasso
+                path.append(nxt)
+                cur = nxt
+            seen_global.update(path)
+
+    # ------------------------------------------------------------------
+    # search
+    def initial_domains(self) -> Doms:
+        return [v.domain for v in self.model.variables]
+
+    def root_propagate(self, doms: Doms) -> bool:
+        try:
+            self.propagate(doms, set(self.active_constraints))
+            return True
+        except Conflict:
+            return False
+
+    def _pick_variable(self, doms: Doms) -> Optional[int]:
+        # honor user decision strategies first (choose_first semantics)
+        for strat in self.model.search_strategies:
+            for v in strat.variables:
+                if not doms[v].is_fixed():
+                    return v
+        best_v, best_size = None, None
+        for v in range(self.nvars):
+            d = doms[v]
+            if d.is_fixed():
+                continue
+            size = d.size()
+            if best_size is None or size < best_size:
+                best_v, best_size = v, size
+                if size == 2:
+                    break
+        return best_v
+
+    def search(self, doms: Doms,
+               on_solution: Callable[[List[int]], bool]) -> str:
+        """DFS.  on_solution returns True to continue searching (e.g. for
+        enumeration / optimization), False to stop.  Returns "done" if the
+        tree was exhausted, "stopped" if the callback stopped the search, or
+        "limit" on branch/time limits."""
+        stack: List[Tuple[Doms, int, Domain]] = []
+        current = doms
+
+        while True:
+            if time.perf_counter() > self.deadline:
+                return "limit"
+            v = self._pick_variable(current)
+            if v is None:
+                values = [d.fixed_value() for d in current]
+                if not on_solution(values):
+                    return "stopped"
+                # treat as conflict: backtrack
+                if not stack:
+                    return "done"
+                current = self._backtrack(stack)
+                if current is None:
+                    return "done"
+                continue
+            if self.num_branches >= self.max_branches:
+                return "limit"
+            self.num_branches += 1
+            val = current[v].min()
+            rest = current[v].intersection_with(
+                Domain(val, val).complement()
+            )
+            # right branch: v != val with remaining domain `rest`
+            stack.append((list(current), v, rest))
+            try:
+                q: Set[int] = set()
+                self._set(current, v, Domain(val, val), q)
+                self.propagate(current, q)
+            except Conflict:
+                self.num_conflicts += 1
+                current = self._backtrack(stack)
+                if current is None:
+                    return "done"
+
+    def _backtrack(self, stack) -> Optional[Doms]:
+        while stack:
+            doms, v, rest = stack.pop()
+            try:
+                q: Set[int] = set()
+                self._set(doms, v, rest, q)
+                self.propagate(doms, q)
+                return doms
+            except Conflict:
+                self.num_conflicts += 1
+                continue
+        return None

@@ -1,0 +1,33 @@
+"""CP-SAT solver parameters.
+
+Capability parity: ``ortools/sat/sat_parameters.proto`` (221 fields) scoped
+to the knobs this engine implements; unknown knobs can be added without
+breaking callers since this is a plain dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass
+class SatParameters:
+    max_time_in_seconds: float = math.inf
+    max_deterministic_time: float = math.inf
+    max_number_of_conflicts: int = 2**62
+    num_workers: int = 1  # >1 = portfolio over strategies (host threads)
+    random_seed: int = 1
+    log_search_progress: bool = False
+    enumerate_all_solutions: bool = False
+    # search
+    max_branches: int = 10_000_000
+    # feasibility jump (local search) settings
+    use_feasibility_jump: bool = True
+    feasibility_jump_max_moves: int = 200_000
+    # linear relaxation bounding inside optimization
+    use_lp_relaxation: bool = False
+    # presolve
+    cp_model_presolve: bool = True
+    # stop after first solution (feasibility problems)
+    stop_after_first_solution: bool = False

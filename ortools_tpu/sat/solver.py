@@ -1,0 +1,243 @@
+"""CP-SAT solve facade.
+
+Capability parity: ``ortools/sat/cp_model_solver.cc`` SolveCpModel
+(SURVEY §3.1) scoped to round 1:
+
+  validate -> (hint check) -> search -> re-verify every solution against
+  the ORIGINAL model (the reference's CHECK(SolutionIsFeasible(...))
+  contract, cp_model_solver.cc:4376) -> response.
+
+Optimization uses solve / tighten-objective / re-search to a proven
+optimum (objective bound constraint added between solutions — the
+destructive-improvement equivalent of the reference's objective
+sharing).  Assumptions are fixed at the root; on infeasibility the full
+assumption set is reported (a coarse unsat core).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import List, Optional
+
+from ortools_tpu.sat import model_ir as ir
+from ortools_tpu.sat.checker import solution_is_feasible, validate_model
+from ortools_tpu.sat.engine import Engine
+from ortools_tpu.sat.params import SatParameters
+from ortools_tpu.utils.domain import Domain, INT_MAX, INT_MIN
+from ortools_tpu.utils.status import SolveStatus
+
+
+@dataclasses.dataclass
+class CpSolverResponse:
+    status: SolveStatus
+    solution: Optional[List[int]]
+    objective_value: float
+    best_objective_bound: float
+    wall_time: float
+    num_branches: int
+    num_conflicts: int
+    sufficient_assumptions_for_infeasibility: List[int] = dataclasses.field(
+        default_factory=list
+    )
+
+
+def _objective_value(obj: ir.ObjectiveIR, values: List[int]) -> int:
+    return obj.offset + sum(
+        c * values[v] for v, c in zip(obj.vars, obj.coeffs)
+    )
+
+
+def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
+                callback=None) -> CpSolverResponse:
+    params = params or SatParameters()
+    start = time.perf_counter()
+
+    def resp(status, solution=None, obj=math.nan, bound=math.nan,
+             branches=0, conflicts=0, core=()):
+        return CpSolverResponse(
+            status=status,
+            solution=solution,
+            objective_value=obj,
+            best_objective_bound=bound,
+            wall_time=time.perf_counter() - start,
+            num_branches=branches,
+            num_conflicts=conflicts,
+            sufficient_assumptions_for_infeasibility=list(core),
+        )
+
+    errs = validate_model(model)
+    if errs:
+        if params.log_search_progress:
+            print("model invalid:", "; ".join(errs))
+        return resp(SolveStatus.MODEL_INVALID)
+
+    deadline = start + params.max_time_in_seconds
+    work = model
+    obj = model.objective
+
+    # Assumptions: fixed at the root via unit bool_or constraints.
+    if model.assumptions:
+        work = dataclasses.replace(
+            work,
+            constraints=list(work.constraints) + [
+                ir.ConstraintIR("bool_or", ir.BoolArgs([lit]))
+                for lit in model.assumptions
+            ],
+        )
+
+    engine = Engine(work, deadline=deadline,
+                    max_branches=params.max_branches)
+    doms = engine.initial_domains()
+    if not engine.root_propagate(doms):
+        return resp(
+            SolveStatus.INFEASIBLE,
+            bound=math.inf if obj and not obj.maximize else -math.inf,
+            core=model.assumptions,
+        )
+
+    # Hint: if it completes to a feasible solution, it seeds the search /
+    # objective bound (reference QuickSolveWithHint, cp_model_solver.cc:1968).
+    hint_solution = None
+    if model.solution_hint:
+        hint = {v: val for v, val in model.solution_hint}
+        if len(hint) == len(model.variables):
+            values = [int(hint[i]) for i in range(len(model.variables))]
+            if solution_is_feasible(model, values):
+                hint_solution = values
+
+    best_solution: Optional[List[int]] = None
+    best_obj: Optional[int] = None
+    num_branches = 0
+    num_conflicts = 0
+
+    if obj is None:
+        solutions_found = 0
+
+        def on_solution(values: List[int]) -> bool:
+            nonlocal best_solution, solutions_found
+            if not solution_is_feasible(model, values):
+                # never return an unverified solution; treat as search bug
+                raise AssertionError(
+                    "internal error: solution failed verification"
+                )
+            best_solution = values
+            solutions_found += 1
+            if callback is not None:
+                callback._on_solution(values, None)
+                if callback._stopped:
+                    return False
+            if params.enumerate_all_solutions:
+                return True
+            return False  # first solution suffices
+
+        if hint_solution is not None and not params.enumerate_all_solutions:
+            best_solution = hint_solution
+            outcome = "stopped"
+            if callback is not None:
+                callback._on_solution(hint_solution, None)
+        else:
+            try:
+                outcome = engine.search(doms, on_solution)
+            except TimeoutError:
+                outcome = "limit"
+        num_branches, num_conflicts = engine.num_branches, engine.num_conflicts
+        if best_solution is not None:
+            # feasibility problems: every found solution is "OPTIMAL" in
+            # reference terms when the search completed, FEASIBLE otherwise
+            st = SolveStatus.OPTIMAL if outcome in ("done", "stopped") \
+                else SolveStatus.FEASIBLE
+            if params.enumerate_all_solutions and outcome == "limit":
+                st = SolveStatus.FEASIBLE
+            return resp(st, best_solution, branches=num_branches,
+                        conflicts=num_conflicts)
+        if outcome == "done":
+            return resp(SolveStatus.INFEASIBLE, core=model.assumptions,
+                        branches=num_branches, conflicts=num_conflicts)
+        return resp(SolveStatus.UNKNOWN, branches=num_branches,
+                    conflicts=num_conflicts)
+
+    # ---- optimization ---------------------------------------------------
+    sense = -1 if obj.maximize else 1  # internal: minimize sense*obj
+
+    def internal_obj(values: List[int]) -> int:
+        return sense * _objective_value(obj, values)
+
+    if hint_solution is not None:
+        best_solution = hint_solution
+        best_obj = internal_obj(hint_solution)
+        if callback is not None:
+            callback._on_solution(hint_solution,
+                                  float(_objective_value(obj, hint_solution)))
+
+    limit_hit = False
+    while True:
+        bound_cts = []
+        if best_obj is not None:
+            # objective < best  (internal minimization)
+            coeffs = [sense * c for c in obj.coeffs]
+            bound_cts.append(ir.ConstraintIR(
+                "linear",
+                ir.LinearArgs(list(obj.vars), coeffs,
+                              Domain(INT_MIN,
+                                     best_obj - sense * obj.offset - 1)),
+            ))
+        work_iter = dataclasses.replace(
+            work, constraints=list(work.constraints) + bound_cts
+        )
+        engine = Engine(work_iter, deadline=deadline,
+                        max_branches=params.max_branches - num_branches)
+        doms = engine.initial_domains()
+        if not engine.root_propagate(doms):
+            break  # no better solution exists: current best is optimal
+
+        improved: List[Optional[List[int]]] = [None]
+
+        def on_solution(values: List[int]) -> bool:
+            if not solution_is_feasible(model, values):
+                raise AssertionError(
+                    "internal error: solution failed verification"
+                )
+            improved[0] = values
+            return False  # restart with tightened bound
+
+        try:
+            outcome = engine.search(doms, on_solution)
+        except TimeoutError:
+            outcome = "limit"
+        num_branches += engine.num_branches
+        num_conflicts += engine.num_conflicts
+        if improved[0] is not None:
+            best_solution = improved[0]
+            best_obj = internal_obj(best_solution)
+            if callback is not None:
+                callback._on_solution(
+                    best_solution, float(_objective_value(obj, best_solution))
+                )
+                if callback._stopped:
+                    limit_hit = True
+                    break
+            continue
+        if outcome == "done":
+            break  # search space exhausted: best is optimal
+        limit_hit = True
+        break
+
+    if best_solution is None:
+        if limit_hit:
+            return resp(SolveStatus.UNKNOWN, branches=num_branches,
+                        conflicts=num_conflicts)
+        return resp(
+            SolveStatus.INFEASIBLE,
+            bound=-math.inf if obj.maximize else math.inf,
+            branches=num_branches, conflicts=num_conflicts,
+            core=model.assumptions,
+        )
+    true_obj = float(_objective_value(obj, best_solution))
+    if limit_hit:
+        return resp(SolveStatus.FEASIBLE, best_solution, true_obj,
+                    -math.inf if obj.maximize else math.inf,
+                    num_branches, num_conflicts)
+    return resp(SolveStatus.OPTIMAL, best_solution, true_obj, true_obj,
+                num_branches, num_conflicts)
