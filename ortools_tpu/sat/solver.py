@@ -107,6 +107,28 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
             if solution_is_feasible(model, values):
                 hint_solution = values
 
+    # Feasibility jump: violation-guided local search on linear-representable
+    # models (reference feasibility_jump.h portfolio worker) — used as a
+    # fast first-solution engine; every output re-checked before use.
+    if hint_solution is None and params.use_feasibility_jump and (
+        len(model.variables) >= 12
+    ):
+        from ortools_tpu.sat.feasibility_jump import (
+            extract_linear_system,
+            feasibility_jump,
+        )
+
+        system = extract_linear_system(work)
+        if system is not None:
+            fj = feasibility_jump(
+                system, max_moves=params.feasibility_jump_max_moves,
+                seed=params.random_seed,
+            )
+            if fj is not None:
+                values = [int(v) for v in fj]
+                if solution_is_feasible(model, values):
+                    hint_solution = values
+
     best_solution: Optional[List[int]] = None
     best_obj: Optional[int] = None
     num_branches = 0
