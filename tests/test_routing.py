@@ -1,0 +1,218 @@
+"""Routing layer tests: TSP/CVRP/VRPTW on small instances with oracles."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from ortools_tpu.routing import (
+    FirstSolutionStrategy,
+    LocalSearchMetaheuristic,
+    RoutingIndexManager,
+    RoutingModel,
+    default_routing_search_parameters,
+    parse_tsplib,
+)
+from ortools_tpu.routing.parsers import parse_solomon
+
+
+def brute_force_tsp(dist, depot=0):
+    n = dist.shape[0]
+    nodes = [i for i in range(n) if i != depot]
+    best = None
+    for perm in itertools.permutations(nodes):
+        tour = [depot] + list(perm) + [depot]
+        c = sum(dist[a][b] for a, b in zip(tour, tour[1:]))
+        if best is None or c < best:
+            best = c
+    return best
+
+
+def test_tsp_circle_optimal():
+    # points on a circle: optimal tour follows the circle
+    n = 9
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    pts = np.stack([np.cos(ang), np.sin(ang)], axis=1) * 100
+    d = np.round(np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+                 ).astype(np.int64)
+    mgr = RoutingIndexManager(n, 1, 0)
+    routing = RoutingModel(mgr)
+    cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.set_arc_cost_evaluator_of_all_vehicles(cb)
+    sol = routing.solve()
+    assert sol is not None
+    ref = brute_force_tsp(d)
+    assert sol.objective_value() == ref
+
+
+def test_tsp_random_vs_brute_force():
+    rng = np.random.default_rng(7)
+    n = 8
+    pts = rng.uniform(0, 100, (n, 2))
+    d = np.round(np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+                 ).astype(np.int64)
+    mgr = RoutingIndexManager(n, 1, 0)
+    routing = RoutingModel(mgr)
+    cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.set_arc_cost_evaluator_of_all_vehicles(cb)
+    params = default_routing_search_parameters()
+    params.local_search_metaheuristic = (
+        LocalSearchMetaheuristic.GUIDED_LOCAL_SEARCH
+    )
+    params.time_limit_seconds = 3.0
+    sol = routing.solve_with_parameters(params)
+    ref = brute_force_tsp(d)
+    assert sol.objective_value() == ref
+
+
+def test_cvrp_capacities_respected():
+    # 1 depot + 8 customers, 3 vehicles of capacity 5, unit demands vary
+    rng = np.random.default_rng(3)
+    n = 9
+    pts = rng.uniform(0, 50, (n, 2))
+    d = np.round(np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+                 ).astype(np.int64)
+    demands = np.array([0, 1, 2, 2, 1, 3, 1, 2, 2])
+    mgr = RoutingIndexManager(n, 3, 0)
+    routing = RoutingModel(mgr)
+    cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.set_arc_cost_evaluator_of_all_vehicles(cb)
+    dem_cb = routing.register_unary_transit_callback(
+        lambda f: int(demands[f])
+    )
+    routing.add_dimension_with_vehicle_capacity(dem_cb, 0, [5, 5, 5], True,
+                                                "Capacity")
+    sol = routing.solve()
+    assert sol is not None
+    routes = sol.routes()
+    visited = []
+    for v, r in enumerate(routes):
+        load = sum(demands[mgr.index_to_node(i)] for i in r[1:-1])
+        assert load <= 5, (v, load)
+        visited.extend(mgr.index_to_node(i) for i in r[1:-1])
+    assert sorted(visited) == list(range(1, 9))
+
+
+def test_next_var_reading_style():
+    # read routes the reference way: start(v) -> value(next_var(i))
+    n = 5
+    d = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]) * 10
+    mgr = RoutingIndexManager(n, 1, 0)
+    routing = RoutingModel(mgr)
+    cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.set_arc_cost_evaluator_of_all_vehicles(cb)
+    sol = routing.solve()
+    index = routing.start(0)
+    visited = []
+    while not routing.is_end(index):
+        visited.append(mgr.index_to_node(index))
+        index = sol.value(routing.next_var(index))
+    assert visited[0] == 0
+    assert sorted(visited) == [0, 1, 2, 3, 4]
+
+
+def test_disjunction_dropping():
+    # far-away optional node gets dropped when penalty < detour
+    pts = np.array([[0, 0], [1, 0], [2, 0], [1000, 0]])
+    d = np.abs(pts[:, None, 0] - pts[None, :, 0]).astype(np.int64)
+    mgr = RoutingIndexManager(4, 1, 0)
+    routing = RoutingModel(mgr)
+    cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.set_arc_cost_evaluator_of_all_vehicles(cb)
+    routing.add_disjunction([3], penalty=100)
+    sol = routing.solve()
+    nodes = [mgr.index_to_node(i) for r in sol.routes() for i in r[1:-1]]
+    assert 3 not in nodes
+    # and taken when the penalty is huge
+    routing2 = RoutingModel(mgr)
+    cb2 = routing2.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing2.set_arc_cost_evaluator_of_all_vehicles(cb2)
+    routing2.add_disjunction([3], penalty=10_000)
+    sol2 = routing2.solve()
+    nodes2 = [mgr.index_to_node(i) for r in sol2.routes() for i in r[1:-1]]
+    assert 3 in nodes2
+
+
+TSPLIB_SAMPLE = """\
+NAME : toy5
+TYPE : TSP
+DIMENSION : 5
+EDGE_WEIGHT_TYPE : EUC_2D
+NODE_COORD_SECTION
+1 0 0
+2 10 0
+3 10 10
+4 0 10
+5 5 5
+EOF
+"""
+
+
+def test_parse_tsplib_euc2d():
+    inst = parse_tsplib(TSPLIB_SAMPLE, is_text=True)
+    assert inst.name == "toy5"
+    assert inst.dimension == 5
+    assert inst.distance(0, 1) == 10
+    assert inst.distance(0, 2) == 14  # round(sqrt(200))
+
+
+def test_parse_tsplib_explicit():
+    text = """\
+NAME : m3
+TYPE : TSP
+DIMENSION : 3
+EDGE_WEIGHT_TYPE : EXPLICIT
+EDGE_WEIGHT_FORMAT : FULL_MATRIX
+EDGE_WEIGHT_SECTION
+0 1 2
+1 0 3
+2 3 0
+EOF
+"""
+    inst = parse_tsplib(text, is_text=True)
+    assert inst.distance(1, 2) == 3
+    assert inst.distance(2, 0) == 2
+
+
+SOLOMON_SAMPLE = """\
+TOY1
+
+VEHICLE
+NUMBER     CAPACITY
+  2          50
+
+CUSTOMER
+CUST NO.  XCOORD.   YCOORD.   DEMAND    READY TIME  DUE DATE   SERVICE TIME
+
+    0      35         35          0          0       230          0
+    1      41         49         10          0       200         10
+    2      22         75         30         50       180         10
+"""
+
+
+def test_parse_solomon():
+    inst = parse_solomon(SOLOMON_SAMPLE, is_text=True)
+    assert inst.num_vehicles == 2 and inst.capacity == 50
+    assert inst.demands.tolist() == [0, 10, 30]
+    assert inst.due_times.tolist() == [230, 200, 180]
+
+
+def test_vrptw_time_windows():
+    # two customers; window forces visiting 2 before 1
+    inst_d = np.array([
+        [0, 10, 10],
+        [10, 0, 5],
+        [10, 5, 0],
+    ])
+    mgr = RoutingIndexManager(3, 1, 0)
+    routing = RoutingModel(mgr)
+    cb = routing.register_transit_callback(lambda f, t: int(inst_d[f, t]))
+    routing.set_arc_cost_evaluator_of_all_vehicles(cb)
+    routing.add_dimension(cb, 30, 1000, True, "Time")
+    time_dim = routing.get_dimension_or_die("Time")
+    time_dim.set_cumul_var_range(1, 20, 40)   # node 1 late window
+    time_dim.set_cumul_var_range(2, 0, 12)    # node 2 early window
+    sol = routing.solve()
+    assert sol is not None
+    route = [mgr.index_to_node(i) for i in sol.routes()[0]]
+    assert route.index(2) < route.index(1)
