@@ -1,0 +1,146 @@
+"""MathOpt-style modeling session.
+
+Capability parity: ``ortools/math_opt`` (core/solver.h session + cpp/python
+fluent model API) — the next-generation solver-independent front-end.  The
+surface follows the reference's python bindings:
+
+    model = math_opt.Model(name="m")
+    x = model.add_variable(lb=0, ub=1, name="x")
+    model.add_linear_constraint(x + y <= 1)
+    model.maximize(2*x + y)
+    result = math_opt.solve(model, math_opt.SolverType.GLOP)
+    result.objective_value(), result.variable_values()[x]
+
+Internally delegates to ortools_tpu.linear_solver (which dispatches to the
+pdlp / glop / mip backends), mirroring how the reference's MathOpt wraps
+the same underlying engines as MPSolver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Dict, Optional, Union
+
+from ortools_tpu.linear_solver.model_builder import (
+    LinearExpr,
+    Model as _MbModel,
+    Solver as _MbSolver,
+    Variable,
+    _BoundedExpr,
+)
+from ortools_tpu.utils.status import MPSolverStatus
+
+
+class SolverType(enum.Enum):
+    GLOP = 2
+    CP_SAT = 3
+    PDLP = 4
+    GSCIP = 1  # alias -> mip (the reference wraps SCIP; we use our B&B)
+    HIGHS = 8  # alias -> glop
+
+
+class TerminationReason(enum.Enum):
+    OPTIMAL = 1
+    INFEASIBLE = 2
+    UNBOUNDED = 3
+    FEASIBLE = 9
+    NO_SOLUTION_FOUND = 10
+    NUMERICAL_ERROR = 11
+    OTHER_ERROR = 12
+
+
+class Model:
+    def __init__(self, name: str = "") -> None:
+        self._mb = _MbModel(name)
+
+    @property
+    def name(self) -> str:
+        return self._mb.name
+
+    def add_variable(self, lb: float = -math.inf, ub: float = math.inf,
+                     is_integer: bool = False, name: str = "") -> Variable:
+        return self._mb.new_var(lb, ub, is_integer, name)
+
+    def add_integer_variable(self, lb: float = -math.inf,
+                             ub: float = math.inf,
+                             name: str = "") -> Variable:
+        return self._mb.new_var(lb, ub, True, name)
+
+    def add_binary_variable(self, name: str = "") -> Variable:
+        return self._mb.new_var(0.0, 1.0, True, name)
+
+    def add_linear_constraint(self, expr_or_bounded=None, *,
+                              lb: float = -math.inf, ub: float = math.inf,
+                              name: str = ""):
+        if isinstance(expr_or_bounded, _BoundedExpr):
+            return self._mb.add(expr_or_bounded, name)
+        return self._mb.add_linear_constraint(expr_or_bounded, lb, ub, name)
+
+    def minimize(self, expr) -> None:
+        self._mb.minimize(expr)
+
+    def maximize(self, expr) -> None:
+        self._mb.maximize(expr)
+
+    @property
+    def storage(self) -> _MbModel:
+        return self._mb
+
+
+@dataclasses.dataclass
+class _Termination:
+    reason: TerminationReason
+
+
+class SolveResult:
+    def __init__(self, termination: _Termination, solver: _MbSolver,
+                 model: Model) -> None:
+        self.termination = termination
+        self._solver = solver
+        self._model = model
+
+    def objective_value(self) -> float:
+        return self._solver.objective_value
+
+    def best_objective_bound(self) -> float:
+        return self._solver.best_objective_bound
+
+    def variable_values(self) -> Dict[Variable, float]:
+        mb = self._model.storage
+        return {
+            Variable(mb, i): float(self._solver._values[i])
+            for i in range(mb.num_variables)
+        }
+
+    def value(self, expr) -> float:
+        return self._solver.value(expr)
+
+    def has_primal_feasible_solution(self) -> bool:
+        return self.termination.reason in (
+            TerminationReason.OPTIMAL, TerminationReason.FEASIBLE
+        )
+
+
+def solve(model: Model, solver_type: SolverType = SolverType.GLOP,
+          **params) -> SolveResult:
+    backend = {
+        SolverType.GLOP: "glop",
+        SolverType.PDLP: "pdlp",
+        SolverType.CP_SAT: "sat",
+        SolverType.GSCIP: "mip",
+        SolverType.HIGHS: "glop",
+    }[solver_type]
+    s = _MbSolver(backend)
+    status = s.solve(model.storage, **params)
+    reason = {
+        MPSolverStatus.OPTIMAL: TerminationReason.OPTIMAL,
+        MPSolverStatus.FEASIBLE: TerminationReason.FEASIBLE,
+        MPSolverStatus.INFEASIBLE: TerminationReason.INFEASIBLE,
+        MPSolverStatus.UNBOUNDED: TerminationReason.UNBOUNDED,
+        MPSolverStatus.NOT_SOLVED: TerminationReason.NO_SOLUTION_FOUND,
+        MPSolverStatus.ABNORMAL: TerminationReason.NUMERICAL_ERROR,
+        MPSolverStatus.MODEL_INVALID: TerminationReason.OTHER_ERROR,
+    }[status]
+    return SolveResult(_Termination(reason), s, model)
