@@ -402,6 +402,8 @@ class Solver:
             self._status = MPSolverStatus.FEASIBLE
         elif r.termination_reason == TerminationReason.PRIMAL_INFEASIBLE:
             self._status = MPSolverStatus.INFEASIBLE
+        elif r.termination_reason == TerminationReason.DUAL_INFEASIBLE:
+            self._status = MPSolverStatus.UNBOUNDED
         else:
             self._status = MPSolverStatus.ABNORMAL
         return self._status

@@ -463,6 +463,74 @@ def _iterate_stats(prob: DeviceProblem, x, y, ax, aty,
     )
 
 
+def _infeasibility_stats(prob: DeviceProblem, x_r, y_r,
+                         mv: "_Matvecs") -> dict:
+    """Certificate quality of candidate rays (reference
+    iteration_stats.h:68 ComputeInfeasibilityInformation).
+
+    Primal ray x_r proves DUAL infeasibility (unboundedness) when it is a
+    recession direction with negative objective; dual ray y_r proves
+    PRIMAL infeasibility when its residual vanishes and its objective is
+    positive.  Rays are given in scaled space and unscaled here.
+    """
+    x_o = prob.col_scale * x_r
+    y_o = prob.row_scale * y_r
+    ax_o = mv.matvec(x_r) / prob.row_scale
+    aty_o = mv.rmatvec(y_r) / prob.col_scale
+
+    # -- primal ray: recession cone of constraints and variable bounds
+    lb_fin_row = jnp.isfinite(prob.orig_con_lb)
+    ub_fin_row = jnp.isfinite(prob.orig_con_ub)
+    row_viol = jnp.maximum(
+        jnp.where(lb_fin_row, -ax_o, 0.0), 0.0
+    ) + jnp.maximum(jnp.where(ub_fin_row, ax_o, 0.0), 0.0)
+    lb_fin = jnp.isfinite(prob.orig_var_lb)
+    ub_fin = jnp.isfinite(prob.orig_var_ub)
+    var_viol = jnp.maximum(jnp.where(lb_fin, -x_o, 0.0), 0.0) + jnp.maximum(
+        jnp.where(ub_fin, x_o, 0.0), 0.0
+    )
+    max_primal_ray_infeas = jnp.maximum(
+        jnp.max(row_viol) if row_viol.size else 0.0,
+        jnp.max(var_viol) if var_viol.size else 0.0,
+    )
+    primal_ray_objective = jnp.vdot(prob.orig_c, x_o)
+    ray_norm_x = jnp.max(jnp.abs(x_o)) if x_o.size else jnp.asarray(0.0)
+    # a valid unboundedness ray of a convex QP needs Q x_r = 0
+    max_quadratic_ray = jnp.max(jnp.abs(prob.orig_q * x_o))
+
+    # -- dual ray: -A^T y absorbed on finite variable bounds
+    r = -aty_o
+    rc = jnp.where(r > 0, jnp.where(lb_fin, r, 0.0),
+                   jnp.where(ub_fin, r, 0.0))
+    dual_res = jnp.abs(r - rc)
+    # wrong-sign duals at one-sided rows are residuals too
+    wrong_sign = jnp.maximum(
+        jnp.where(~lb_fin_row, y_o, 0.0), 0.0
+    ) + jnp.maximum(jnp.where(~ub_fin_row, -y_o, 0.0), 0.0)
+    max_dual_ray_infeas = jnp.maximum(
+        jnp.max(dual_res) if dual_res.size else 0.0,
+        jnp.max(wrong_sign) if wrong_sign.size else 0.0,
+    )
+    dual_ray_objective = (
+        jnp.sum(jnp.where((y_o > 0) & lb_fin_row,
+                          prob.orig_con_lb * y_o, 0.0))
+        + jnp.sum(jnp.where((y_o < 0) & ub_fin_row,
+                            prob.orig_con_ub * y_o, 0.0))
+        + jnp.sum(jnp.where(rc > 0, prob.orig_var_lb * rc, 0.0))
+        + jnp.sum(jnp.where(rc < 0, prob.orig_var_ub * rc, 0.0))
+    )
+    ray_norm_y = jnp.max(jnp.abs(y_o)) if y_o.size else jnp.asarray(0.0)
+    return dict(
+        max_primal_ray_infeasibility=max_primal_ray_infeas,
+        primal_ray_objective=primal_ray_objective,
+        ray_norm_x=ray_norm_x,
+        max_quadratic_ray=max_quadratic_ray,
+        max_dual_ray_infeasibility=max_dual_ray_infeas,
+        dual_ray_objective=dual_ray_objective,
+        ray_norm_y=ray_norm_y,
+    )
+
+
 def _make_compute_stats(params: PdhgParams,
                         psum: Optional[Callable] = None):
     norm = params.optimality_norm
@@ -501,6 +569,13 @@ def _make_compute_stats(params: PdhgParams,
             kkt_passes=state.kkt_passes + 1.0,  # this stats pass
             step_size=state.step_size,
             primal_weight=state.primal_weight,
+            # infeasibility certificate candidates (reference uses the
+            # iterate difference and the current iterate as rays)
+            infeas_diff=_infeasibility_stats(
+                prob, state.x - state.x_restart,
+                state.y - state.y_restart, mv,
+            ),
+            infeas_current=_infeasibility_stats(prob, state.x, state.y, mv),
         )
         return out
 
@@ -723,6 +798,31 @@ def solve(
             break
         if kkt_passes >= params.kkt_matrix_pass_limit:
             reason = TerminationReason.KKT_MATRIX_PASS_LIMIT
+            break
+
+        # Infeasibility certificates from candidate rays (reference
+        # termination.h:74 kIterateTermination infeasibility branch).
+        infeas_reason = None
+        for key in ("infeas_diff", "infeas_current"):
+            inf = {k: float(v) for k, v in stats[key].items()}
+            ny, nx = inf["ray_norm_y"], inf["ray_norm_x"]
+            if (ny > 0
+                    and inf["max_dual_ray_infeasibility"]
+                    <= params.eps_primal_infeasible * ny
+                    and inf["dual_ray_objective"] > 0):
+                infeas_reason = TerminationReason.PRIMAL_INFEASIBLE
+                break
+            if (nx > 0
+                    and inf["max_primal_ray_infeasibility"]
+                    <= params.eps_dual_infeasible * nx
+                    and inf["max_quadratic_ray"]
+                    <= params.eps_dual_infeasible * nx
+                    and inf["primal_ray_objective"] < 0):
+                infeas_reason = TerminationReason.DUAL_INFEASIBLE
+                break
+        if infeas_reason is not None:
+            reason = infeas_reason
+            best = ("current", cur, state.x, state.y)
             break
 
         # Restart decision (host scalars only).

@@ -236,6 +236,34 @@ def test_f32_runs():
     assert abs(r.primal_objective - ref) <= 1e-2 * (1 + abs(ref))
 
 
+def test_primal_infeasible_certificate():
+    # x+y >= 4 and x+y <= -1: infeasible
+    qp = QuadraticProgram(
+        objective_vector=np.ones(2),
+        constraint_matrix=sp.csr_matrix(np.array([[1.0, 1.0], [1.0, 1.0]])),
+        constraint_lower=np.array([4.0, -np.inf]),
+        constraint_upper=np.array([np.inf, -1.0]),
+        variable_lower=np.zeros(2),
+        variable_upper=np.full(2, 10.0),
+    )
+    r = solve(qp, PdhgParams(iteration_limit=20000, **F64))
+    assert r.termination_reason == TerminationReason.PRIMAL_INFEASIBLE
+
+
+def test_dual_infeasible_certificate():
+    # min -x with x unbounded above: primal unbounded
+    qp = QuadraticProgram(
+        objective_vector=np.array([-1.0]),
+        constraint_matrix=sp.csr_matrix(np.array([[1.0]])),
+        constraint_lower=np.array([0.0]),
+        constraint_upper=np.array([np.inf]),
+        variable_lower=np.zeros(1),
+        variable_upper=np.array([np.inf]),
+    )
+    r = solve(qp, PdhgParams(iteration_limit=20000, **F64))
+    assert r.termination_reason == TerminationReason.DUAL_INFEASIBLE
+
+
 def test_free_variables_lp():
     # min x1 + x2 s.t. x1 + x2 >= 2, x free -> many optima, obj = 2
     qp = QuadraticProgram(
