@@ -21,7 +21,7 @@ _SUPPORTED = {
     "bool_or", "bool_and", "at_most_one", "exactly_one", "bool_xor",
     "linear", "all_diff", "lin_max", "int_prod", "int_div", "int_mod",
     "element", "table", "interval", "no_overlap", "cumulative", "circuit",
-    "inverse",
+    "inverse", "automaton", "reservoir", "no_overlap_2d",
 }
 
 
@@ -118,6 +118,36 @@ def validate_model(model: ir.CpModelIR) -> List[str]:
         elif ct.kind == "inverse":
             if len(a.f_direct) != len(a.f_inverse):
                 errs.append(f"{where}: direct/inverse length mismatch")
+        elif ct.kind == "automaton":
+            for e in a.exprs:
+                check_expr(e, where)
+            if not (len(a.transition_tail) == len(a.transition_label)
+                    == len(a.transition_head)):
+                errs.append(f"{where}: transition arrays length mismatch")
+        elif ct.kind == "reservoir":
+            if len(a.time_exprs) != len(a.level_changes):
+                errs.append(f"{where}: times/changes length mismatch")
+            for e in a.time_exprs + a.level_changes:
+                check_expr(e, where)
+            if a.active_literals and len(a.active_literals) != len(
+                a.time_exprs
+            ):
+                errs.append(f"{where}: active_literals length mismatch")
+            for lit in a.active_literals:
+                check_lit(lit, where)
+            if a.min_level > 0 or a.max_level < 0:
+                errs.append(
+                    f"{where}: level 0 (initial) must lie in "
+                    f"[min_level, max_level]"
+                )
+        elif ct.kind == "no_overlap_2d":
+            if len(a.x_intervals) != len(a.y_intervals):
+                errs.append(f"{where}: x/y interval count mismatch")
+            for k in a.x_intervals + a.y_intervals:
+                if not (0 <= k < len(model.constraints)) or (
+                    model.constraints[k].kind != "interval"
+                ):
+                    errs.append(f"{where}: index {k} is not an interval")
     if model.objective is not None:
         check_expr(
             ir.LinearExprIR(model.objective.vars, model.objective.coeffs, 0),
@@ -286,6 +316,56 @@ def constraint_is_feasible(model: ir.CpModelIR, ct: ir.ConstraintIR,
         if any(not (0 <= x < nn) for x in f + g):
             return False
         return all(g[f[i]] == i for i in range(nn))
+    if k == "automaton":
+        state = a.starting_state
+        trans = {
+            (t, l): h for t, l, h in zip(
+                a.transition_tail, a.transition_label, a.transition_head
+            )
+        }
+        for e in a.exprs:
+            label = ir.eval_expr(e, values)
+            key = (state, label)
+            if key not in trans:
+                return False
+            state = trans[key]
+        return state in a.final_states
+    if k == "reservoir":
+        events = []
+        for i, (te, ce) in enumerate(zip(a.time_exprs, a.level_changes)):
+            if a.active_literals and not _lit_value(a.active_literals[i],
+                                                    values):
+                continue
+            events.append((ir.eval_expr(te, values),
+                           ir.eval_expr(ce, values)))
+        events.sort()
+        level = 0
+        i = 0
+        while i < len(events):
+            t = events[i][0]
+            while i < len(events) and events[i][0] == t:
+                level += events[i][1]
+                i += 1
+            if not (a.min_level <= level <= a.max_level):
+                return False
+        return True
+    if k == "no_overlap_2d":
+        boxes = []
+        for kx, ky in zip(a.x_intervals, a.y_intervals):
+            if not (_interval_present(model, kx, values)
+                    and _interval_present(model, ky, values)):
+                continue
+            xs, xz, xe = _interval_fields(model, kx, values)
+            ys, yz, ye = _interval_fields(model, ky, values)
+            if xz > 0 and yz > 0:
+                boxes.append((xs, xe, ys, ye))
+        for i in range(len(boxes)):
+            for j in range(i + 1, len(boxes)):
+                x1, e1, y1, f1 = boxes[i]
+                x2, e2, y2, f2 = boxes[j]
+                if x1 < e2 and x2 < e1 and y1 < f2 and y2 < f1:
+                    return False
+        return True
     raise ValueError(f"unknown constraint kind {k}")
 
 

@@ -473,6 +473,65 @@ class CpModel:
             "table", ir.TableArgs(es, vals, negated=True)
         ))
 
+    def add_automaton(self, transition_expressions, starting_state: int,
+                      final_states, transition_triples) -> Constraint:
+        """transition_triples: iterable of (tail_state, label, head_state)."""
+        tails, labels, heads = [], [], []
+        for t, l, h in transition_triples:
+            tails.append(int(t))
+            labels.append(int(l))
+            heads.append(int(h))
+        return self._append(ir.ConstraintIR(
+            "automaton",
+            ir.AutomatonArgs(
+                exprs=[self._expr_ir(e) for e in transition_expressions],
+                starting_state=int(starting_state),
+                final_states=[int(s) for s in final_states],
+                transition_tail=tails,
+                transition_label=labels,
+                transition_head=heads,
+            ),
+        ))
+
+    def add_reservoir_constraint(self, times, level_changes,
+                                 min_level: int, max_level: int
+                                 ) -> Constraint:
+        return self._append(ir.ConstraintIR(
+            "reservoir",
+            ir.ReservoirArgs(
+                time_exprs=[self._expr_ir(t) for t in times],
+                level_changes=[self._expr_ir(c) for c in level_changes],
+                active_literals=[],
+                min_level=int(min_level),
+                max_level=int(max_level),
+            ),
+        ))
+
+    def add_reservoir_constraint_with_active(self, times, level_changes,
+                                             actives, min_level: int,
+                                             max_level: int) -> Constraint:
+        return self._append(ir.ConstraintIR(
+            "reservoir",
+            ir.ReservoirArgs(
+                time_exprs=[self._expr_ir(t) for t in times],
+                level_changes=[self._expr_ir(c) for c in level_changes],
+                active_literals=[self._literal_index(a) for a in actives],
+                min_level=int(min_level),
+                max_level=int(max_level),
+            ),
+        ))
+
+    def add_no_overlap_2d(self, x_intervals: Sequence[IntervalVar],
+                          y_intervals: Sequence[IntervalVar]) -> Constraint:
+        assert len(x_intervals) == len(y_intervals)
+        return self._append(ir.ConstraintIR(
+            "no_overlap_2d",
+            ir.NoOverlap2DArgs(
+                [iv.index for iv in x_intervals],
+                [iv.index for iv in y_intervals],
+            ),
+        ))
+
     def add_inverse(self, variables, inverse_variables) -> Constraint:
         f = [self._only_var(v) for v in variables]
         g = [self._only_var(v) for v in inverse_variables]
@@ -608,6 +667,10 @@ class CpModel:
     AddForbiddenAssignments = add_forbidden_assignments
     AddInverse = add_inverse
     AddCircuit = add_circuit
+    AddAutomaton = add_automaton
+    AddReservoirConstraint = add_reservoir_constraint
+    AddReservoirConstraintWithActive = add_reservoir_constraint_with_active
+    AddNoOverlap2D = add_no_overlap_2d
     NewIntervalVar = new_interval_var
     NewFixedSizeIntervalVar = new_fixed_size_interval_var
     NewOptionalIntervalVar = new_optional_interval_var

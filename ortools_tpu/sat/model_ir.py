@@ -138,6 +138,32 @@ class InverseArgs:
 
 
 @dataclasses.dataclass
+class AutomatonArgs:  # cp_model.proto AutomatonConstraintProto
+    exprs: List[LinearExprIR]  # the word, one expr per position
+    starting_state: int
+    final_states: List[int]
+    # transitions as parallel lists: tail state, label, head state
+    transition_tail: List[int] = dataclasses.field(default_factory=list)
+    transition_label: List[int] = dataclasses.field(default_factory=list)
+    transition_head: List[int] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class ReservoirArgs:  # cp_model.proto ReservoirConstraintProto
+    time_exprs: List[LinearExprIR]
+    level_changes: List[LinearExprIR]
+    active_literals: List[int]  # empty = all always active
+    min_level: int = 0
+    max_level: int = 0
+
+
+@dataclasses.dataclass
+class NoOverlap2DArgs:  # cp_model.proto NoOverlap2DConstraintProto
+    x_intervals: List[int]  # constraint indices of interval constraints
+    y_intervals: List[int]
+
+
+@dataclasses.dataclass
 class ConstraintIR:
     kind: str  # "bool_or", "bool_and", "at_most_one", "exactly_one",
     # "bool_xor", "linear", "all_diff", "lin_max", "int_prod", "int_div",

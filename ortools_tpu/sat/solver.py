@@ -76,6 +76,7 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     deadline = start + params.max_time_in_seconds
     work = model
     obj = model.objective
+    n_orig = len(model.variables)
 
     # Assumptions: fixed at the root via unit bool_or constraints.
     if model.assumptions:
@@ -86,6 +87,12 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
                 for lit in model.assumptions
             ],
         )
+
+    # Expand high-level constraints (automaton/reservoir/no_overlap_2d)
+    # into engine primitives; the original model keeps doing the checking.
+    from ortools_tpu.sat.expand import expand_model
+
+    work = expand_model(work)
 
     engine = Engine(work, deadline=deadline,
                     max_branches=params.max_branches)
@@ -139,6 +146,7 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
 
         def on_solution(values: List[int]) -> bool:
             nonlocal best_solution, solutions_found
+            values = values[:n_orig]  # drop expansion auxiliaries
             if not solution_is_feasible(model, values):
                 # never return an unverified solution; treat as search bug
                 raise AssertionError(
@@ -217,6 +225,7 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
         improved: List[Optional[List[int]]] = [None]
 
         def on_solution(values: List[int]) -> bool:
+            values = values[:n_orig]  # drop expansion auxiliaries
             if not solution_is_feasible(model, values):
                 raise AssertionError(
                     "internal error: solution failed verification"
