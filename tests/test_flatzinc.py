@@ -1,0 +1,132 @@
+"""FlatZinc front-end tests."""
+
+import pytest
+
+from ortools_tpu.flatzinc import solve_fzn_text
+from ortools_tpu.flatzinc.driver import FlatZincError, parse_fzn
+from ortools_tpu.utils.status import SolveStatus
+
+
+def test_simple_satisfy():
+    fzn = """
+var 1..5: x :: output_var;
+var 1..5: y :: output_var;
+constraint int_lin_eq([1, 1], [x, y], 7);
+constraint int_lt(x, y);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    assert "----------" in r.text
+    vals = dict(
+        ln.replace(";", "").split(" = ")
+        for ln in r.text.splitlines() if " = " in ln
+    )
+    assert int(vals["x"]) + int(vals["y"]) == 7
+    assert int(vals["x"]) < int(vals["y"])
+
+
+def test_minimize_with_arrays():
+    fzn = """
+array [1..3] of var 0..10: xs :: output_array([1..3]);
+constraint int_lin_le([-1, -1, -1], [xs[1], xs[2], xs[3]], -6);
+constraint all_different_int(xs);
+solve minimize xs[3];
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status == SolveStatus.OPTIMAL
+    assert "==========" in r.text
+    assert r.objective == 0.0  # xs3=0, xs1+xs2>=6 possible with 0 in mix
+
+
+def test_reified_and_bools():
+    fzn = """
+var bool: b :: output_var;
+var 0..10: x :: output_var;
+constraint int_le_reif(x, 3, b);
+constraint int_lin_eq([1], [x], 7);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    vals = dict(
+        ln.replace(";", "").split(" = ")
+        for ln in r.text.splitlines() if " = " in ln
+    )
+    assert int(vals["x"]) == 7 and int(vals["b"]) == 0
+
+
+def test_element_and_max():
+    fzn = """
+array [1..4] of int: costs = [10, 3, 7, 5];
+var 1..4: i :: output_var;
+var 0..100: c :: output_var;
+constraint array_int_element(i, costs, c);
+solve minimize c;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status == SolveStatus.OPTIMAL
+    assert r.objective == 3.0
+
+
+def test_unsat():
+    fzn = """
+var 0..1: x;
+constraint int_lin_eq([1], [x], 5);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status == SolveStatus.INFEASIBLE
+    assert "UNSATISFIABLE" in r.text
+
+
+def test_table_and_set_in():
+    fzn = """
+var 0..5: x :: output_var;
+var 0..5: y :: output_var;
+constraint table_int([x, y], [1, 2, 3, 4, 5, 0]);
+constraint set_in(x, {3, 5});
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    vals = dict(
+        ln.replace(";", "").split(" = ")
+        for ln in r.text.splitlines() if " = " in ln
+    )
+    assert (int(vals["x"]), int(vals["y"])) in [(3, 4), (5, 0)]
+
+
+def test_unknown_predicate():
+    with pytest.raises(FlatZincError, match="unsupported FlatZinc"):
+        parse_fzn("""
+var 1..2: x;
+constraint frobnicate(x);
+solve satisfy;
+""")
+
+
+def test_nqueens_fzn():
+    # 4-queens in flatzinc style (minizinc-compiled shape)
+    fzn = """
+array [1..4] of var 1..4: q :: output_array([1..4]);
+constraint all_different_int(q);
+constraint all_different_int([q[1], q[2], q[3], q[4]]);
+constraint int_lin_ne([1, -1], [q[1], q[2]], 1);
+constraint int_lin_ne([1, -1], [q[1], q[2]], -1);
+constraint int_lin_ne([1, -1], [q[1], q[3]], 2);
+constraint int_lin_ne([1, -1], [q[1], q[3]], -2);
+constraint int_lin_ne([1, -1], [q[1], q[4]], 3);
+constraint int_lin_ne([1, -1], [q[1], q[4]], -3);
+constraint int_lin_ne([1, -1], [q[2], q[3]], 1);
+constraint int_lin_ne([1, -1], [q[2], q[3]], -1);
+constraint int_lin_ne([1, -1], [q[2], q[4]], 2);
+constraint int_lin_ne([1, -1], [q[2], q[4]], -2);
+constraint int_lin_ne([1, -1], [q[3], q[4]], 1);
+constraint int_lin_ne([1, -1], [q[3], q[4]], -1);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    import re
+    m = re.search(r"\[([0-9, ]+)\]", r.text)
+    q = [int(x) for x in m.group(1).split(",")]
+    assert sorted(q) == [1, 2, 3, 4]
