@@ -61,6 +61,9 @@ class PdhgParams:
     # -- rescaling (solvers.proto:367-371) -------------------------------
     l_inf_ruiz_iterations: int = 5
     l2_norm_rescaling: bool = True
+    # glop-style LP presolve (reference presolve_options.use_glop,
+    # default off like the reference)
+    presolve: bool = False
 
     # -- step size (solvers.proto:184-189, 395) --------------------------
     adaptive_step_size: bool = True

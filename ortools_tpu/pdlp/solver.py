@@ -703,6 +703,9 @@ def solve(
     qp_min = qp.as_minimization()
     sign = -1.0 if qp.maximize else 1.0
 
+    if params.presolve:
+        return _solve_with_presolve(qp, params, mesh, start)
+
     if mesh is not None:
         axis = params.mesh_axis
         psum = functools.partial(jax.lax.psum, axis_name=axis)
@@ -926,6 +929,64 @@ def _invalid_result(qp: QuadraticProgram, reason: TerminationReason) -> SolveRes
         kkt_matrix_passes=0.0,
         solve_time_sec=0.0,
         iteration_stats=[],
+    )
+
+
+def _solve_with_presolve(qp: QuadraticProgram, params: PdhgParams,
+                         mesh, start: float) -> SolveResult:
+    """Presolve -> solve reduced -> postsolve (reference
+    PreprocessSolver::PreprocessAndSolve with glop presolve, :1145)."""
+    from ortools_tpu.glop.presolve import PresolveStatus, presolve
+
+    qp_min = qp.as_minimization()
+    sign = -1.0 if qp.maximize else 1.0
+    pres = presolve(qp_min)
+    if pres.status == PresolveStatus.PRIMAL_INFEASIBLE:
+        res = _invalid_result(qp, TerminationReason.PRIMAL_INFEASIBLE)
+        res.solve_time_sec = time.perf_counter() - start
+        return res
+    if pres.status == PresolveStatus.DUAL_INFEASIBLE:
+        res = _invalid_result(qp, TerminationReason.DUAL_INFEASIBLE)
+        res.solve_time_sec = time.perf_counter() - start
+        return res
+    sub_params = dataclasses.replace(params, presolve=False)
+    reduced = pres.reduced
+    if reduced.num_variables == 0:
+        x = pres.postsolve(np.zeros(0))
+        y, rc = pres.postsolve_duals(qp_min, x, np.zeros(0))
+        obj = sign * qp_min.objective_value(x)
+        return SolveResult(
+            termination_reason=TerminationReason.OPTIMAL,
+            primal_solution=x, dual_solution=sign * y,
+            reduced_costs=sign * rc,
+            primal_objective=obj, dual_objective=obj,
+            primal_residual=0.0, dual_residual=0.0, relative_gap=0.0,
+            iterations=0, kkt_matrix_passes=0.0,
+            solve_time_sec=time.perf_counter() - start,
+            iteration_stats=[],
+        )
+    sub = solve(reduced, sub_params, mesh=mesh)
+    if sub.termination_reason not in (
+        TerminationReason.OPTIMAL,
+        TerminationReason.ITERATION_LIMIT,
+        TerminationReason.TIME_LIMIT,
+        TerminationReason.KKT_MATRIX_PASS_LIMIT,
+    ):
+        # infeasibility of the reduced problem implies the original's
+        res = _invalid_result(qp, sub.termination_reason)
+        res.solve_time_sec = time.perf_counter() - start
+        return res
+    x = pres.postsolve(sub.primal_solution)
+    y, rc = pres.postsolve_duals(qp_min, x, sub.dual_solution)
+    return dataclasses.replace(
+        sub,
+        primal_solution=x,
+        dual_solution=sign * y,
+        reduced_costs=sign * rc,
+        # sub solved the min-sense reduced problem; report original sense
+        primal_objective=sign * sub.primal_objective,
+        dual_objective=sign * sub.dual_objective,
+        solve_time_sec=time.perf_counter() - start,
     )
 
 
