@@ -120,7 +120,7 @@ class LinearExpr:
         return id(self)
 
     def to_ir(self) -> ir.LinearExprIR:
-        items = sorted(self._coeffs.items())
+        items = sorted((i, c) for i, c in self._coeffs.items() if c != 0)
         return ir.LinearExprIR(
             vars=[i for i, _ in items],
             coeffs=[c for _, c in items],

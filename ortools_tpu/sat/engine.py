@@ -38,13 +38,24 @@ class Conflict(Exception):
 
 class Engine:
     def __init__(self, model: ir.CpModelIR, deadline: float = float("inf"),
-                 max_branches: int = 10_000_000) -> None:
+                 max_branches: int = 10_000_000,
+                 var_rule: str = "min_domain",
+                 value_rule: str = "min",
+                 seed: int = 0) -> None:
         self.model = model
         self.deadline = deadline
         self.max_branches = max_branches
         self.num_branches = 0
         self.num_conflicts = 0
+        self.var_rule = var_rule  # min_domain | random | first
+        self.value_rule = value_rule  # min | max | split | random
+        import random as _random
+
+        self._rng = _random.Random(seed)
         self._circuit_cache: Dict[int, tuple] = {}
+        # resumable search state (search_budget)
+        self._current: Optional[Doms] = None
+        self._stack: List[Tuple[Doms, int, Domain]] = []
         self._build()
 
     # ------------------------------------------------------------------
@@ -159,6 +170,8 @@ class Engine:
         if cur_lo >= lo and cur_hi <= hi:
             return
         for v, c in zip(e.vars, e.coeffs):
+            if c == 0:
+                continue
             d = doms[v]
             a, b = c * d.min(), c * d.max()
             t_lo, t_hi = min(a, b), max(a, b)
@@ -670,6 +683,15 @@ class Engine:
             for v in strat.variables:
                 if not doms[v].is_fixed():
                     return v
+        if self.var_rule == "first":
+            for v in range(self.nvars):
+                if not doms[v].is_fixed():
+                    return v
+            return None
+        if self.var_rule == "random":
+            unfixed = [v for v in range(self.nvars)
+                       if not doms[v].is_fixed()]
+            return self._rng.choice(unfixed) if unfixed else None
         best_v, best_size = None, None
         for v in range(self.nvars):
             d = doms[v]
@@ -682,42 +704,77 @@ class Engine:
                     break
         return best_v
 
+    def _branch_domains(self, d: Domain) -> Tuple[Domain, Domain]:
+        """(left, right) split of a non-fixed domain per value_rule."""
+        if self.value_rule == "max":
+            val = d.max()
+            left = Domain(val, val)
+        elif self.value_rule == "split":
+            mid = (d.min() + d.max()) // 2
+            left = d.intersection_with(Domain(None, mid))
+            if left.is_empty() or left == d:
+                val = d.min()
+                left = Domain(val, val)
+        elif self.value_rule == "random":
+            lo, hi = d.min(), d.max()
+            val = self._rng.randint(lo, hi)
+            if not d.contains(val):
+                val = d.min()
+            left = Domain(val, val)
+        else:  # "min"
+            val = d.min()
+            left = Domain(val, val)
+        right = d.intersection_with(left.complement())
+        return left, right
+
     def search(self, doms: Doms,
                on_solution: Callable[[List[int]], bool]) -> str:
-        """DFS.  on_solution returns True to continue searching (e.g. for
-        enumeration / optimization), False to stop.  Returns "done" if the
-        tree was exhausted, "stopped" if the callback stopped the search, or
-        "limit" on branch/time limits."""
-        stack: List[Tuple[Doms, int, Domain]] = []
-        current = doms
+        """DFS to completion.  Returns "done" | "stopped" | "limit"."""
+        self.start_search(doms)
+        return self.search_budget(on_solution, self.max_branches)
+
+    def start_search(self, doms: Doms) -> None:
+        self._current = doms
+        self._stack = []
+
+    def search_budget(self, on_solution: Callable[[List[int]], bool],
+                      max_branches: int) -> str:
+        """Resumable DFS slice: runs until the tree is exhausted ("done"),
+        the callback stops it ("stopped"), the global limits hit ("limit"),
+        or the slice budget runs out ("paused") — the substrate for the
+        deterministic interleaved portfolio (reference subsolver.cc:111)."""
+        assert self._current is not None, "start_search first"
+        current = self._current
+        stack = self._stack
+        slice_end = self.num_branches + max_branches
 
         while True:
             if time.perf_counter() > self.deadline:
+                self._current = current
                 return "limit"
             v = self._pick_variable(current)
             if v is None:
                 values = [d.fixed_value() for d in current]
                 if not on_solution(values):
+                    self._current = current
                     return "stopped"
                 # treat as conflict: backtrack
-                if not stack:
-                    return "done"
                 current = self._backtrack(stack)
                 if current is None:
                     return "done"
                 continue
             if self.num_branches >= self.max_branches:
+                self._current = current
                 return "limit"
+            if self.num_branches >= slice_end:
+                self._current = current
+                return "paused"
             self.num_branches += 1
-            val = current[v].min()
-            rest = current[v].intersection_with(
-                Domain(val, val).complement()
-            )
-            # right branch: v != val with remaining domain `rest`
-            stack.append((list(current), v, rest))
+            left, right = self._branch_domains(current[v])
+            stack.append((list(current), v, right))
             try:
                 q: Set[int] = set()
-                self._set(current, v, Domain(val, val), q)
+                self._set(current, v, left, q)
                 self.propagate(current, q)
             except Conflict:
                 self.num_conflicts += 1

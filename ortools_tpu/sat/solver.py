@@ -49,6 +49,93 @@ def _objective_value(obj: ir.ObjectiveIR, values: List[int]) -> int:
     )
 
 
+def _solve_portfolio(model, work, obj, params, callback, deadline,
+                     hint_solution, n_orig, resp):
+    """Interleaved deterministic portfolio (num_workers > 1)."""
+    from ortools_tpu.sat.portfolio import InterleavedPortfolio
+    from ortools_tpu.utils.domain import Domain, INT_MIN
+
+    pf = InterleavedPortfolio(
+        work, params.num_workers, deadline, params.max_branches
+    )
+    state = {
+        "best": hint_solution,
+        "best_obj": None,
+    }
+    sense = 1
+    if obj is not None:
+        sense = -1 if obj.maximize else 1
+        if hint_solution is not None:
+            state["best_obj"] = sense * _objective_value(obj, hint_solution)
+            if callback is not None:
+                callback._on_solution(
+                    hint_solution,
+                    float(_objective_value(obj, hint_solution)),
+                )
+
+    def bound_ct():
+        if obj is None or state["best_obj"] is None:
+            return None
+        coeffs = [sense * c for c in obj.coeffs]
+        return ir.ConstraintIR(
+            "linear",
+            ir.LinearArgs(
+                list(obj.vars), coeffs,
+                Domain(INT_MIN,
+                       state["best_obj"] - sense * obj.offset - 1),
+            ),
+        )
+
+    def on_candidate(values):
+        values = values[:n_orig]
+        if not solution_is_feasible(model, values):
+            raise AssertionError(
+                "internal error: solution failed verification"
+            )
+        if obj is None:
+            state["best"] = values
+            if callback is not None:
+                callback._on_solution(values, None)
+            return True
+        v = sense * _objective_value(obj, values)
+        if state["best_obj"] is None or v < state["best_obj"]:
+            state["best"] = values
+            state["best_obj"] = v
+            if callback is not None:
+                callback._on_solution(
+                    values, float(_objective_value(obj, values))
+                )
+            return True
+        return False
+
+    out = pf.run(on_candidate, bound_ct, stop_on_first=obj is None)
+    best = state["best"]
+    if obj is None:
+        if best is not None:
+            return resp(SolveStatus.OPTIMAL, best,
+                        branches=pf.num_branches, conflicts=pf.num_conflicts)
+        if out.outcome in ("optimal", "infeasible"):
+            return resp(SolveStatus.INFEASIBLE, core=model.assumptions,
+                        branches=pf.num_branches, conflicts=pf.num_conflicts)
+        return resp(SolveStatus.UNKNOWN, branches=pf.num_branches,
+                    conflicts=pf.num_conflicts)
+    if best is None:
+        if out.outcome in ("optimal", "infeasible"):
+            return resp(SolveStatus.INFEASIBLE,
+                        bound=-float("inf") if obj.maximize else float("inf"),
+                        branches=pf.num_branches, conflicts=pf.num_conflicts,
+                        core=model.assumptions)
+        return resp(SolveStatus.UNKNOWN, branches=pf.num_branches,
+                    conflicts=pf.num_conflicts)
+    true_obj = float(_objective_value(obj, best))
+    if out.outcome in ("optimal", "infeasible"):
+        return resp(SolveStatus.OPTIMAL, best, true_obj, true_obj,
+                    pf.num_branches, pf.num_conflicts)
+    return resp(SolveStatus.FEASIBLE, best, true_obj,
+                -float("inf") if obj.maximize else float("inf"),
+                pf.num_branches, pf.num_conflicts)
+
+
 def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
                 callback=None) -> CpSolverResponse:
     params = params or SatParameters()
@@ -140,6 +227,10 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     best_obj: Optional[int] = None
     num_branches = 0
     num_conflicts = 0
+
+    if params.num_workers > 1 and not params.enumerate_all_solutions:
+        return _solve_portfolio(model, work, obj, params, callback,
+                                deadline, hint_solution, n_orig, resp)
 
     if obj is None:
         solutions_found = 0

@@ -1,0 +1,76 @@
+"""Interleaved portfolio tests (num_workers > 1, determinism contract)."""
+
+import numpy as np
+import pytest
+
+from ortools_tpu.sat import CpModel, CpSolver, INFEASIBLE, OPTIMAL
+
+
+def knapsack_model(n=14, seed=0):
+    rng = np.random.default_rng(seed)
+    m = CpModel()
+    xs = [m.new_bool_var(f"x{i}") for i in range(n)]
+    w = rng.integers(1, 20, n)
+    v = rng.integers(1, 30, n)
+    cap = int(w.sum() * 0.4)
+    m.add(sum(int(wi) * x for wi, x in zip(w, xs)) <= cap)
+    m.maximize(sum(int(vi) * x for vi, x in zip(v, xs)))
+    return m, xs
+
+
+def test_portfolio_optimization_matches_single_worker():
+    m, _ = knapsack_model()
+    s1 = CpSolver()
+    assert s1.solve(m) == OPTIMAL
+    m2, _ = knapsack_model()
+    s8 = CpSolver()
+    s8.parameters.num_workers = 8
+    assert s8.solve(m2) == OPTIMAL
+    assert s8.objective_value == s1.objective_value
+
+
+def test_portfolio_deterministic():
+    objs = []
+    branches = []
+    for _ in range(2):
+        m, _ = knapsack_model(seed=5)
+        s = CpSolver()
+        s.parameters.num_workers = 4
+        assert s.solve(m) == OPTIMAL
+        objs.append(s.objective_value)
+        branches.append(s.num_branches)
+    assert objs[0] == objs[1]
+    assert branches[0] == branches[1]  # deterministic interleave
+
+
+def test_portfolio_satisfaction():
+    m = CpModel()
+    q = [m.new_int_var(0, 7, f"q{i}") for i in range(8)]
+    m.add_all_different(q)
+    m.add_all_different([q[i] + i for i in range(8)])
+    m.add_all_different([q[i] - i for i in range(8)])
+    s = CpSolver()
+    s.parameters.num_workers = 4
+    assert s.solve(m) == OPTIMAL
+    vals = [s.value(x) for x in q]
+    assert sorted(vals) == list(range(8))
+
+
+def test_portfolio_infeasible():
+    m = CpModel()
+    x = m.new_int_var(0, 3, "x")
+    m.add(x >= 2)
+    m.add(x <= 1)
+    s = CpSolver()
+    s.parameters.num_workers = 4
+    assert s.solve(m) == INFEASIBLE
+
+
+def test_portfolio_with_optimization_and_hint():
+    m, xs = knapsack_model(seed=7)
+    # hint: empty knapsack (feasible)
+    for x in xs:
+        m.add_hint(x, 0)
+    s = CpSolver()
+    s.parameters.num_workers = 3
+    assert s.solve(m) == OPTIMAL
