@@ -379,11 +379,52 @@ class RoutingModel:
                 unassigned.remove(i)
                 progress = True
         dropped = []
+        mandatory_left = [i for i in unassigned if i not in optional]
+        if mandatory_left:
+            # cheapest-insertion dead-ended (e.g. unbalanced loads);
+            # retry bin-packing style: hardest (largest-demand) visits
+            # first, any feasible position, cheapest among them
+            ffd = self._first_solution_ffd(visits, cost, dims, optional)
+            if ffd is None:
+                return None
+            return ffd
         for i in unassigned:
-            if i in optional:
-                dropped.append(i)
-            else:
-                return None  # mandatory visit cannot be placed
+            dropped.append(i)
+        return routes, dropped
+
+    def _first_solution_ffd(self, visits, cost, dims, optional):
+        mgr = self.manager
+        nv = mgr.num_vehicles
+        routes: List[List[int]] = [[] for _ in range(nv)]
+        # order visits by total dimension demand, decreasing
+        def demand_key(i):
+            tot = 0
+            for d, mat in dims:
+                tot += int(mat[i].max())
+            return -tot
+
+        dropped = []
+        for i in sorted(visits, key=demand_key):
+            best = None
+            for v in range(nv):
+                r = routes[v]
+                seq = [mgr._starts[v]] + r + [mgr._ends[v]]
+                for pos in range(len(r) + 1):
+                    a, b = seq[pos], seq[pos + 1]
+                    delta = (int(cost[v][a, i]) + int(cost[v][i, b])
+                             - int(cost[v][a, b]))
+                    if best is not None and delta >= best[0]:
+                        continue
+                    cand = r[:pos] + [i] + r[pos:]
+                    if self._route_feasible(cand, v, dims):
+                        best = (delta, v, pos)
+            if best is None:
+                if i in optional:
+                    dropped.append(i)
+                    continue
+                return None
+            _, v, pos = best
+            routes[v] = routes[v][:pos] + [i] + routes[v][pos:]
         return routes, dropped
 
     def _improve(self, routes, dropped, cost, dims, optional, params,
