@@ -35,6 +35,54 @@ WORKER_CONFIGS = [
 ]
 
 SLICE_BRANCHES = 512
+LNS_BRANCHES = 2000  # per LNS subproblem solve
+LNS_RELAX_FRACTION = 0.3  # fraction of variables freed each round
+
+
+class LnsWorker:
+    """Large-neighborhood-search worker (reference cp_model_lns.h random
+    variable relaxation generator): fix a random subset of variables to the
+    incumbent, search the free rest under the objective bound."""
+
+    def __init__(self, work: "ir.CpModelIR", deadline: float,
+                 seed: int) -> None:
+        import random as _random
+
+        self.work = work
+        self.deadline = deadline
+        self._rng = _random.Random(seed)
+        self.num_branches = 0
+        self.num_conflicts = 0
+
+    def slice(self, best: Optional[List[int]],
+              bound_ct: Optional[ir.ConstraintIR],
+              cb) -> None:
+        if best is None:
+            return
+        nvars = len(self.work.variables)
+        keep = max(0, int(nvars * (1.0 - LNS_RELAX_FRACTION)))
+        fixed_idx = self._rng.sample(range(nvars), keep) if keep else []
+        cts = list(self.work.constraints)
+        if bound_ct is not None:
+            cts.append(bound_ct)
+        for v in fixed_idx:
+            val = best[v] if v < len(best) else 0
+            if not self.work.variables[v].domain.contains(val):
+                continue
+            cts.append(ir.ConstraintIR(
+                "linear", ir.LinearArgs([v], [1], Domain(val, val))
+            ))
+        sub = dataclasses.replace(self.work, constraints=cts)
+        e = Engine(sub, deadline=self.deadline, max_branches=LNS_BRANCHES,
+                   var_rule="random", value_rule="random",
+                   seed=self._rng.randrange(1 << 30))
+        doms = e.initial_domains()
+        try:
+            if e.root_propagate(doms):
+                e.search(doms, cb)
+        finally:
+            self.num_branches += e.num_branches
+            self.num_conflicts += e.num_conflicts
 
 
 @dataclasses.dataclass
@@ -50,11 +98,16 @@ class PortfolioOutcome:
 
 class InterleavedPortfolio:
     def __init__(self, work: ir.CpModelIR, num_workers: int,
-                 deadline: float, max_branches: int) -> None:
+                 deadline: float, max_branches: int,
+                 num_lns: int = 0) -> None:
         self.work = work
+        n_tree = max(1, num_workers - num_lns)
         self.configs = [
             WORKER_CONFIGS[i % len(WORKER_CONFIGS)]
-            for i in range(max(1, num_workers))
+            for i in range(n_tree)
+        ]
+        self.lns_workers = [
+            LnsWorker(work, deadline, seed=100 + k) for k in range(num_lns)
         ]
         self.deadline = deadline
         self.max_branches = max_branches
@@ -77,7 +130,9 @@ class InterleavedPortfolio:
 
     def run(self, on_candidate: Callable[[List[int]], bool],
             bound_ct_builder: Callable[[], Optional[ir.ConstraintIR]],
-            stop_on_first: bool = False) -> PortfolioOutcome:
+            stop_on_first: bool = False,
+            best_provider: Optional[Callable[[], Optional[List[int]]]]
+            = None) -> PortfolioOutcome:
         """Interleave workers until the search is decided.
 
         ``on_candidate(values) -> improved`` is called for each solution a
@@ -137,6 +192,17 @@ class InterleavedPortfolio:
                     self._accumulate(engines)
                     return PortfolioOutcome("limit", self.num_branches,
                                             self.num_conflicts)
+            # LNS workers: one neighborhood solve per round
+            if not restart[0] and self.lns_workers and \
+                    best_provider is not None:
+                for lw in self.lns_workers:
+                    lw.slice(best_provider(), bound_ct_builder(), cb)
+                    if found[0] is not None:
+                        improved = on_candidate(found[0])
+                        found[0] = None
+                        if improved:
+                            restart[0] = True
+                            break
             if restart[0]:
                 self._accumulate(engines)
                 engines = self._build_engines(bound_ct_builder())
@@ -156,3 +222,8 @@ class InterleavedPortfolio:
     def _accumulate(self, engines: List[Engine]) -> None:
         self.num_branches += sum(e.num_branches for e in engines)
         self.num_conflicts += sum(e.num_conflicts for e in engines)
+        for lw in self.lns_workers:
+            self.num_branches += lw.num_branches
+            self.num_conflicts += lw.num_conflicts
+            lw.num_branches = 0
+            lw.num_conflicts = 0

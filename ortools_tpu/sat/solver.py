@@ -55,8 +55,12 @@ def _solve_portfolio(model, work, obj, params, callback, deadline,
     from ortools_tpu.sat.portfolio import InterleavedPortfolio
     from ortools_tpu.utils.domain import Domain, INT_MIN
 
+    # Half the workers become LNS workers on optimization models
+    # (reference portfolio composition has a large LNS fleet, §2.4.6)
+    num_lns = params.num_workers // 2 if obj is not None else 0
     pf = InterleavedPortfolio(
-        work, params.num_workers, deadline, params.max_branches
+        work, params.num_workers, deadline, params.max_branches,
+        num_lns=num_lns,
     )
     state = {
         "best": hint_solution,
@@ -108,7 +112,8 @@ def _solve_portfolio(model, work, obj, params, callback, deadline,
             return True
         return False
 
-    out = pf.run(on_candidate, bound_ct, stop_on_first=obj is None)
+    out = pf.run(on_candidate, bound_ct, stop_on_first=obj is None,
+                 best_provider=lambda: state["best"])
     best = state["best"]
     if obj is None:
         if best is not None:
