@@ -97,15 +97,20 @@ def main():
     sigma = power_iter(prob, v0)
     state = initial_state(prob, sigma)
 
-    # Warmup/compile.
+    # Warmup/compile.  NOTE: on the experimental remote-TPU platform
+    # block_until_ready does not reliably wait, so completion is forced by
+    # pulling a scalar to the host.
+    def sync(arr):
+        return float(np.asarray(jnp.sum(arr)))
+
     state = run_block(prob, state)
-    jax.block_until_ready(state.x)
+    sync(state.x)
 
     best_dt = float("inf")
     for _ in range(TIMING_REPS):
         t0 = time.perf_counter()
         state = run_block(prob, state)
-        jax.block_until_ready(state.x)
+        sync(state.x)
         best_dt = min(best_dt, time.perf_counter() - t0)
     iters_done = MAJORS_TIMED * params.termination_check_frequency
     tpu_ips = iters_done / best_dt
@@ -137,12 +142,12 @@ def main():
                               in_axes=(axes, None)))
     vstate = init_v(vprob, sigma)
     vstate = run_block_v(vprob, vstate)  # warmup/compile
-    jax.block_until_ready(vstate.x)
+    sync(vstate.x)
     best_b = float("inf")
     for _ in range(TIMING_REPS):
         t0 = time.perf_counter()
         vstate = run_block_v(vprob, vstate)
-        jax.block_until_ready(vstate.x)
+        sync(vstate.x)
         best_b = min(best_b, time.perf_counter() - t0)
     batched_ips = (BATCH_MAJORS * params.termination_check_frequency
                    * bsz / best_b)
