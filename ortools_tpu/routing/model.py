@@ -128,8 +128,10 @@ class RoutingModel:
         self._vehicle_cost_evaluators: Dict[int, int] = {}
         self._dimensions: Dict[str, _Dimension] = {}
         self._disjunctions: List[Tuple[List[int], int]] = []
+        self._pd_pairs: List[Tuple[int, int]] = []
         self._fixed_vehicle_cost = [0] * manager.num_vehicles
         self._closed = False
+        self._initial_routes: Optional[List[List[int]]] = None
 
     # -- callbacks -------------------------------------------------------
     def register_transit_callback(self, fn: Callable[[int, int], int]) -> int:
@@ -199,6 +201,31 @@ class RoutingModel:
         self._disjunctions.append(([int(i) for i in indices], int(penalty)))
 
     AddDisjunction = add_disjunction
+
+    # -- pickup & delivery ----------------------------------------------
+    def add_pickup_and_delivery(self, pickup: int, delivery: int) -> None:
+        """Same vehicle must visit pickup before delivery (reference
+        routing.h AddPickupAndDelivery)."""
+        self._pd_pairs.append((int(pickup), int(delivery)))
+
+    AddPickupAndDelivery = add_pickup_and_delivery
+
+    def _pd_ok(self, routes: List[List[int]]) -> bool:
+        if not self._pd_pairs:
+            return True
+        where = {}
+        for v, r in enumerate(routes):
+            for pos, node in enumerate(r):
+                where[node] = (v, pos)
+        for p, d in self._pd_pairs:
+            wp, wd = where.get(p), where.get(d)
+            if wp is None and wd is None:
+                continue  # both dropped
+            if wp is None or wd is None:
+                return False  # split pair
+            if wp[0] != wd[0] or wp[1] >= wd[1]:
+                return False
+        return True
 
     # -- index helpers ---------------------------------------------------
     def start(self, vehicle: int) -> int:
@@ -276,10 +303,25 @@ class RoutingModel:
             for i in idxs:
                 optional[i] = pen
 
-        routes = self._first_solution(visits, cost, dims, optional)
-        if routes is None:
+        if self._initial_routes is not None:
+            routes0 = [list(r) for r in self._initial_routes]
+            placed = {i for r in routes0 for i in r}
+            dropped0 = [i for i in visits if i not in placed]
+            if any(i not in optional for i in dropped0):
+                return None
+            for v, r in enumerate(routes0):
+                if not self._route_feasible(r, v, dims):
+                    return None
+            if not self._pd_ok(routes0):
+                return None
+            result = (routes0, dropped0)
+        elif self._pd_pairs:
+            result = self._first_solution_pd(visits, cost, dims, optional)
+        else:
+            result = self._first_solution(visits, cost, dims, optional)
+        if result is None:
             return None
-        routes, dropped = routes
+        routes, dropped = result
         best = self._improve(routes, dropped, cost, dims, optional,
                              params, deadline)
         if best is None:
@@ -300,6 +342,80 @@ class RoutingModel:
         return self.solve_with_parameters()
 
     Solve = solve
+
+    def solve_from_routes(self, routes_by_vehicle: List[List[int]],
+                          params: Optional[RoutingSearchParameters] = None
+                          ) -> Optional[Assignment]:
+        """Warm-started solve from given routes (node lists per vehicle,
+        without depots) — the reference's SolveFromAssignmentWithParameters
+        (routing.cc:2530)."""
+        self._initial_routes = [list(r) for r in routes_by_vehicle]
+        try:
+            return self.solve_with_parameters(params)
+        finally:
+            self._initial_routes = None
+
+    SolveFromRoutes = solve_from_routes
+
+    def _first_solution_pd(self, visits, cost, dims, optional):
+        """Joint pair insertion, then singles (parity: the reference's
+        pickup-and-delivery-aware first solution strategies)."""
+        mgr = self.manager
+        nv = mgr.num_vehicles
+        pair_nodes = {n for pr in self._pd_pairs for n in pr}
+        pairs = [pr for pr in self._pd_pairs
+                 if pr[0] in visits or pr[1] in visits]
+        singles = [i for i in visits if i not in pair_nodes]
+        routes: List[List[int]] = [[] for _ in range(nv)]
+
+        def route_cost(v, r):
+            seq = [mgr._starts[v]] + r + [mgr._ends[v]]
+            return sum(int(cost[v][a, b]) for a, b in zip(seq, seq[1:]))
+
+        dropped = []
+        for p, d in pairs:
+            best = None
+            for v in range(nv):
+                r = routes[v]
+                base = route_cost(v, r)
+                for i in range(len(r) + 1):
+                    for j in range(i, len(r) + 1):
+                        cand = r[:i] + [p] + r[i:j] + [d] + r[j:]
+                        if not self._route_feasible(cand, v, dims):
+                            continue
+                        delta = route_cost(v, cand) - base
+                        if best is None or delta < best[0]:
+                            best = (delta, v, cand)
+            if best is None:
+                if p in optional and d in optional:
+                    dropped.extend([p, d])
+                    continue
+                return None
+            _, v, cand = best
+            routes[v] = cand
+        # singles via cheapest insertion with pd order preserved trivially
+        for i in sorted(singles):
+            best = None
+            for v in range(nv):
+                r = routes[v]
+                base = route_cost(v, r)
+                for pos in range(len(r) + 1):
+                    cand = r[:pos] + [i] + r[pos:]
+                    if not self._route_feasible(cand, v, dims):
+                        continue
+                    delta = route_cost(v, cand) - base
+                    if i in optional and delta >= optional[i]:
+                        continue
+                    if best is None or delta < best[0]:
+                        best = (delta, v, cand)
+            if best is None:
+                if i in optional:
+                    dropped.append(i)
+                    continue
+                return None
+            _, v, cand = best
+            routes[v] = cand
+        return routes, dropped
 
     # -- internals -------------------------------------------------------
     def _route_feasible(self, route: List[int], vehicle: int, dims) -> bool:
@@ -471,6 +587,8 @@ class RoutingModel:
                                 continue
                             trial = [list(x) for x in cur]
                             trial[v] = cand
+                            if not self._pd_ok(trial):
+                                continue
                             if self._objective(trial, [], cost, optional) < \
                                self._objective(cur, [], cost, optional):
                                 cur[v] = cand
@@ -501,6 +619,8 @@ class RoutingModel:
                                     continue
                                 if not self._route_feasible(r2, v2, dims):
                                     continue
+                            if not self._pd_ok(trial):
+                                continue
                             old = self._objective(cur, [], cost, optional)
                             new = self._objective(trial, [], cost, optional)
                             if new < old:

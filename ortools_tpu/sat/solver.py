@@ -186,6 +186,20 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
 
     work = expand_model(work)
 
+    # Presolve: domain reduction + constraint simplification
+    # (reference PresolveCpModel, cp_model_solver.cc:4342).
+    if params.cp_model_presolve:
+        from ortools_tpu.sat.presolve import presolve_model
+
+        presolved = presolve_model(work)
+        if presolved is None:
+            return resp(
+                SolveStatus.INFEASIBLE,
+                bound=math.inf if obj and not obj.maximize else -math.inf,
+                core=model.assumptions,
+            )
+        work = presolved
+
     engine = Engine(work, deadline=deadline,
                     max_branches=params.max_branches)
     doms = engine.initial_domains()

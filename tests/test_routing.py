@@ -197,6 +197,49 @@ def test_parse_solomon():
     assert inst.due_times.tolist() == [230, 200, 180]
 
 
+def test_pickup_and_delivery():
+    rng = np.random.default_rng(4)
+    n = 9
+    pts = rng.uniform(0, 100, (n, 2))
+    d = np.round(np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+                 ).astype(np.int64)
+    mgr = RoutingIndexManager(n, 2, 0)
+    routing = RoutingModel(mgr)
+    cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.set_arc_cost_evaluator_of_all_vehicles(cb)
+    pairs = [(1, 2), (3, 4), (5, 6)]
+    for p, dl in pairs:
+        routing.add_pickup_and_delivery(p, dl)
+    sol = routing.solve()
+    assert sol is not None
+    routes = [[mgr.index_to_node(i) for i in r[1:-1]]
+              for r in sol.routes()]
+    where = {}
+    for v, r in enumerate(routes):
+        for pos, node in enumerate(r):
+            where[node] = (v, pos)
+    for p, dl in pairs:
+        assert where[p][0] == where[dl][0], (p, dl, routes)
+        assert where[p][1] < where[dl][1], (p, dl, routes)
+
+
+def test_solve_from_routes_warm_start():
+    n = 6
+    d = (np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]) * 7
+         ).astype(np.int64)
+    mgr = RoutingIndexManager(n, 1, 0)
+    routing = RoutingModel(mgr)
+    cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.set_arc_cost_evaluator_of_all_vehicles(cb)
+    # deliberately bad initial route; local search must fix it
+    sol = routing.solve_from_routes([[3, 1, 5, 2, 4]])
+    assert sol is not None
+    cold = routing.solve()
+    assert sol.objective_value() == cold.objective_value()
+    # mandatory visit missing from initial routes -> None
+    assert routing.solve_from_routes([[1, 2]]) is None
+
+
 def test_vrptw_time_windows():
     # two customers; window forces visiting 2 before 1
     inst_d = np.array([
