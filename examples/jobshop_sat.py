@@ -24,7 +24,8 @@ def main(budget_sec: float = 8.0):
             f"m{m}@{s}+{d}" for (m, d), s in zip(instance.jobs[j], starts)
         )
         print(f"  job {j}: {ops}")
-    assert solution.makespan == 55  # known optimum, reached in seconds
+    assert solution.makespan == 55  # known optimum
+    assert solution.optimal  # proven via disjunctive branching
     return solution.makespan
 
 

@@ -66,14 +66,23 @@ class JobshopSolution:
 
 def solve_jobshop(instance: JobshopInstance,
                   max_time_in_seconds: float = 60.0,
-                  horizon: Optional[int] = None) -> Optional[JobshopSolution]:
-    """Interval + no_overlap CP model (reference jobshop_sat.cc shape)."""
+                  horizon: Optional[int] = None,
+                  disjunctive_branching: bool = True
+                  ) -> Optional[JobshopSolution]:
+    """Interval + no_overlap CP model (reference jobshop_sat.cc shape).
+
+    With ``disjunctive_branching`` the model adds machine-pair order
+    booleans (b => end_i <= start_j; !b => end_j <= start_i) so the search
+    branches on sequencing decisions instead of start values — the
+    classical disjunctive-scheduling branching scheme (start values then
+    follow by propagation)."""
     from ortools_tpu.sat import CpModel, CpSolver, FEASIBLE, OPTIMAL
 
     m = CpModel()
     horizon = horizon or instance.horizon
     all_ops = {}
     machine_ivs = {mm: [] for mm in range(instance.num_machines)}
+    machine_ops = {mm: [] for mm in range(instance.num_machines)}
     for j, job in enumerate(instance.jobs):
         prev_end = None
         for o, (mach, dur) in enumerate(job):
@@ -81,12 +90,27 @@ def solve_jobshop(instance: JobshopInstance,
             iv = m.new_fixed_size_interval_var(start, dur, f"iv_{j}_{o}")
             all_ops[j, o] = (start, dur)
             machine_ivs[mach].append(iv)
+            machine_ops[mach].append((start, dur, j, o))
             if prev_end is not None:
                 m.add(start >= prev_end)
             prev_end = start + dur
+    order_bools = []
     for mach, ivs in machine_ivs.items():
         if len(ivs) > 1:
             m.add_no_overlap(ivs)
+    if disjunctive_branching:
+        for mach, ops in machine_ops.items():
+            for a in range(len(ops)):
+                for b in range(a + 1, len(ops)):
+                    s1, d1, j1, o1 = ops[a]
+                    s2, d2, j2, o2 = ops[b]
+                    lit = m.new_bool_var(f"ord_m{mach}_{j1}{o1}_{j2}{o2}")
+                    m.add(s1 + d1 <= s2).only_enforce_if(lit)
+                    m.add(s2 + d2 <= s1).only_enforce_if(~lit)
+                    order_bools.append(lit)
+        # branch on sequencing decisions first
+        m.add_decision_strategy(order_bools, "choose_first",
+                                "select_min_value")
     makespan = m.new_int_var(0, horizon, "makespan")
     m.add_max_equality(
         makespan,

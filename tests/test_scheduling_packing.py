@@ -30,13 +30,14 @@ def test_parse_jobshop():
     assert inst.horizon == sum(d for j in inst.jobs for _, d in j)
 
 
-def test_ft06_reaches_known_optimum():
-    # ft06 optimal makespan is 55; the engine finds it within seconds
-    # (proving optimality needs clause learning — later round)
+def test_ft06_proven_optimal():
+    # ft06 optimal makespan is 55; with disjunctive order-boolean
+    # branching the engine proves optimality in ~2s
     inst = parse_jobshop(FT06, is_text=True)
-    sol = solve_jobshop(inst, max_time_in_seconds=8.0)
+    sol = solve_jobshop(inst, max_time_in_seconds=20.0)
     assert sol is not None
     assert sol.makespan == 55
+    assert sol.optimal
     _check_jobshop_solution(inst, sol)
 
 
