@@ -378,13 +378,17 @@ class Solver:
 
     # -- backends -------------------------------------------------------
     def _solve_pdlp(self, qp: QuadraticProgram, **kw) -> MPSolverStatus:
+        import jax
         import jax.numpy as jnp
 
         from ortools_tpu.pdlp import PdhgParams, solve as pdlp_solve
         from ortools_tpu.utils.status import TerminationReason
 
+        # f64 when the backend supports it (CPU with x64), else f32
+        dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
+                 else jnp.float32)
         params = kw.pop("pdhg_params", None) or PdhgParams(
-            dtype=jnp.float64, **kw
+            dtype=dtype, **kw
         )
         r = pdlp_solve(qp, params)
         self._values = r.primal_solution

@@ -107,10 +107,14 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
     int_idx = np.nonzero(integrality)[0]
     a = sp.csr_matrix(qp_min.constraint_matrix)
 
+    import jax
+
+    lp_dtype = (jnp.float64 if jax.config.read("jax_enable_x64")
+                else jnp.float32)
     lp_params = params.lp_params or PdhgParams(
-        dtype=jnp.float64,
-        eps_optimal_absolute=1e-7,
-        eps_optimal_relative=1e-7,
+        dtype=lp_dtype,
+        eps_optimal_absolute=1e-7 if lp_dtype == jnp.float64 else 1e-6,
+        eps_optimal_relative=1e-7 if lp_dtype == jnp.float64 else 1e-6,
         iteration_limit=50_000,
     )
 
