@@ -41,7 +41,8 @@ class Engine:
                  max_branches: int = 10_000_000,
                  var_rule: str = "min_domain",
                  value_rule: str = "min",
-                 seed: int = 0) -> None:
+                 seed: int = 0,
+                 value_hints: Optional[Dict[int, int]] = None) -> None:
         self.model = model
         self.deadline = deadline
         self.max_branches = max_branches
@@ -49,6 +50,9 @@ class Engine:
         self.num_conflicts = 0
         self.var_rule = var_rule  # min_domain | random | first
         self.value_rule = value_rule  # min | max | split | random
+        # partial solution hints used as value ordering (the reference's
+        # hint-following search, cp_model_solver QuickSolveWithHint role)
+        self.value_hints = value_hints or {}
         import random as _random
 
         self._rng = _random.Random(seed)
@@ -704,8 +708,13 @@ class Engine:
                     break
         return best_v
 
-    def _branch_domains(self, d: Domain) -> Tuple[Domain, Domain]:
+    def _branch_domains(self, d: Domain, var: int = -1
+                        ) -> Tuple[Domain, Domain]:
         """(left, right) split of a non-fixed domain per value_rule."""
+        hint = self.value_hints.get(var)
+        if hint is not None and d.contains(hint):
+            left = Domain(hint, hint)
+            return left, d.intersection_with(left.complement())
         if self.value_rule == "max":
             val = d.max()
             left = Domain(val, val)
@@ -770,7 +779,7 @@ class Engine:
                 self._current = current
                 return "paused"
             self.num_branches += 1
-            left, right = self._branch_domains(current[v])
+            left, right = self._branch_domains(current[v], v)
             stack.append((list(current), v, right))
             try:
                 q: Set[int] = set()

@@ -121,10 +121,12 @@ class InterleavedPortfolio:
             cts = cts + [bound_ct]
         model = dataclasses.replace(self.work, constraints=cts)
         engines = []
+        hints = dict(self.work.solution_hint)
         for name, var_rule, value_rule, seed in self.configs:
             e = Engine(model, deadline=self.deadline,
                        max_branches=self.max_branches,
-                       var_rule=var_rule, value_rule=value_rule, seed=seed)
+                       var_rule=var_rule, value_rule=value_rule, seed=seed,
+                       value_hints=hints)
             engines.append(e)
         return engines
 

@@ -200,8 +200,10 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
             )
         work = presolved
 
+    value_hints = dict(model.solution_hint)
     engine = Engine(work, deadline=deadline,
-                    max_branches=params.max_branches)
+                    max_branches=params.max_branches,
+                    value_hints=value_hints)
     doms = engine.initial_domains()
     if not engine.root_propagate(doms):
         return resp(
@@ -327,7 +329,8 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
             work, constraints=list(work.constraints) + bound_cts
         )
         engine = Engine(work_iter, deadline=deadline,
-                        max_branches=params.max_branches - num_branches)
+                        max_branches=params.max_branches - num_branches,
+                        value_hints=value_hints)
         doms = engine.initial_domains()
         if not engine.root_propagate(doms):
             break  # no better solution exists: current best is optimal

@@ -251,6 +251,18 @@ def test_infeasible_model():
     assert s.solve(m) == INFEASIBLE
 
 
+def test_partial_hint_guides_values():
+    # partial hint: only some vars hinted; search follows them when feasible
+    m = CpModel()
+    xs = [m.new_int_var(0, 9, f"x{i}") for i in range(6)]
+    m.add(sum(xs) >= 10)
+    m.add_hint(xs[0], 7)
+    m.add_hint(xs[1], 3)
+    s = CpSolver()
+    assert s.solve(m) == OPTIMAL
+    assert s.value(xs[0]) == 7 and s.value(xs[1]) == 3
+
+
 def test_hint_used():
     m = CpModel()
     x = m.new_int_var(0, 1000, "x")
