@@ -64,7 +64,20 @@ def cpu_baseline_iters_per_sec(qp, iters: int = 192) -> float:
 
 
 def main():
+    t_start = time.perf_counter()
+    import os
+
     import jax
+
+    # Persistent compile cache: the first bench run of a session pays the
+    # (remote) compiles, later runs start timing immediately.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from ortools_tpu.models.generators import block_random_lp
@@ -90,11 +103,14 @@ def main():
         )
 
     initial_state = jax.jit(S._make_initial_state(params))
-    power_iter = jax.jit(S._make_power_iter(params))
 
-    v0 = jax.random.normal(jax.random.PRNGKey(0), (prob.c.shape[0],),
-                           dtype=prob.c.dtype)
-    sigma = power_iter(prob, v0)
+    # sigma_max upper bound computed on the host (sqrt(norm1 * norminf))
+    # — avoids compiling the power-iteration program just for the bench;
+    # the adaptive step rule corrects the initial step anyway.
+    a_csr = sp.csr_matrix(abs(qp.constraint_matrix))
+    norm_inf = float(a_csr.sum(axis=1).max())
+    norm_1 = float(a_csr.sum(axis=0).max())
+    sigma = jnp.asarray(np.sqrt(norm_inf * norm_1), dtype=params.dtype)
     state = initial_state(prob, sigma)
 
     # Warmup/compile.  NOTE: on the experimental remote-TPU platform
@@ -118,7 +134,13 @@ def main():
     cpu_ips = cpu_baseline_iters_per_sec(qp)
 
     # Extra: batched PDHG (B&B-node / scenario batch axis -> SpMM on the
-    # MXU).  Reports aggregate LP-iterations/s across the batch.
+    # MXU).  Reports aggregate LP-iterations/s across the batch.  Remote
+    # compile times vary; skip the extra if the headline metric already
+    # consumed the budget (the primary metric always lands).
+    batched_ips = None
+    if time.perf_counter() - t_start > 300:
+        _emit(tpu_ips, cpu_ips, batched_ips, nnz, jax)
+        return
     from ortools_tpu.pdlp.batched import _prob_axes
 
     bsz = 64
@@ -151,17 +173,21 @@ def main():
         best_b = min(best_b, time.perf_counter() - t0)
     batched_ips = (BATCH_MAJORS * params.termination_check_frequency
                    * bsz / best_b)
+    _emit(tpu_ips, cpu_ips, batched_ips, nnz, jax)
 
+
+def _emit(tpu_ips, cpu_ips, batched_ips, nnz, jax):
     out = {
         "metric": "pdhg_iterations_per_sec_per_chip",
         "value": round(tpu_ips, 2),
         "unit": "iter/s",
         "vs_baseline": round(tpu_ips / cpu_ips, 3),
         "baseline_cpu_iter_per_sec": round(cpu_ips, 2),
-        "batched64_lp_iterations_per_sec": round(batched_ips, 2),
         "problem": {"m": M, "n": N, "nnz": int(nnz), "dtype": "float32"},
         "device": str(jax.devices()[0]),
     }
+    if batched_ips is not None:
+        out["batched64_lp_iterations_per_sec"] = round(batched_ips, 2)
     print(json.dumps(out))
 
 
