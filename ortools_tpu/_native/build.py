@@ -58,6 +58,15 @@ def load_library(name: str = "graph") -> ctypes.CDLL:
                 except OSError:
                     pass
             _build(src, out)
-        lib = ctypes.CDLL(str(out))
+        try:
+            lib = ctypes.CDLL(str(out))
+        except OSError:
+            # a stale/foreign-arch binary was on disk: rebuild from source
+            try:
+                out.unlink()
+            except OSError:
+                pass
+            _build(src, out)
+            lib = ctypes.CDLL(str(out))
         _CACHE[name] = lib
         return lib

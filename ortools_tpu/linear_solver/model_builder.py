@@ -403,7 +403,20 @@ class Solver:
             TerminationReason.TIME_LIMIT,
             TerminationReason.KKT_MATRIX_PASS_LIMIT,
         ):
-            self._status = MPSolverStatus.FEASIBLE
+            # FEASIBLE only when the returned iterate actually satisfies
+            # the constraints to tolerance (MPSolver semantics: FEASIBLE
+            # means "usable solution").  An arbitrary unconverged iterate
+            # is NOT_SOLVED.
+            scale = 1.0 + max(
+                float(np.max(np.abs(qp.constraint_lower[
+                    np.isfinite(qp.constraint_lower)]), initial=0.0)),
+                float(np.max(np.abs(qp.constraint_upper[
+                    np.isfinite(qp.constraint_upper)]), initial=0.0)),
+            )
+            if r.primal_residual <= 1e-4 * scale:
+                self._status = MPSolverStatus.FEASIBLE
+            else:
+                self._status = MPSolverStatus.NOT_SOLVED
         elif r.termination_reason == TerminationReason.PRIMAL_INFEASIBLE:
             self._status = MPSolverStatus.INFEASIBLE
         elif r.termination_reason == TerminationReason.DUAL_INFEASIBLE:

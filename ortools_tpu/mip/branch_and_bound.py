@@ -69,6 +69,7 @@ class _Node:
     ub: np.ndarray = dataclasses.field(compare=False)
     warm_x: Optional[np.ndarray] = dataclasses.field(compare=False, default=None)
     warm_y: Optional[np.ndarray] = dataclasses.field(compare=False, default=None)
+    retries: int = dataclasses.field(compare=False, default=0)
 
 
 def _check_feasible(qp: QuadraticProgram, x: np.ndarray, tol: float) -> bool:
@@ -134,6 +135,8 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
     heapq.heappush(frontier, _Node(-math.inf, seq, lb0, ub0))
     num_nodes = 0
     status = MPSolverStatus.NOT_SOLVED
+    had_inexact_nodes = False  # nodes dropped without an exactness proof
+    dropped_bound = math.inf  # best bound among dropped nodes
 
     def gap_closed(bound: float) -> bool:
         if incumbent_x is None:
@@ -190,32 +193,61 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             if warm_x is not None
             else None
         )
-        res = solve_batch(qp_min, lbs, ubs, lp_params,
+        # Escalate the LP budget for retried (hard) nodes.
+        max_retries_in_batch = max(nd.retries for nd in batch)
+        batch_lp_params = lp_params
+        if max_retries_in_batch > 0:
+            batch_lp_params = dataclasses.replace(
+                lp_params,
+                iteration_limit=lp_params.iteration_limit
+                * 4**max_retries_in_batch,
+            )
+        res = solve_batch(qp_min, lbs, ubs, batch_lp_params,
                           warm_start_x=warm_x, warm_start_y=warm_y)
         for i, nd in enumerate(batch):
             x_lp = res.primal_solution[i]
-            lp_obj = res.primal_objective[i]
-            node_bound = max(nd.bound, res.dual_objective[i])
-            if not res.optimal[i]:
-                # Unconverged LP: infeasible node (large residual) or hard
-                # LP.  If the primal residual is clearly nonzero, prune as
-                # infeasible; otherwise keep the node's parent bound.
-                if res.primal_residual[i] > 1e-4 * (1.0 + float(np.abs(
-                        qp_min.constraint_upper[np.isfinite(
-                            qp_min.constraint_upper)]).max(initial=1.0))):
-                    continue
-                node_bound = nd.bound
+            # res.dual_bound is a *valid* lower bound on the node LP (exact
+            # Lagrangian dual value of the dual iterate) even when the LP
+            # did not converge — unlike dual_objective, it is safe to
+            # prune on (ADVICE r1: never prune on an unproven residual).
+            node_bound = max(nd.bound, float(res.dual_bound[i]))
+            if res.primal_infeasible[i]:
+                # Verified dual-ray certificate: the node LP is infeasible.
+                continue
             if gap_closed(node_bound):
                 continue
             try_incumbent(x_lp)
             frac = np.abs(x_lp[int_idx] - np.round(x_lp[int_idx])) \
                 if len(int_idx) else np.zeros(0)
             if frac.size == 0 or frac.max() <= params.integrality_tol:
-                # integer-feasible LP optimum: node is solved exactly
-                continue
-            # Branch on the most fractional integer variable.
-            j = int(int_idx[int(np.argmax(frac))])
-            xj = x_lp[j]
+                if res.optimal[i]:
+                    # integer-feasible LP optimum: node is solved exactly
+                    continue
+                # Unconverged LP whose iterate happens to look integral:
+                # nothing is proven.  Branch on any unfixed integer
+                # variable to make progress; if all are fixed, retry the
+                # node with a bigger LP budget (bounded escalation).
+                unfixed = int_idx[(nd.ub[int_idx] - nd.lb[int_idx]) > 0.5]
+                if len(unfixed) == 0:
+                    if nd.retries < 2:
+                        seq += 1
+                        heapq.heappush(frontier, _Node(
+                            node_bound, seq, nd.lb, nd.ub,
+                            warm_x=x_lp, warm_y=res.dual_solution[i],
+                            retries=nd.retries + 1,
+                        ))
+                    else:
+                        # give up on proving this node: the final status
+                        # may no longer claim OPTIMAL
+                        had_inexact_nodes = True
+                        dropped_bound = min(dropped_bound, node_bound)
+                    continue
+                j = int(unfixed[0])
+                xj = 0.5 * (nd.lb[j] + nd.ub[j])
+            else:
+                # Branch on the most fractional integer variable.
+                j = int(int_idx[int(np.argmax(frac))])
+                xj = x_lp[j]
             for lo_add, hi_add in (
                 (None, math.floor(xj + params.integrality_tol)),
                 (math.ceil(xj - params.integrality_tol), None),
@@ -244,14 +276,20 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                   f"incumbent={incumbent_obj:.6f} bound={fb:.6f}")
 
     if not frontier and status == MPSolverStatus.NOT_SOLVED:
-        status = (
-            MPSolverStatus.OPTIMAL if incumbent_x is not None
-            else MPSolverStatus.INFEASIBLE
-        )
-    best_bound = (
-        min([nd.bound for nd in frontier], default=incumbent_obj)
-        if frontier else incumbent_obj
-    )
+        if had_inexact_nodes:
+            # some nodes were abandoned without an exactness proof — the
+            # search is exhausted but optimality cannot be claimed
+            status = (MPSolverStatus.FEASIBLE if incumbent_x is not None
+                      else MPSolverStatus.NOT_SOLVED)
+        else:
+            status = (
+                MPSolverStatus.OPTIMAL if incumbent_x is not None
+                else MPSolverStatus.INFEASIBLE
+            )
+    bound_candidates = [nd.bound for nd in frontier]
+    if had_inexact_nodes:
+        bound_candidates.append(dropped_bound)
+    best_bound = min(bound_candidates) if bound_candidates else incumbent_obj
     sol = incumbent_x if incumbent_x is not None else np.zeros(n)
     return MipResult(
         status=status,

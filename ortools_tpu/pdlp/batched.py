@@ -32,9 +32,18 @@ class BatchSolveResult:
     # All arrays have leading batch dim B.
     primal_objective: np.ndarray
     dual_objective: np.ndarray
+    # Mathematically valid per-instance lower bound on the LP optimum
+    # derived from the dual iterate alone (exact Lagrangian dual value;
+    # -inf when the iterate certifies nothing).  Safe for B&B pruning even
+    # when `optimal` is False.
+    dual_bound: np.ndarray
     primal_residual: np.ndarray
     dual_residual: np.ndarray
     optimal: np.ndarray  # bool
+    # Verified infeasibility certificates (reference termination.h:74):
+    # primal_infeasible[i] — a dual ray proves instance i's LP infeasible.
+    primal_infeasible: np.ndarray  # bool
+    dual_infeasible: np.ndarray  # bool (unbounded LP)
     primal_solution: np.ndarray  # [B, n] original space
     dual_solution: np.ndarray  # [B, m]
     iterations: int
@@ -165,6 +174,9 @@ def solve_batch(
 
     iterations = 0
     done = np.zeros(bsz, dtype=bool)
+    optimal = np.zeros(bsz, dtype=bool)
+    primal_infeasible = np.zeros(bsz, dtype=bool)
+    dual_infeasible = np.zeros(bsz, dtype=bool)
     kkt_at_restart = np.full(bsz, np.inf)
     last_cand_kkt = np.full(bsz, np.inf)
     iters_at_restart = np.zeros(bsz)
@@ -185,6 +197,7 @@ def solve_batch(
         for which, ok in (("current", ok_cur), ("average", ok_avg)):
             for i in np.nonzero(ok)[0]:
                 done[i] = True
+                optimal[i] = True
                 src = cur if which == "current" else avg
                 best_stats[i] = {k: float(np.asarray(v)[i]) for k, v in src.items()}
                 if which == "current":
@@ -193,6 +206,33 @@ def solve_batch(
                 else:
                     best_x[i] = np.asarray(stats["x_avg"][i])
                     best_y[i] = np.asarray(stats["y_avg"][i])
+        if done.all():
+            break
+        # Verified infeasibility certificates (reference termination.h:74):
+        # check both candidate rays (iterate difference and current
+        # iterate) per instance; a certified instance is done.
+        eps_pi = params.eps_primal_infeasible
+        eps_di = params.eps_dual_infeasible
+        for key in ("infeas_diff", "infeas_current"):
+            inf = {k: np.asarray(v, dtype=np.float64)
+                   for k, v in stats[key].items()}
+            ny, nx = inf["ray_norm_y"], inf["ray_norm_x"]
+            pinf = ((ny > 0)
+                    & (inf["max_dual_ray_infeasibility"] <= eps_pi * ny)
+                    & (inf["dual_ray_objective"] > 0) & ~done)
+            dinf = ((nx > 0)
+                    & (inf["max_primal_ray_infeasibility"] <= eps_di * nx)
+                    & (inf["max_quadratic_ray"] <= eps_di * nx)
+                    & (inf["primal_ray_objective"] < 0) & ~done & ~pinf)
+            for i in np.nonzero(pinf | dinf)[0]:
+                done[i] = True
+                primal_infeasible[i] = bool(pinf[i])
+                dual_infeasible[i] = bool(dinf[i])
+                best_stats[i] = {
+                    k: float(np.asarray(v)[i]) for k, v in cur.items()
+                }
+                best_x[i] = np.asarray(state.x[i])
+                best_y[i] = np.asarray(state.y[i])
         if done.all():
             break
         # vectorized adaptive-KKT restart decision (host numpy)
@@ -254,9 +294,14 @@ def solve_batch(
         dual_objective=np.array(
             [s["dual_objective"] + const for s in best_stats]
         ),
+        dual_bound=np.array(
+            [s.get("dual_bound", -math.inf) + const for s in best_stats]
+        ),
         primal_residual=np.array([s["primal_residual"] for s in best_stats]),
         dual_residual=np.array([s["dual_residual"] for s in best_stats]),
-        optimal=done.copy(),
+        optimal=optimal,
+        primal_infeasible=primal_infeasible,
+        dual_infeasible=dual_infeasible,
         primal_solution=x_orig,
         dual_solution=y_orig,
         iterations=iterations,

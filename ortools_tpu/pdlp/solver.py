@@ -454,9 +454,27 @@ def _iterate_stats(prob: DeviceProblem, x, y, ax, aty,
     )
     dual_obj = con_term + var_term - 0.5 * jnp.vdot(prob.orig_q, x_o * x_o)
 
+    # A *valid* lower bound on the optimum from y alone: the exact
+    # Lagrangian dual value  con_term(y) + sum_i min_{x_i in [lb,ub]}
+    # (r0_i x_i + q_i x_i^2 / 2)  with r0 = c - A^T y.  Unlike
+    # dual_objective above (which drops wrong-sign reduced costs as
+    # "residuals", reference iteration_stats.cc:180-236), this is safe to
+    # prune on even for unconverged iterates: entries whose minimum is
+    # -inf propagate -inf.  Used by mip/branch_and_bound node pruning.
+    r0 = prob.orig_c - aty_o
+    q = prob.orig_q
+    lin_term = jnp.where(r0 > 0, r0 * prob.orig_var_lb, 0.0) + jnp.where(
+        r0 < 0, r0 * prob.orig_var_ub, 0.0
+    )
+    xq = jnp.clip(-r0 / jnp.where(q > 0, q, 1.0), prob.orig_var_lb,
+                  prob.orig_var_ub)
+    quad_term = r0 * xq + 0.5 * q * xq * xq
+    dual_bound = con_term + jnp.sum(jnp.where(q > 0, quad_term, lin_term))
+
     return dict(
         primal_objective=primal_obj,
         dual_objective=dual_obj,
+        dual_bound=dual_bound,
         primal_residual=_norm(primal_viol, norm),
         dual_residual=_norm(dual_viol, norm),
         reduced_costs=reduced_costs,

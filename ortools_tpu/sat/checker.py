@@ -129,6 +129,11 @@ def validate_model(model: ir.CpModelIR) -> List[str]:
                 errs.append(f"{where}: times/changes length mismatch")
             for e in a.time_exprs + a.level_changes:
                 check_expr(e, where)
+            for e in a.level_changes:
+                if e.vars:
+                    errs.append(f"{where}: variable level changes are not "
+                                "supported")
+                    break
             if a.active_literals and len(a.active_literals) != len(
                 a.time_exprs
             ):
@@ -243,16 +248,23 @@ def constraint_is_feasible(model: ir.CpModelIR, ct: ir.ConstraintIR,
                    ir.eval_expr(a.end, values))
         return z >= 0 and s + z == e
     if k == "no_overlap":
+        # Reference semantics (cp_model_checker.cc
+        # NoOverlapConstraintIsFeasible): a feasible *ordering* must exist,
+        # and size-0 intervals DO matter (cp_model.proto:131-133) — a point
+        # interval strictly inside another interval is infeasible.
         spans = []
         for kk in a.intervals:
             if not _interval_present(model, kk, values):
                 continue
-            s, z, e = _interval_fields(model, kk, values)
-            if z > 0:
-                spans.append((s, e))
+            s, z, _ = _interval_fields(model, kk, values)
+            spans.append((s, z))
         spans.sort()
-        return all(spans[i][1] <= spans[i + 1][0]
-                   for i in range(len(spans) - 1))
+        prev_end = None
+        for s, z in spans:
+            if prev_end is not None and s < prev_end:
+                return False
+            prev_end = s + z
+        return True
     if k == "cumulative":
         cap = ir.eval_expr(a.capacity, values)
         events = []
@@ -350,20 +362,27 @@ def constraint_is_feasible(model: ir.CpModelIR, ct: ir.ConstraintIR,
                 return False
         return True
     if k == "no_overlap_2d":
+        # Reference semantics (cp_model_checker.cc
+        # NoOverlap2DConstraintIsFeasible): boxes i,j are feasible iff their
+        # x-intervals are disjoint (e1<=s2 or e2<=s1) OR their y-intervals
+        # are.  Zero-area boxes are NOT skipped: a point box strictly inside
+        # a box, or a line box crossing another box, violates
+        # (cp_model.proto:142-146).
         boxes = []
         for kx, ky in zip(a.x_intervals, a.y_intervals):
             if not (_interval_present(model, kx, values)
                     and _interval_present(model, ky, values)):
                 continue
-            xs, xz, xe = _interval_fields(model, kx, values)
-            ys, yz, ye = _interval_fields(model, ky, values)
-            if xz > 0 and yz > 0:
-                boxes.append((xs, xe, ys, ye))
+            xs, _, xe = _interval_fields(model, kx, values)
+            ys, _, ye = _interval_fields(model, ky, values)
+            boxes.append((xs, xe, ys, ye))
         for i in range(len(boxes)):
             for j in range(i + 1, len(boxes)):
                 x1, e1, y1, f1 = boxes[i]
                 x2, e2, y2, f2 = boxes[j]
-                if x1 < e2 and x2 < e1 and y1 < f2 and y2 < f1:
+                x_disjoint = e1 <= x2 or e2 <= x1
+                y_disjoint = f1 <= y2 or f2 <= y1
+                if not x_disjoint and not y_disjoint:
                     return False
         return True
     raise ValueError(f"unknown constraint kind {k}")

@@ -537,33 +537,30 @@ class Engine:
                               queue: Set[int]) -> None:
         infos = [(k, self._interval_info(doms, k)) for k in a.intervals]
         present = [(k, info) for k, info in infos if info[0] is True]
-        # pairwise disjunctive reasoning on mandatory parts
+        # Pairwise disjunctive reasoning.  Per the reference
+        # (cp_model.proto:131-133) size-0 intervals DO matter: a point
+        # interval strictly inside another is infeasible, so zero-size
+        # intervals are not skipped.  For each pair at most one ordering
+        # ("i before j" meaning end_i <= start_j) may remain possible; if
+        # none is, the pair (hence the constraint) is infeasible.
         for i in range(len(present)):
             ki, (_, si_lo, si_hi, zi_lo, _, ei_lo, ei_hi) = present[i]
-            if zi_lo <= 0 and ei_lo - si_hi <= 0:
-                continue
             for j in range(i + 1, len(present)):
                 kj, (_, sj_lo, sj_hi, zj_lo, _, ej_lo, ej_hi) = present[j]
-                if zj_lo <= 0 and ej_lo - sj_hi <= 0:
-                    continue
-                # mandatory part of i: [si_hi, ei_lo) if nonempty
-                mi = (si_hi, ei_lo)
-                mj = (sj_hi, ej_lo)
-                if mi[0] < mi[1] and mj[0] < mj[1] and (
-                    mi[0] < mj[1] and mj[0] < mi[1]
-                ):
+                i_before_j = ei_lo <= sj_hi  # end_i <= start_j satisfiable
+                j_before_i = ej_lo <= si_hi
+                if not i_before_j and not j_before_i:
+                    # covers mandatory-part overlap AND the zero-size-
+                    # inside-interval case
                     raise Conflict()
-                # detectable precedences: if i cannot finish before j
-                # starts, then j must finish before i starts (and vice
-                # versa) — tighten end/start bounds accordingly.
                 ai = self.model.constraints[ki].args
                 aj = self.model.constraints[kj].args
-                if ei_lo > sj_hi:  # "i before j" impossible -> j before i
+                if not i_before_j:  # -> j must be before i
                     self._tighten_expr(doms, aj.end,
                                        ej_lo, min(ej_hi, si_hi), queue)
                     self._tighten_expr(doms, ai.start,
                                        max(si_lo, ej_lo), si_hi, queue)
-                elif ej_lo > si_hi:  # "j before i" impossible -> i before j
+                elif not j_before_i:  # -> i must be before j
                     self._tighten_expr(doms, ai.end,
                                        ei_lo, min(ei_hi, sj_hi), queue)
                     self._tighten_expr(doms, aj.start,

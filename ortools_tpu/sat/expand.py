@@ -99,9 +99,6 @@ def _expand_reservoir(out: ir.CpModelIR, ct: ir.ConstraintIR) -> None:
     with active_i is linearized through an and-literal."""
     a: ir.ReservoirArgs = ct.args
     n = len(a.time_exprs)
-    assert not ct.enforcement_literals, (
-        "enforced reservoir not supported yet"
-    )
 
     def active_lit(i: int):
         return a.active_literals[i] if a.active_literals else None
@@ -148,7 +145,12 @@ def _expand_reservoir(out: ir.CpModelIR, ct: ir.ConstraintIR) -> None:
         const = 0
         for i in range(n):
             ch = a.level_changes[i]
-            assert not ch.vars, "variable level changes not supported yet"
+            if ch.vars:
+                # validate_model reports this as MODEL_INVALID up front;
+                # this is only a backstop for direct expand_model callers.
+                raise ValueError(
+                    "reservoir with variable level changes is not supported"
+                )
             change = ch.offset
             if change == 0:
                 continue
@@ -186,13 +188,16 @@ def _expand_reservoir(out: ir.CpModelIR, ct: ir.ConstraintIR) -> None:
             terms_vars.append(z)
             terms_coeffs.append(change)
         dom = Domain(a.min_level - const, a.max_level - const)
-        enforce = []
+        # the level constraint is conditional on the reservoir's own
+        # enforcement literals (the order/and literal *definitions* above
+        # stay unconditional — they are always satisfiable)
+        enforce = list(ct.enforcement_literals)
         lit_j = active_lit(j)
         if lit_j is not None:
-            enforce = [lit_j]
+            enforce.append(lit_j)
         out.constraints.append(ir.ConstraintIR(
             "linear", ir.LinearArgs(terms_vars, terms_coeffs, dom),
-            enforcement_literals=enforce,
+            enforcement_literals=list(dict.fromkeys(enforce)),
         ))
 
 

@@ -320,3 +320,60 @@ def test_camelcase_aliases():
     s = CpSolver()
     assert s.Solve(m) == OPTIMAL
     assert s.Value(x) == 1 and s.BooleanValue(y)
+
+
+def test_zero_size_interval_matters_in_no_overlap():
+    # Reference semantics (cp_model.proto:131-133): size-0 intervals DO
+    # matter — a point interval strictly inside another is infeasible.
+    m2 = CpModel()
+    p2 = m2.new_int_var(1, 4, "p")
+    pt = m2.new_fixed_size_interval_var(p2, 0, "pt")
+    big = m2.new_fixed_size_interval_var(m2.new_constant(0), 5, "big")
+    m2.add_no_overlap([pt, big])
+    s = CpSolver()
+    assert s.solve(m2) == INFEASIBLE
+
+    # ...but a point interval ON the boundary is fine.
+    m3 = CpModel()
+    p3 = m3.new_int_var(0, 5, "p")
+    pt3 = m3.new_fixed_size_interval_var(p3, 0, "pt")
+    big3 = m3.new_fixed_size_interval_var(m3.new_constant(0), 5, "big")
+    m3.add_no_overlap([pt3, big3])
+    s3 = CpSolver()
+    assert s3.solve(m3) == OPTIMAL
+    assert s3.value(p3) in (0, 5)
+
+
+def test_zero_area_box_in_no_overlap_2d():
+    # A point box strictly inside a 2x2 box violates no_overlap_2d
+    # (cp_model.proto:142-146).
+    from ortools_tpu.sat.checker import constraint_is_feasible
+
+    m = CpModel()
+    px = m.new_int_var(1, 1, "px")
+    py = m.new_int_var(1, 1, "py")
+    bx = m.new_fixed_size_interval_var(px, 0, "bx")
+    by = m.new_fixed_size_interval_var(py, 0, "by")
+    ox = m.new_fixed_size_interval_var(m.new_constant(0), 2, "ox")
+    oy = m.new_fixed_size_interval_var(m.new_constant(0), 2, "oy")
+    m.add_no_overlap_2d([bx, ox], [by, oy])
+    s = CpSolver()
+    assert s.solve(m) == INFEASIBLE
+
+
+def test_enforced_reservoir():
+    # enforcement literal on a reservoir constraint (was an assert crash)
+    m = CpModel()
+    lit = m.new_bool_var("use")
+    t1 = m.new_int_var(0, 10, "t1")
+    t2 = m.new_int_var(0, 10, "t2")
+    m.add_reservoir_constraint(
+        [t1, t2], [3, -3], 0, 2
+    ).only_enforce_if(lit)
+    m.add(t1 == 0)
+    m.add(t2 == 5)
+    m.maximize(lit)
+    s = CpSolver()
+    assert s.solve(m) == OPTIMAL
+    # level after t1 is 3 > max 2, so the reservoir must be unenforced
+    assert s.value(lit) == 0

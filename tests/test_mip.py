@@ -178,3 +178,62 @@ def test_propagation_chain():
     )
     assert ok
     np.testing.assert_allclose(lb, [2.0, 3.0, 4.0])
+
+
+def test_batched_lp_infeasibility_certificate():
+    # An infeasible node LP must be pruned ONLY on a verified dual-ray
+    # certificate (ADVICE r1); check solve_batch surfaces one.
+    from ortools_tpu.pdlp.batched import solve_batch
+    from ortools_tpu.pdlp.params import PdhgParams
+
+    # x1 + x2 >= 4 with x in [0,1]^2: infeasible.  Second instance
+    # relaxes the upper bounds: feasible.
+    qp = QuadraticProgram(
+        objective_vector=np.array([1.0, 1.0]),
+        constraint_matrix=sp.csr_matrix(np.array([[1.0, 1.0]])),
+        constraint_lower=np.array([4.0]),
+        constraint_upper=np.array([np.inf]),
+        variable_lower=np.zeros(2),
+        variable_upper=np.ones(2),
+    )
+    lbs = np.zeros((2, 2))
+    ubs = np.array([[1.0, 1.0], [5.0, 5.0]])
+    res = solve_batch(qp, lbs, ubs,
+                      PdhgParams(iteration_limit=20_000))
+    assert bool(res.primal_infeasible[0])
+    assert not bool(res.primal_infeasible[1])
+    assert bool(res.optimal[1])
+    # instance 1 optimum: x1+x2=4 -> objective 4
+    assert res.primal_objective[1] == pytest.approx(4.0, abs=1e-4)
+    # valid dual bound never exceeds the true optimum
+    assert res.dual_bound[1] <= 4.0 + 1e-4
+
+
+def test_dual_bound_is_valid_lower_bound():
+    # dual_bound from an *unconverged* iterate must still lower-bound the
+    # LP optimum (soundness of B&B pruning).
+    from ortools_tpu.pdlp.batched import solve_batch
+    from ortools_tpu.pdlp.params import PdhgParams
+
+    rng = np.random.default_rng(7)
+    m, n = 8, 14
+    a = rng.standard_normal((m, n))
+    qp = QuadraticProgram(
+        objective_vector=rng.standard_normal(n),
+        constraint_matrix=sp.csr_matrix(a),
+        constraint_lower=a @ np.clip(rng.standard_normal(n), 0, 1) - 1.0,
+        constraint_upper=np.full(m, np.inf),
+        variable_lower=np.zeros(n),
+        variable_upper=np.ones(n),
+    )
+    from scipy.optimize import linprog
+    ref = linprog(qp.objective_vector,
+                  A_ub=-a, b_ub=-qp.constraint_lower,
+                  bounds=[(0, 1)] * n, method="highs")
+    assert ref.status == 0
+    # starve the solver: 40 iterations only
+    res = solve_batch(qp, qp.variable_lower[None, :],
+                      qp.variable_upper[None, :],
+                      PdhgParams(iteration_limit=40,
+                                 termination_check_frequency=40))
+    assert res.dual_bound[0] <= ref.fun + 1e-6
