@@ -35,6 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # avoid an import cycle at runtime
+    from ortools_tpu.ops.tiled_spmv import TiledSpmv  # noqa: F401
+
 
 def _ceil_to(x: int, k: int) -> int:
     return -(-x // k) * k
@@ -51,19 +56,22 @@ class BlockSparseMatrix:
     shape: Tuple[int, int]  # logical (m, n)
     padded_shape: Tuple[int, int]  # (M, N), multiples of block shape
     num_real_blocks: int  # blocks before padding
+    # Optional fused-kernel layout (ops/tiled_spmv.py); when present,
+    # 1-D matvec dispatches to the Pallas kernel.
+    tiled: Optional["TiledSpmv"] = None
 
     # -- pytree protocol (shape metadata is static) ---------------------
     def tree_flatten(self):
         return (
-            (self.data, self.block_rows, self.block_cols),
+            (self.data, self.block_rows, self.block_cols, self.tiled),
             (self.shape, self.padded_shape, self.num_real_blocks),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, brows, bcols = children
+        data, brows, bcols, tiled = children
         shape, padded_shape, nreal = aux
-        return cls(data, brows, bcols, shape, padded_shape, nreal)
+        return cls(data, brows, bcols, shape, padded_shape, nreal, tiled)
 
     # -- properties -----------------------------------------------------
     @property
@@ -156,9 +164,32 @@ class BlockSparseMatrix:
     def unpad_x(self, x: jax.Array) -> jax.Array:
         return x[..., : self.shape[1]] if x.ndim == 1 else x[: self.shape[1]]
 
+    def with_tiled(self, chunk_size: Optional[int] = None,
+                   ) -> "BlockSparseMatrix":
+        """Attach the fused-kernel layout (ops/tiled_spmv.py)."""
+        from ortools_tpu.ops.tiled_spmv import pack_tiled
+
+        t = pack_tiled(
+            np.asarray(self.data), np.asarray(self.block_rows),
+            np.asarray(self.block_cols), self.num_real_blocks,
+            self.padded_shape, chunk_size=chunk_size, dtype=self.dtype,
+        )
+        return dataclasses.replace(self, tiled=t)
+
+    def without_tiled(self) -> "BlockSparseMatrix":
+        return (dataclasses.replace(self, tiled=None)
+                if self.tiled is not None else self)
+
     # -- products --------------------------------------------------------
     def matvec(self, x: jax.Array) -> jax.Array:
         """A @ x with x padded to N; returns padded length-M vector."""
+        if self.tiled is not None and x.ndim == 1:
+            from ortools_tpu.ops import tiled_spmv
+
+            return tiled_spmv.tiled_matvec(
+                self.tiled, x, self.padded_shape[0],
+                interpret=jax.default_backend() != "tpu",
+            )
         return _block_matvec(
             self.data, self.block_rows, self.block_cols, x,
             self.padded_shape[0],

@@ -1,0 +1,287 @@
+"""Tiled block-sparse SpMV: one fused Pallas kernel, no per-block scalar ops.
+
+Round-1 diagnosis (ops/pallas_spmv.py header): at (8,128) block granularity
+both the XLA gather+segment-sum path and the per-block-DMA Pallas kernels
+are bound by ~160ns of *dynamic-index control* per block (gather of the x
+block, read-modify-write of the y block), not by HBM bandwidth — 25-55 GB/s
+effective vs ~800 GB/s peak.
+
+This layout eliminates every per-block dynamic index:
+
+- blocks are grouped into SUPER-TILES of (128 block-rows x 128 block-cols)
+  and packed into fixed-size chunks of C blocks (zero-padded), with
+  C * bm = 1024 so a chunk is a [bn, bm*C] lane-major slab;
+- block data is stored TRANSPOSED: chunk slab [j, i*C + b] = A_block[b][i, j]
+  so the per-block contraction over j is a cross-SUBLANE reduction (a few
+  vector adds) instead of a cross-lane reduction (hundreds);
+- the x gather is ONE one-hot matmul per chunk on the MXU:
+      Gt[l, b] = (local_col[b] == l)  ->  xbT = x_panelT @ Gt
+  and the y scatter is ONE one-hot matmul:
+      R[b, q]  = (local_row[b] == q)  ->  y_panelT += P @ R
+  with both one-hots built in-register from an iota comparison;
+- all matmuls run as *exact* bf16 triples: f32 operands are split into
+  three bf16 terms (hi/mid/lo cover the 24-bit mantissa), the one-hot side
+  is exactly representable, and products accumulate in f32 — full f32
+  accuracy at native-bf16 MXU rate (x is split once per matvec outside the
+  kernel, P once per chunk);
+- the only dynamic indexing left is one x-panel block and one y-panel
+  block per *chunk* (scalar-prefetched super-tile indices drive the
+  BlockSpec index maps) — 2 coarse ops per C blocks instead of 2C;
+- chunk slabs stream HBM->VMEM through the Pallas grid pipeline
+  (double-buffered automatically).
+
+Capability parity: the TPU-native replacement for the reference Sharder's
+TransposedMatrixVectorProduct kernel set (ortools/pdlp/sharder.h:237,
+:250-307) — the two SpMV passes that dominate each PDHG iteration
+(SURVEY §3.2).
+
+Layout is produced on the host once per matrix (pack_tiled) and reused for
+every matvec; A and the separately-stored A^T each get their own layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x: int, k: int) -> int:
+    return -(-x // k) * k
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class TiledSpmv:
+    """Chunked super-tile layout for the fused SpMV kernel."""
+
+    data_t: jax.Array  # [nchunk, bn, bm * C] transposed slabs (see header)
+    rows_lo: jax.Array  # int32 [nchunk, C, 1] block-row within super-tile
+    cols_lo: jax.Array  # int32 [nchunk, 1, C] block-col within super-tile
+    super_rows: jax.Array  # int32 [nchunk]
+    super_cols: jax.Array  # int32 [nchunk]
+    bm: int
+    bn: int
+    nsr: int  # super-row count (y padded to nsr*128*bm)
+    nsc: int  # super-col count (x padded to nsc*128*bn... cols nsc*128)
+    num_real_blocks: int
+
+    def tree_flatten(self):
+        return (
+            (self.data_t, self.rows_lo, self.cols_lo, self.super_rows,
+             self.super_cols),
+            (self.bm, self.bn, self.nsr, self.nsc, self.num_real_blocks),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def chunk_size(self) -> int:
+        return int(self.data_t.shape[2]) // self.bm
+
+    @property
+    def block_shape(self) -> Tuple[int, int]:
+        return (self.bm, self.bn)
+
+    @property
+    def padding_ratio(self) -> float:
+        """Stored blocks / real blocks (chunk zero-padding overhead)."""
+        total = int(self.data_t.shape[0]) * self.chunk_size
+        return total / max(1, self.num_real_blocks)
+
+
+def default_chunk_size(bm: int) -> int:
+    """C * bm = 1024: a [bn, 1024] f32 slab is 512KB at bn=128 (the grid
+    pipeline double-buffers it -> ~1MB VMEM) and the flattened lane dim is
+    a multiple of 128."""
+    return max(1, 1024 // bm)
+
+
+def pack_tiled(
+    data: np.ndarray,
+    block_rows: np.ndarray,
+    block_cols: np.ndarray,
+    num_real_blocks: int,
+    padded_shape: Tuple[int, int],
+    chunk_size: Optional[int] = None,
+    dtype=jnp.float32,
+) -> TiledSpmv:
+    """Pack block-COO arrays (as in BlockSparseMatrix) into the tiled layout.
+
+    Zero-padding blocks inside a chunk point at local (0, 0) with all-zero
+    data — they contribute nothing through the one-hot matmuls.
+    """
+    nb = num_real_blocks
+    data = np.asarray(data)[:nb]
+    br = np.asarray(block_rows)[:nb].astype(np.int64)
+    bc = np.asarray(block_cols)[:nb].astype(np.int64)
+    bm, bn = int(data.shape[1]), int(data.shape[2])
+    c_sz = chunk_size or default_chunk_size(bm)
+    mm, nn = padded_shape
+    nsr = max(1, _ceil_to(mm // bm, 128) // 128)
+    nsc = max(1, _ceil_to(nn // bn, 128) // 128)
+
+    sr = br // 128
+    sc = bc // 128
+    order = np.lexsort((bc, br, sc, sr))
+    sr, sc, br, bc = sr[order], sc[order], br[order], bc[order]
+    data = data[order]
+
+    # group boundaries on (sr, sc)
+    if nb:
+        key = sr * nsc + sc
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], nb]
+    else:
+        starts = ends = np.zeros(0, dtype=np.int64)
+
+    chunks = []  # (sr, sc, lo, hi) slices of the sorted arrays
+    for s, e in zip(starts, ends):
+        for lo in range(s, e, c_sz):
+            chunks.append((sr[lo], sc[lo], lo, min(lo + c_sz, e)))
+    nchunk = max(1, len(chunks))
+
+    out_data = np.zeros((nchunk, c_sz, bm, bn), dtype=np.float64)
+    out_rows = np.zeros((nchunk, c_sz, 1), dtype=np.int32)
+    out_cols = np.zeros((nchunk, 1, c_sz), dtype=np.int32)
+    out_sr = np.zeros(nchunk, dtype=np.int32)
+    out_sc = np.zeros(nchunk, dtype=np.int32)
+    for k, (csr, csc, lo, hi) in enumerate(chunks):
+        cnt = hi - lo
+        out_data[k, :cnt] = data[lo:hi]
+        out_rows[k, :cnt, 0] = (br[lo:hi] - csr * 128).astype(np.int32)
+        out_cols[k, 0, :cnt] = (bc[lo:hi] - csc * 128).astype(np.int32)
+        out_sr[k] = csr
+        out_sc[k] = csc
+    # transpose each chunk [C, bm, bn] -> slab [bn, bm*C] with lane i*C+b
+    slabs = np.ascontiguousarray(out_data.transpose(0, 3, 2, 1)).reshape(
+        nchunk, bn, bm * c_sz
+    )
+    return TiledSpmv(
+        data_t=jnp.asarray(slabs, dtype=dtype),
+        rows_lo=jnp.asarray(out_rows),
+        cols_lo=jnp.asarray(out_cols),
+        super_rows=jnp.asarray(out_sr),
+        super_cols=jnp.asarray(out_sc),
+        bm=bm,
+        bn=bn,
+        nsr=nsr,
+        nsc=nsc,
+        num_real_blocks=nb,
+    )
+
+
+def _split3(v, dtype):
+    """Split an f32 array into three bf16 terms covering the mantissa."""
+    hi = v.astype(jnp.bfloat16)
+    r = v - hi.astype(dtype)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(dtype)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _spmv_tiled_kernel(sr_ref, sc_ref, data_ref, rows_ref, cols_ref,
+                       xh_ref, xm_ref, xl_ref, y_ref):
+    c = pl.program_id(0)
+    bn = data_ref.shape[1]
+    width = data_ref.shape[2]
+    bm = y_ref.shape[1]
+    cc = width // bm
+    f32 = y_ref.dtype
+
+    # Zero the output panel on its first visit (chunks are sorted by
+    # super-row, so revisits are consecutive and the block stays in VMEM).
+    prev = jnp.maximum(c - 1, 0)
+    fresh = jnp.logical_or(c == 0, sr_ref[c] != sr_ref[prev])
+
+    @pl.when(fresh)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    # gather: xbT[j, b] = x_panelT[j, local_col[b]] via a one-hot matmul.
+    # Gt is exactly representable in bf16; x comes pre-split into three
+    # bf16 terms, so the three MXU passes reconstruct f32 exactly.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (128, cc), 0)
+    gt = (cols_ref[0] == sub).astype(jnp.bfloat16)  # [128, C]
+    xbt = (
+        jnp.dot(xh_ref[...], gt, preferred_element_type=f32)
+        + jnp.dot(xm_ref[...], gt, preferred_element_type=f32)
+        + jnp.dot(xl_ref[...], gt, preferred_element_type=f32)
+    )  # [bn, C]
+
+    # per-block product; contraction over j is a cross-SUBLANE reduction
+    z = data_ref[0] * jnp.tile(xbt, (1, bm))  # [bn, bm*C]
+    pvec = jnp.sum(z, axis=0)  # [bm*C]
+    p2 = pvec.reshape(bm, cc)  # [bm, C] (lane i*C+b -> row i, col b)
+
+    # scatter: y_panelT[i, q] += sum_b p2[i, b] * [local_row[b] == q]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cc, 128), 1)
+    r = (rows_ref[0] == lane).astype(jnp.bfloat16)  # [C, 128]
+    ph, pm, plo = _split3(p2, f32)
+    y_ref[0] += (
+        jnp.dot(ph, r, preferred_element_type=f32)
+        + jnp.dot(pm, r, preferred_element_type=f32)
+        + jnp.dot(plo, r, preferred_element_type=f32)
+    )  # [bm, 128]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsr", "nsc", "bm", "bn", "interpret"),
+)
+def _tiled_matvec_call(data_t, rows_lo, cols_lo, super_rows, super_cols,
+                       xt, nsr: int, nsc: int, bm: int, bn: int,
+                       interpret: bool):
+    nchunk = data_t.shape[0]
+    width = data_t.shape[2]
+    c_sz = width // bm
+    xh, xm, xl = _split3(xt, data_t.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # super_rows, super_cols
+        grid=(nchunk,),
+        in_specs=[
+            pl.BlockSpec((1, bn, width), lambda c, sr, sc: (c, 0, 0)),
+            pl.BlockSpec((1, c_sz, 1), lambda c, sr, sc: (c, 0, 0)),
+            pl.BlockSpec((1, 1, c_sz), lambda c, sr, sc: (c, 0, 0)),
+            pl.BlockSpec((bn, 128), lambda c, sr, sc: (0, sc[c])),
+            pl.BlockSpec((bn, 128), lambda c, sr, sc: (0, sc[c])),
+            pl.BlockSpec((bn, 128), lambda c, sr, sc: (0, sc[c])),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bm, 128), lambda c, sr, sc: (sr[c], 0, 0)
+        ),
+    )
+    y3t = pl.pallas_call(
+        _spmv_tiled_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nsr, bm, 128), data_t.dtype),
+        interpret=interpret,
+    )(super_rows, super_cols, data_t, rows_lo, cols_lo, xh, xm, xl)
+    return y3t
+
+
+def tiled_matvec(t: TiledSpmv, x: jax.Array, m_padded: int,
+                 interpret: bool = False) -> jax.Array:
+    """y = A @ x; x is the padded length-N vector (N = padded cols of the
+    BlockSparseMatrix), the result is the padded length-M vector."""
+    bm, bn = t.bm, t.bn
+    x2 = x.reshape(-1, bn)
+    ncb = x2.shape[0]
+    xt = x2.T  # [bn, ncb]
+    if ncb < t.nsc * 128:
+        xt = jnp.pad(xt, ((0, 0), (0, t.nsc * 128 - ncb)))
+    y3t = _tiled_matvec_call(
+        t.data_t, t.rows_lo, t.cols_lo, t.super_rows, t.super_cols, xt,
+        t.nsr, t.nsc, bm, bn, interpret,
+    )
+    # [nsr, bm, 128] -> rows (sr*128 + q)*bm + i
+    y = jnp.transpose(y3t, (0, 2, 1)).reshape(t.nsr * 128 * bm)
+    return y[:m_padded]

@@ -99,6 +99,10 @@ def solve_batch(
     assert var_ub_batch.shape == (bsz, n) == (bsz, qp.num_variables)
 
     prob = S.build_device_problem(qp, params)
+    # The batched path computes SpMM through the XLA block-einsum (engages
+    # the MXU across the batch axis); drop any fused-matvec layout so the
+    # vmapped matvec does not map over the Pallas kernel.
+    prob = prob._replace(a=prob.a.without_tiled(), at=prob.at.without_tiled())
     dtype = params.dtype
     nn = prob.c.shape[0]
 

@@ -78,6 +78,9 @@ class PdhgParams:
     block_shape: Optional[Tuple[int, int]] = None  # None = auto
     num_shards: int = 1  # mesh axis size for the sharded path
     mesh_axis: str = "shards"
+    # Fused Pallas SpMV (ops/tiled_spmv.py).  None = auto: enabled on the
+    # TPU backend for f32 single-shard problems; True/False forces.
+    use_tiled_spmv: Optional[bool] = None
 
     # -- logging ----------------------------------------------------------
     verbosity: int = 0

@@ -204,6 +204,19 @@ def build_device_problem(
         pad_blocks_to_multiple_of=pad_blocks_to_multiple_of,
         padded_shape=(nn, mm),
     )
+    # Fused Pallas SpMV layout: the default matvec path on TPU (f32,
+    # single-shard); ops/tiled_spmv.py.  The block-COO arrays stay for
+    # matmat (batched/vmapped solves) and non-TPU backends.
+    use_tiled = params.use_tiled_spmv
+    if use_tiled is None:
+        use_tiled = (
+            jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            and pad_blocks_to_multiple_of == 1
+        )
+    if use_tiled and pad_blocks_to_multiple_of == 1:
+        dev_a = dev_a.with_tiled()
+        dev_at = dev_at.with_tiled()
 
     def padv(v, fill, size):
         out = np.full(size, fill, dtype=np.float64)

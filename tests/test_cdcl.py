@@ -1,0 +1,126 @@
+"""Native CDCL core: fuzz vs brute force, learning, assumptions, budgets.
+
+Mirrors the reference's sat_solver test style (solver-as-oracle on small
+formulas with known status).
+"""
+
+import itertools
+import random
+
+import numpy as np
+import pytest
+
+from ortools_tpu.sat.cdcl import CdclSolver, SAT, UNSAT, UNKNOWN
+
+
+def _check_model(clauses, m):
+    return all(
+        any((m[abs(l) - 1] if l > 0 else not m[abs(l) - 1]) for l in c)
+        for c in clauses
+    )
+
+
+def test_basic_sat_unsat():
+    s = CdclSolver(3)
+    assert s.add_clause([1, 2])
+    assert s.add_clause([-1, 3])
+    assert s.add_clause([-3])
+    assert s.solve() == SAT
+    m = s.model()
+    assert _check_model([[1, 2], [-1, 3], [-3]], m)
+
+    s = CdclSolver(2)
+    for c in ([1, 2], [1, -2], [-1, 2], [-1, -2]):
+        s.add_clause(c)
+    assert s.solve() == UNSAT
+
+
+def test_incremental_and_assumptions():
+    s = CdclSolver(4)
+    s.add_clause([-1, -2])
+    s.add_clause([3, 4])
+    assert s.solve() == SAT
+    # under assumptions 1 & 2: conflict; core is a subset of {1, 2}
+    assert s.solve([1, 2]) == UNSAT
+    core = s.core()
+    assert core and set(np.abs(core)) <= {1, 2}
+    # solver remains usable (incremental contract)
+    assert s.solve([1]) == SAT
+    assert bool(s.model()[0])
+    # add a clause after solving
+    assert s.add_clause([-3])
+    assert s.solve() == SAT
+    assert bool(s.model()[3])
+
+
+def test_contradictory_assumptions():
+    s = CdclSolver(2)
+    s.add_clause([1, 2])
+    assert s.solve([1, -1]) == UNSAT
+    core = s.core()
+    assert set(np.abs(core)) <= {1}
+
+
+def test_random_3sat_vs_brute_force():
+    rng = random.Random(7)
+    for trial in range(150):
+        n = rng.randint(3, 9)
+        mcl = rng.randint(3, 40)
+        clauses = []
+        for _ in range(mcl):
+            k = rng.randint(1, 3)
+            vs = rng.sample(range(1, n + 1), k)
+            clauses.append([v * rng.choice([-1, 1]) for v in vs])
+        bf_sat = any(
+            _check_model(clauses, bits)
+            for bits in itertools.product([False, True], repeat=n)
+        )
+        s = CdclSolver(n)
+        ok = all(s.add_clause(c) for c in clauses)
+        st = s.solve() if ok else UNSAT
+        assert (st == SAT) == bf_sat, (trial, clauses)
+        if st == SAT:
+            assert _check_model(clauses, s.model()), (trial, clauses)
+
+
+def _pigeonhole(solver_cls, holes):
+    p = holes + 1
+    s = solver_cls(p * holes)
+    var = lambda i, j: i * holes + j + 1  # noqa: E731
+    for i in range(p):
+        s.add_clause([var(i, j) for j in range(holes)])
+    for j in range(holes):
+        for i1 in range(p):
+            for i2 in range(i1 + 1, p):
+                s.add_clause([-var(i1, j), -var(i2, j)])
+    return s
+
+
+def test_pigeonhole_unsat_with_learning():
+    s = _pigeonhole(CdclSolver, 7)
+    assert s.solve() == UNSAT
+    assert s.num_conflicts > 100  # actually searched (not preprocessed away)
+
+
+def test_conflict_budget():
+    s = _pigeonhole(CdclSolver, 9)
+    assert s.solve(conflict_budget=10) == UNKNOWN
+    # and can continue afterwards with a bigger budget
+    assert s.solve(conflict_budget=1_000_000) in (UNSAT, UNKNOWN)
+
+
+def test_at_most_one_encodings():
+    for n in (3, 9):
+        s = CdclSolver(n)
+        s.add_at_most_one(list(range(1, n + 1)))
+        s.add_clause(list(range(1, n + 1)))  # at least one
+        count = 0
+        # enumerate all models by blocking
+        while s.solve() == SAT:
+            m = s.model()[:n]
+            assert int(m.sum()) == 1
+            count += 1
+            s.add_clause([-(i + 1) if m[i] else (i + 1) for i in range(n)])
+            if count > n + 1:
+                break
+        assert count == n
