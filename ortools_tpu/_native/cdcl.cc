@@ -612,6 +612,21 @@ i32 cdcl_add_clause(void* s, const i32* lits, i32 n) {
   return static_cast<Solver*>(s)->AddClause(lits, n) ? 0 : -1;
 }
 
+// Bulk add: clauses concatenated with 0 terminators (DIMACS body layout).
+i32 cdcl_add_clauses(void* s, const i32* lits, i64 n) {
+  Solver* sol = static_cast<Solver*>(s);
+  i64 start = 0;
+  bool ok = true;
+  for (i64 i = 0; i < n; ++i) {
+    if (lits[i] == 0) {
+      ok = sol->AddClause(lits + start, (int)(i - start)) && ok;
+      start = i + 1;
+    }
+  }
+  if (start < n) ok = sol->AddClause(lits + start, (int)(n - start)) && ok;
+  return ok ? 0 : -1;
+}
+
 i32 cdcl_solve(void* s, const i32* assumptions, i32 n_assump,
                i64 conflict_budget) {
   return static_cast<Solver*>(s)->Solve(assumptions, n_assump,

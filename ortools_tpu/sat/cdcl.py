@@ -34,6 +34,10 @@ def _lib() -> ctypes.CDLL:
         lib.cdcl_add_clause.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32
         ]
+        lib.cdcl_add_clauses.restype = ctypes.c_int32
+        lib.cdcl_add_clauses.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64
+        ]
         lib.cdcl_solve.restype = ctypes.c_int32
         lib.cdcl_solve.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
@@ -94,6 +98,16 @@ class CdclSolver:
         for c in clauses:
             ok = self.add_clause(c) and ok
         return ok
+
+    def add_clauses_flat(self, flat: np.ndarray) -> bool:
+        """Bulk-add clauses from a 0-terminated int32 array (DIMACS body
+        layout) — orders of magnitude faster than per-clause ctypes calls
+        for large encodings."""
+        flat = np.ascontiguousarray(flat, dtype=np.int32)
+        ptr = flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        return self._lib.cdcl_add_clauses(
+            self._handle, ptr, ctypes.c_int64(len(flat))
+        ) == 0
 
     # convenience encodings
     def add_at_most_one(self, lits: Sequence[int]) -> bool:

@@ -145,3 +145,33 @@ def test_bin_packing_needs_exact():
     inst = BinPackingInstance(capacity=12, sizes=[6, 6, 4, 4, 4])
     exact = solve_bin_packing(inst)
     assert len(exact) == 2
+
+
+def test_jobshop_cdcl_matches_cp_engine():
+    import random
+
+    from ortools_tpu.scheduling import JobshopInstance, solve_jobshop_cdcl
+
+    rng = random.Random(3)
+    for trial in range(3):
+        nj, nm = 4, 4
+        jobs = []
+        for _ in range(nj):
+            machines = list(range(nm))
+            rng.shuffle(machines)
+            jobs.append([(m, rng.randint(1, 9)) for m in machines])
+        inst = JobshopInstance(f"r{trial}", jobs)
+        s1 = solve_jobshop_cdcl(inst, max_time_in_seconds=30)
+        s2 = solve_jobshop(inst, max_time_in_seconds=30, engine="cp")
+        assert s1.optimal and s2.optimal
+        assert s1.makespan == s2.makespan
+        _check_jobshop_solution(inst, s1)
+
+
+def test_jobshop_cdcl_ft06():
+    inst = parse_jobshop(FT06, is_text=True)
+    from ortools_tpu.scheduling import solve_jobshop_cdcl
+
+    sol = solve_jobshop_cdcl(inst, max_time_in_seconds=30.0)
+    assert sol is not None and sol.optimal and sol.makespan == 55
+    _check_jobshop_solution(inst, sol)
