@@ -239,10 +239,37 @@ def solve_batch(
                 best_y[i] = np.asarray(state.y[i])
         if done.all():
             break
-        # vectorized adaptive-KKT restart decision (host numpy)
+        # vectorized restart decision (host numpy)
         use_avg = kkt_avg <= kkt_cur
         cand = np.minimum(kkt_avg, kkt_cur)
-        if params.restart_strategy == RestartStrategy.ADAPTIVE_KKT:
+        if params.restart_strategy == RestartStrategy.ADAPTIVE_HEURISTIC:
+            # vectorized form of the reference trust-region criterion
+            # (solver.py host loop; primal_dual_hybrid_gradient.cc:1904)
+            pot_avg = np.asarray(stats["tr_average"]["potential"],
+                                 dtype=np.float64)
+            pot_cur = np.asarray(stats["tr_current"]["potential"],
+                                 dtype=np.float64)
+            ng_avg = np.asarray(stats["tr_average"]["normalized_gap"],
+                                dtype=np.float64)
+            ng_cur = np.asarray(stats["tr_current"]["normalized_gap"],
+                                dtype=np.float64)
+            use_avg = pot_avg < pot_cur
+            cand_ng = np.where(use_avg, ng_avg, ng_cur)
+            forced = (iterations - iters_at_restart) >= iterations / 2
+            fresh = np.isinf(kkt_at_restart)  # reused as ng_at_restart
+            ratio = cand_ng / np.maximum(kkt_at_restart, 1e-300)
+            nec = (ratio < params.necessary_reduction_for_restart) & (
+                cand_ng > last_cand_kkt  # reused as ng_at_last_trial
+            )
+            do_restart = (
+                forced
+                | (~fresh
+                   & ((ratio < params.sufficient_reduction_for_restart)
+                      | nec))
+            ) & ~done
+            kkt_at_restart = np.where(fresh, cand_ng, kkt_at_restart)
+            cand = cand_ng
+        elif params.restart_strategy == RestartStrategy.ADAPTIVE_KKT:
             fresh = np.isinf(kkt_at_restart)
             kkt_at_restart = np.where(fresh, cand, kkt_at_restart)
             suff = cand <= params.sufficient_reduction_for_restart * kkt_at_restart

