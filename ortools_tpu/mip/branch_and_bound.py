@@ -16,8 +16,15 @@ per SURVEY §7 Phase 3 for TPU:
 - every incumbent is re-verified against the original model before being
   accepted (the reference's solution-checker contract, SURVEY §4.5).
 
-Round-1 scope: most-fractional branching, LP-guided rounding heuristic;
-pseudo-cost branching and LNS polish are later-phase work.
+Round 2 adds the reference's two tree-size levers:
+
+- root cutting planes (mip/cuts.py: single-row MIR + knapsack covers, the
+  ``ortools/sat/cuts.cc`` roles) — appended as ordinary rows so every node
+  LP in every batch is strengthened by the same block-sparse SpMM;
+- pseudo-cost branching (``ortools/sat/pseudo_costs.h``): per-variable
+  up/down objective-gain statistics harvested from the batched node LP
+  bounds, product-rule selection, most-fractional fallback until a
+  variable is reliable.
 """
 
 from __future__ import annotations
@@ -31,6 +38,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 import scipy.sparse as sp
 
+from ortools_tpu.mip.cuts import append_cuts, generate_cuts
 from ortools_tpu.mip.propagation import propagate_bounds
 from ortools_tpu.models.lp import QuadraticProgram
 from ortools_tpu.pdlp.batched import solve_batch
@@ -49,6 +57,12 @@ class MipParams:
     feasibility_tol: float = 1e-6
     lp_params: Optional[PdhgParams] = None
     verbosity: int = 0
+    # Root cutting planes (mip/cuts.py).
+    cut_rounds: int = 5
+    max_cuts_per_round: int = 100
+    # Pseudo-cost branching; falls back to most-fractional while a
+    # variable has no observations (reliability 1).
+    use_pseudo_costs: bool = True
 
 
 @dataclasses.dataclass
@@ -70,6 +84,56 @@ class _Node:
     warm_x: Optional[np.ndarray] = dataclasses.field(compare=False, default=None)
     warm_y: Optional[np.ndarray] = dataclasses.field(compare=False, default=None)
     retries: int = dataclasses.field(compare=False, default=0)
+    # Branching provenance for pseudo-cost updates: this node was created
+    # by branching variable `branch_var` in direction `branch_dir`
+    # (-1 down / +1 up) at parent LP fraction `branch_frac`.
+    branch_var: int = dataclasses.field(compare=False, default=-1)
+    branch_dir: int = dataclasses.field(compare=False, default=0)
+    branch_frac: float = dataclasses.field(compare=False, default=0.0)
+
+
+class _PseudoCosts:
+    """Per-variable up/down objective-gain averages
+    (reference ortools/sat/pseudo_costs.h, recast as numpy arrays)."""
+
+    def __init__(self, n: int):
+        self.sum_dn = np.zeros(n)
+        self.cnt_dn = np.zeros(n, dtype=np.int64)
+        self.sum_up = np.zeros(n)
+        self.cnt_up = np.zeros(n, dtype=np.int64)
+
+    def update(self, node: "_Node", child_bound: float) -> None:
+        j, d = node.branch_var, node.branch_dir
+        if j < 0 or d == 0 or not math.isfinite(child_bound) \
+                or not math.isfinite(node.bound):
+            return
+        gain = max(child_bound - node.bound, 0.0)
+        if d < 0:
+            frac = max(node.branch_frac, 1e-6)
+            self.sum_dn[j] += gain / frac
+            self.cnt_dn[j] += 1
+        else:
+            frac = max(1.0 - node.branch_frac, 1e-6)
+            self.sum_up[j] += gain / frac
+            self.cnt_up[j] += 1
+
+    def select(self, cand: np.ndarray, frac: np.ndarray) -> int:
+        """Product-rule selection among candidate vars with fractions."""
+        init_dn = self.cnt_dn[cand] > 0
+        init_up = self.cnt_up[cand] > 0
+        avg_dn = (self.sum_dn[cand[init_dn]]
+                  / self.cnt_dn[cand[init_dn]]).mean() if init_dn.any() else 1.0
+        avg_up = (self.sum_up[cand[init_up]]
+                  / self.cnt_up[cand[init_up]]).mean() if init_up.any() else 1.0
+        pc_dn = np.where(init_dn,
+                         self.sum_dn[cand] / np.maximum(self.cnt_dn[cand], 1),
+                         avg_dn)
+        pc_up = np.where(init_up,
+                         self.sum_up[cand] / np.maximum(self.cnt_up[cand], 1),
+                         avg_up)
+        score = np.maximum(pc_dn * frac, 1e-9) * np.maximum(
+            pc_up * (1.0 - frac), 1e-9)
+        return int(np.argmax(score))
 
 
 def _check_feasible(qp: QuadraticProgram, x: np.ndarray, tol: float) -> bool:
@@ -131,8 +195,6 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
     incumbent_x: Optional[np.ndarray] = None
     incumbent_obj = math.inf
     seq = 0
-    frontier: List[_Node] = []
-    heapq.heappush(frontier, _Node(-math.inf, seq, lb0, ub0))
     num_nodes = 0
     status = MPSolverStatus.NOT_SOLVED
     had_inexact_nodes = False  # nodes dropped without an exactness proof
@@ -156,6 +218,60 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         if obj < incumbent_obj - 1e-12:
             incumbent_obj = obj
             incumbent_x = x_r
+
+    # ---- root LP + cutting-plane rounds --------------------------------
+    # Cuts are globally valid rows appended to qp_min; every later node LP
+    # (and the propagator) sees them.  Reference roles: sat/cuts.cc MIR +
+    # cover cuts generated at the root LP relaxation.
+    root_bound = -math.inf
+    root_warm_x = root_warm_y = None
+    num_cuts = 0
+    if len(int_idx) and params.cut_rounds > 0:
+        for _ in range(params.cut_rounds + 1):
+            res0 = solve_batch(qp_min, lb0[None], ub0[None], lp_params)
+            num_nodes += 1
+            if res0.primal_infeasible[0]:
+                return MipResult(MPSolverStatus.INFEASIBLE, np.zeros(n),
+                                 math.nan, math.inf, num_nodes,
+                                 time.perf_counter() - start)
+            x_root = res0.primal_solution[0]
+            root_bound = max(root_bound, float(res0.dual_bound[0]))
+            root_warm_x, root_warm_y = x_root, res0.dual_solution[0]
+            try_incumbent(x_root)
+            if num_cuts >= params.cut_rounds * params.max_cuts_per_round:
+                break
+            frac0 = (np.abs(x_root[int_idx] - np.round(x_root[int_idx]))
+                     if len(int_idx) else np.zeros(0))
+            if frac0.size == 0 or frac0.max() <= params.integrality_tol:
+                break  # root already integral — no cut target
+            pool = generate_cuts(
+                a, qp_min.constraint_lower, qp_min.constraint_upper,
+                lb0, ub0, integrality, x_root,
+                max_cuts=params.max_cuts_per_round,
+            )
+            if pool is None:
+                break
+            qp_min = append_cuts(qp_min, pool)
+            a = sp.csr_matrix(qp_min.constraint_matrix)
+            num_cuts += pool.num_cuts
+            root_warm_y = None  # dual dimension changed
+            # Cuts can tighten propagation too.
+            lb0, ub0, feasible = propagate_bounds(
+                a, qp_min.constraint_lower, qp_min.constraint_upper,
+                lb0, ub0, integrality, max_rounds=3,
+            )
+            if not feasible:
+                return MipResult(MPSolverStatus.INFEASIBLE, np.zeros(n),
+                                 math.nan, math.inf, num_nodes,
+                                 time.perf_counter() - start)
+        if params.verbosity >= 1 and num_cuts:
+            print(f"root cuts: {num_cuts} rows appended, "
+                  f"root bound {root_bound:.6f}")
+
+    pcosts = _PseudoCosts(n)
+    frontier: List[_Node] = []
+    heapq.heappush(frontier, _Node(root_bound, seq, lb0, ub0,
+                                   warm_x=root_warm_x, warm_y=root_warm_y))
 
     while frontier:
         if num_nodes >= params.max_nodes or (
@@ -211,6 +327,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             # did not converge — unlike dual_objective, it is safe to
             # prune on (ADVICE r1: never prune on an unproven residual).
             node_bound = max(nd.bound, float(res.dual_bound[i]))
+            pcosts.update(nd, node_bound)
             if res.primal_infeasible[i]:
                 # Verified dual-ray certificate: the node LP is infeasible.
                 continue
@@ -244,13 +361,19 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                     continue
                 j = int(unfixed[0])
                 xj = 0.5 * (nd.lb[j] + nd.ub[j])
+            elif params.use_pseudo_costs:
+                cand = int_idx[frac > params.integrality_tol]
+                fr = x_lp[cand] - np.floor(x_lp[cand])
+                j = int(cand[pcosts.select(cand, fr)])
+                xj = x_lp[j]
             else:
                 # Branch on the most fractional integer variable.
                 j = int(int_idx[int(np.argmax(frac))])
                 xj = x_lp[j]
-            for lo_add, hi_add in (
-                (None, math.floor(xj + params.integrality_tol)),
-                (math.ceil(xj - params.integrality_tol), None),
+            b_frac = float(xj - math.floor(xj))
+            for direction, lo_add, hi_add in (
+                (-1, None, math.floor(xj + params.integrality_tol)),
+                (+1, math.ceil(xj - params.integrality_tol), None),
             ):
                 clb, cub = np.array(nd.lb), np.array(nd.ub)
                 if hi_add is not None:
@@ -269,6 +392,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                 heapq.heappush(frontier, _Node(
                     node_bound, seq, plb, pub,
                     warm_x=x_lp, warm_y=res.dual_solution[i],
+                    branch_var=j, branch_dir=direction, branch_frac=b_frac,
                 ))
         if params.verbosity >= 1:
             fb = frontier[0].bound if frontier else incumbent_obj

@@ -1,0 +1,277 @@
+"""Cutting planes for the batched B&B: single-row MIR and knapsack covers.
+
+Capability parity: the reference's cut machinery inside CP-SAT
+(``ortools/sat/cuts.cc`` — MIR cuts via ``ComputeCut`` / knapsack cover
+cuts) and the root-LP tightening role of
+``ortools/sat/linear_programming_constraint.cc``.  Redesigned for the
+batched-PDHG B&B: cuts are generated on the host with vectorized numpy
+row transforms (no literal/slack machinery), appended as ordinary
+constraint rows, and from then on ride the same block-sparse SpMM as every
+other row — so a cut strengthens *every* node LP in every batch at zero
+marginal device cost.
+
+Mathematical notes
+------------------
+Each generator works on one row at a time in the complemented space
+``x' >= 0`` (shift by the finite lower bound, or reflect through the
+finite upper bound).  For a row ``sum a_j x'_j <= b`` with integer set I
+and continuous set C, the mixed-integer-rounding inequality is
+
+    sum_{j in I} ( floor(a_j) + (frac(a_j) - f)^+ / (1 - f) ) x'_j
+        + (1/(1-f)) * sum_{j in C, a_j < 0} a_j x'_j   <=   floor(b)
+
+with ``f = frac(b)`` (continuous terms with positive coefficient are
+relaxed away first, which is valid for a <= row).  Knapsack cover cuts
+take binary rows ``sum a_j x'_j <= b`` (a_j > 0 after complementing) and a
+greedy minimal cover ``C``: ``sum_{j in C} x'_j <= |C| - 1``.
+
+All returned cuts are in the ORIGINAL variable space as two-sided rows
+``-inf <= g.x <= d`` and are globally valid (derived from the original
+rows and global bounds only, never from node bounds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+_EPS = 1e-9
+
+
+@dataclasses.dataclass
+class CutPool:
+    """Cut rows in original space: rows[k] . x <= rhs[k]."""
+
+    rows: sp.csr_matrix  # [k, n]
+    rhs: np.ndarray  # [k]
+
+    @property
+    def num_cuts(self) -> int:
+        return int(self.rows.shape[0])
+
+
+def _complement(idx: np.ndarray, val: np.ndarray, rhs: float,
+                lb: np.ndarray, ub: np.ndarray
+                ) -> Optional[Tuple[np.ndarray, float, np.ndarray]]:
+    """Shift/reflect the row's variables to x' >= 0.
+
+    Returns (val', rhs', reflect_mask) in the complemented space, where
+    ``reflect_mask[k]`` is True when variable idx[k] was reflected
+    (x = ub - x'); otherwise it was shifted (x = lb + x').  None when some
+    variable has no finite bound on the needed side.
+    """
+    l, u = lb[idx], ub[idx]
+    # Prefer the bound that keeps the complemented coefficient positive for
+    # integers (better MIR fractions) — but correctness only needs *a*
+    # finite bound.  Shift when lb finite, else reflect.
+    shift_ok = np.isfinite(l)
+    reflect = ~shift_ok & np.isfinite(u)
+    if not np.all(shift_ok | reflect):
+        return None
+    val2 = np.where(reflect, -val, val)
+    rhs2 = rhs - float(np.sum(np.where(reflect, val * u, val * l)))
+    if not np.isfinite(rhs2):
+        return None
+    return val2, rhs2, reflect
+
+
+def _uncomplement(idx: np.ndarray, g: np.ndarray, d: float,
+                  reflect: np.ndarray, lb: np.ndarray, ub: np.ndarray
+                  ) -> Tuple[np.ndarray, float]:
+    """Map a cut sum g_j x'_j <= d back to original x space."""
+    l, u = lb[idx], ub[idx]
+    g_orig = np.where(reflect, -g, g)
+    d_orig = d + float(np.sum(np.where(reflect, -g * u, g * l)))
+    return g_orig, d_orig
+
+
+def _mir_on_row(idx: np.ndarray, val: np.ndarray, rhs: float,
+                lb: np.ndarray, ub: np.ndarray, is_int: np.ndarray,
+                x_lp: np.ndarray, min_violation: float
+                ) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
+    """Try MIR on one <= row; returns (idx, coefs, rhs) of the most
+    violated scaled variant, or None."""
+    comp = _complement(idx, val, rhs, lb, ub)
+    if comp is None:
+        return None
+    val2, rhs2, reflect = comp
+    ints = is_int[idx]
+    if not np.any(ints):
+        return None
+    # MIR needs the complemented integer variables to stay integral: the
+    # shift (lb or ub) must itself be integral.
+    shift_val = np.where(reflect, ub[idx], lb[idx])
+    if np.any(ints & (np.abs(shift_val - np.round(shift_val)) > 1e-9)):
+        return None
+    # x' value of the current LP point (for violation checks).
+    xv = np.where(reflect, ub[idx] - x_lp[idx], x_lp[idx] - lb[idx])
+    xv = np.maximum(xv, 0.0)
+
+    # Candidate divisors: 1 and |a_j| of integer vars whose LP value is
+    # fractional (Marchand-Wolsey style single-row heuristic).
+    frac_of = np.abs(x_lp[idx] - np.round(x_lp[idx]))
+    cand = [1.0]
+    order = np.argsort(-frac_of)
+    for k in order[:4]:
+        if ints[k] and frac_of[k] > 1e-4 and abs(val2[k]) > _EPS:
+            cand.append(abs(float(val2[k])))
+
+    best = None
+    best_viol = min_violation
+    for delta in cand:
+        a = val2 / delta
+        b = rhs2 / delta
+        f = b - np.floor(b)
+        if f < 0.01 or f > 0.99:
+            continue
+        fj = a - np.floor(a)
+        g_int = np.floor(a) + np.maximum(fj - f, 0.0) / (1.0 - f)
+        g_cont = np.where(a < 0, a / (1.0 - f), 0.0)
+        g = np.where(ints, g_int, g_cont)
+        d = float(np.floor(b))
+        norm = float(np.linalg.norm(g))
+        if norm < _EPS:
+            continue
+        viol = (float(g @ xv) - d) / norm
+        if viol > best_viol:
+            best_viol = viol
+            best = (g.copy(), d)
+    if best is None:
+        return None
+    g, d = best
+    g_orig, d_orig = _uncomplement(idx, g, d, reflect, lb, ub)
+    keep = np.abs(g_orig) > _EPS
+    if not np.any(keep):
+        return None
+    return idx[keep], g_orig[keep], d_orig
+
+
+def _cover_on_row(idx: np.ndarray, val: np.ndarray, rhs: float,
+                  lb: np.ndarray, ub: np.ndarray, is_int: np.ndarray,
+                  x_lp: np.ndarray, min_violation: float
+                  ) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
+    """Greedy knapsack cover cut on a binary <= row."""
+    binary = is_int[idx] & (lb[idx] >= -_EPS) & (ub[idx] <= 1.0 + _EPS) \
+        & (ub[idx] - lb[idx] > 0.5)
+    if not np.all(binary):
+        return None
+    # Complement negatives: x_j -> 1 - x_j so all coefficients positive.
+    neg = val < 0
+    a = np.abs(val)
+    b = rhs - float(np.sum(val[neg]))  # sum val_neg * 1 moved to RHS
+    if b < -_EPS:
+        return None  # row itself infeasible at binary bounds — not our job
+    if np.sum(a) <= b + 1e-7:
+        return None  # no cover exists
+    xprime = np.where(neg, 1.0 - x_lp[idx], x_lp[idx])
+    xprime = np.clip(xprime, 0.0, 1.0)
+    # Greedy: take items with large LP value first (most violated cover).
+    order = np.argsort((1.0 - xprime) / np.maximum(a, _EPS))
+    csum = np.cumsum(a[order])
+    k = int(np.searchsorted(csum, b + 1e-9)) + 1
+    if k > len(order):
+        return None
+    cover = order[:k]
+    # Minimalize: drop items while still a cover.
+    weight = float(csum[k - 1])
+    keep = []
+    for j in cover[np.argsort(a[cover])]:  # try dropping small items first
+        if weight - a[j] > b + 1e-9:
+            weight -= a[j]
+        else:
+            keep.append(j)
+    cover = np.array(keep, dtype=int)
+    if len(cover) == 0:
+        return None
+    viol = (float(np.sum(xprime[cover])) - (len(cover) - 1)) / np.sqrt(len(cover))
+    if viol <= min_violation:
+        return None
+    # sum_{C} x'_j <= |C|-1  ->  original space
+    g = np.where(neg[cover], -1.0, 1.0)
+    d = float(len(cover) - 1) - float(np.sum(neg[cover]))
+    return idx[cover], g, d
+
+
+def generate_cuts(
+    a: sp.csr_matrix,
+    con_lb: np.ndarray,
+    con_ub: np.ndarray,
+    var_lb: np.ndarray,
+    var_ub: np.ndarray,
+    integrality: np.ndarray,
+    x_lp: np.ndarray,
+    max_cuts: int = 200,
+    min_violation: float = 1e-4,
+) -> Optional[CutPool]:
+    """Generate violated MIR + cover cuts at the LP point ``x_lp``.
+
+    Both row directions are tried: ``a.x <= cu`` and ``-a.x <= -cl``.
+    Returns None when nothing sufficiently violated is found.
+    """
+    a = sp.csr_matrix(a)
+    m, n = a.shape
+    is_int = np.asarray(integrality, dtype=bool)
+    if not np.any(is_int):
+        return None
+    found: List[Tuple[float, np.ndarray, np.ndarray, float]] = []
+    indptr, indices, data = a.indptr, a.indices, a.data
+    for i in range(m):
+        lo, hi = indptr[i], indptr[i + 1]
+        if hi == lo:
+            continue
+        idx = indices[lo:hi]
+        if not np.any(is_int[idx]):
+            continue
+        val = data[lo:hi]
+        for row_val, row_rhs in (
+            (val, con_ub[i]),
+            (-val, -con_lb[i]),
+        ):
+            if not np.isfinite(row_rhs):
+                continue
+            for gen in (_cover_on_row, _mir_on_row):
+                out = gen(idx, row_val, float(row_rhs), var_lb, var_ub,
+                          is_int, x_lp, min_violation)
+                if out is None:
+                    continue
+                cidx, cval, crhs = out
+                norm = float(np.linalg.norm(cval))
+                viol = (float(cval @ x_lp[cidx]) - crhs) / max(norm, _EPS)
+                if viol > min_violation:
+                    found.append((viol, cidx, cval / max(norm, _EPS),
+                                  crhs / max(norm, _EPS)))
+    if not found:
+        return None
+    found.sort(key=lambda t: -t[0])
+    found = found[:max_cuts]
+    rows_i, cols_i, vals = [], [], []
+    rhs = np.zeros(len(found))
+    for k, (_, cidx, cval, crhs) in enumerate(found):
+        rows_i.extend([k] * len(cidx))
+        cols_i.extend(cidx.tolist())
+        vals.extend(cval.tolist())
+        rhs[k] = crhs
+    rows = sp.csr_matrix(
+        (vals, (rows_i, cols_i)), shape=(len(found), n)
+    )
+    return CutPool(rows=rows, rhs=rhs)
+
+
+def append_cuts(qp, pool: CutPool):
+    """Return a new QuadraticProgram with the pool's rows appended as
+    -inf <= g.x <= d constraints.  ``qp`` must be in minimization form."""
+    a_new = sp.vstack([sp.csr_matrix(qp.constraint_matrix), pool.rows],
+                      format="csr")
+    cl_new = np.concatenate([qp.constraint_lower,
+                             np.full(pool.num_cuts, -np.inf)])
+    cu_new = np.concatenate([qp.constraint_upper, pool.rhs])
+    return dataclasses.replace(
+        qp,
+        constraint_matrix=a_new,
+        constraint_lower=cl_new,
+        constraint_upper=cu_new,
+        constraint_names=None,
+    )

@@ -199,11 +199,11 @@ def build_device_problem(
         pad_blocks_to_multiple_of=pad_blocks_to_multiple_of,
         padded_shape=(mm, nn),
     )
-    dev_at = BlockSparseMatrix.from_scipy(
-        sp.csr_matrix(a_scaled.T), block_shape=block, dtype=dtype,
-        pad_blocks_to_multiple_of=pad_blocks_to_multiple_of,
-        padded_shape=(nn, mm),
-    )
+    # Aᵀ as the per-block transpose of A at block shape (bn, bm): grid
+    # symmetry gives the same block count as A with zero extra fill-in
+    # (see BlockSparseMatrix.block_transpose), so both SpMV passes stream
+    # the same number of bytes.
+    dev_at = dev_a.block_transpose()
     # Fused Pallas SpMV layout: the default matvec path on TPU (f32,
     # single-shard); ops/tiled_spmv.py.  The block-COO arrays stay for
     # matmat (batched/vmapped solves) and non-TPU backends.

@@ -69,3 +69,33 @@ def test_auto_block_shape():
     assert auto_block_shape(1000, 1000, 100_000) == (128, 128)
     assert auto_block_shape(1000, 1000, 10_000) == (32, 128)
     assert auto_block_shape(10_000, 10_000, 10_000) == (8, 128)
+
+
+def test_block_transpose_exact_and_grid_symmetric():
+    a = sp.random(140, 300, density=0.05,
+                  random_state=np.random.RandomState(3), format="csr")
+    bsm = BlockSparseMatrix.from_scipy(a, dtype=jnp.float64)
+    bst = bsm.block_transpose()
+    # grid symmetry: same stored block count, swapped shapes
+    assert bst.num_blocks == bsm.num_blocks
+    assert bst.block_shape == (bsm.block_shape[1], bsm.block_shape[0])
+    assert bst.shape == (300, 140)
+    assert bst.padded_shape == (bsm.padded_shape[1], bsm.padded_shape[0])
+    y = np.random.default_rng(4).standard_normal(140)
+    out = bst.unpad_y(bst.matvec(bst.pad_x(y)))
+    np.testing.assert_allclose(np.asarray(out), a.T @ y, rtol=1e-12,
+                               atol=1e-12)
+    np.testing.assert_allclose(bst.to_dense(), a.T.toarray(), atol=0)
+
+
+def test_block_transpose_tiled_matches():
+    a = sp.random(200, 160, density=0.06,
+                  random_state=np.random.RandomState(5), format="csr")
+    bsm = BlockSparseMatrix.from_scipy(a, dtype=jnp.float32)
+    bst = bsm.block_transpose().with_tiled()
+    y = np.random.default_rng(6).standard_normal(200)
+    from ortools_tpu.ops.tiled_spmv import tiled_matvec
+    out = tiled_matvec(bst.tiled, bst.pad_x(y), bst.padded_shape[0],
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(out[:160]), a.T @ y, rtol=2e-5,
+                               atol=2e-5)

@@ -1,0 +1,143 @@
+"""MIR + cover cut generation: validity (no integer point cut off) and
+effectiveness (LP point separated, root bound improves).
+
+Reference roles: ortools/sat/cuts.cc (MIR, knapsack cover cuts).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.optimize import linprog
+
+from ortools_tpu.mip.cuts import append_cuts, generate_cuts
+from ortools_tpu.models.lp import QuadraticProgram
+
+
+def _enumerate_integer_points(lb, ub):
+    grids = [np.arange(int(l), int(u) + 1) for l, u in zip(lb, ub)]
+    return np.array(np.meshgrid(*grids)).reshape(len(lb), -1).T
+
+
+def _feasible_mask(a, cl, cu, pts, tol=1e-9):
+    ax = pts @ np.asarray(a.todense()).T
+    return np.all((ax >= cl - tol) & (ax <= cu + tol), axis=1)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_cuts_never_remove_integer_points(seed):
+    """Every generated cut must keep every integer-feasible point."""
+    rng = np.random.default_rng(seed)
+    n, m = 5, 4
+    a = sp.csr_matrix(np.round(rng.normal(size=(m, n)) * 3))
+    lb = np.zeros(n)
+    ub = np.full(n, 3.0)
+    x_ref = rng.integers(0, 4, size=n)  # ensure nonempty feasible set
+    ax_ref = a @ x_ref
+    cu = ax_ref + rng.integers(0, 5, size=m)
+    cl = np.full(m, -np.inf)
+    integrality = np.ones(n, dtype=bool)
+    c = rng.normal(size=n)
+
+    res = linprog(c, A_ub=a.todense(), b_ub=cu, bounds=list(zip(lb, ub)),
+                  method="highs")
+    assert res.status == 0
+    x_lp = res.x
+
+    pool = generate_cuts(a, cl, cu, lb, ub, integrality, x_lp,
+                         min_violation=1e-6)
+    if pool is None:
+        return  # LP solution integral or no violated cut — fine
+    pts = _enumerate_integer_points(lb, ub)
+    feas = pts[_feasible_mask(a, cl, cu, pts)]
+    assert len(feas)
+    cut_ax = feas @ np.asarray(pool.rows.todense()).T
+    assert np.all(cut_ax <= pool.rhs[None, :] + 1e-7), (
+        "a cut removed an integer-feasible point")
+
+
+def test_cover_cut_on_knapsack():
+    # 3x1 + 4x2 + 5x3 <= 6, binaries; LP optimum of max x1+x2+x3 is
+    # fractional; the cover cut must separate it.
+    a = sp.csr_matrix(np.array([[3.0, 4.0, 5.0]]))
+    cl = np.array([-np.inf])
+    cu = np.array([6.0])
+    lb = np.zeros(3)
+    ub = np.ones(3)
+    integrality = np.ones(3, dtype=bool)
+    res = linprog([-1, -1, -1], A_ub=a.todense(), b_ub=cu,
+                  bounds=[(0, 1)] * 3, method="highs")
+    x_lp = res.x
+    pool = generate_cuts(a, cl, cu, lb, ub, integrality, x_lp)
+    assert pool is not None and pool.num_cuts >= 1
+    viol = np.asarray(pool.rows @ x_lp) - pool.rhs
+    assert viol.max() > 1e-5
+    # All 8 binary points that satisfy the knapsack must survive.
+    pts = _enumerate_integer_points(lb, ub)
+    feas = pts[_feasible_mask(a, cl, cu, pts)]
+    cut_ax = feas @ np.asarray(pool.rows.todense()).T
+    assert np.all(cut_ax <= pool.rhs[None, :] + 1e-9)
+
+
+def test_mir_closes_gap_on_simple_row():
+    # 2x1 + 2x2 <= 3, integers in [0, 2]: LP allows x1+x2 = 1.5 but
+    # integrally x1 + x2 <= 1.  MIR with delta=2 finds it.
+    a = sp.csr_matrix(np.array([[2.0, 2.0]]))
+    cl = np.array([-np.inf])
+    cu = np.array([3.0])
+    lb = np.zeros(2)
+    ub = np.full(2, 2.0)
+    integrality = np.ones(2, dtype=bool)
+    x_lp = np.array([0.75, 0.75])  # on the LP facet
+    pool = generate_cuts(a, cl, cu, lb, ub, integrality, x_lp,
+                         min_violation=1e-6)
+    assert pool is not None
+    # Some cut must enforce x1 + x2 <= 1 (up to scaling).
+    ok = False
+    for k in range(pool.num_cuts):
+        row = np.asarray(pool.rows[k].todense()).ravel()
+        if np.all(row > 1e-9):
+            # scaled row g*(x1+x2) <= d with d/g ~= 1
+            ratio = pool.rhs[k] / row.max()
+            if ratio < 1.5:
+                ok = True
+    assert ok
+
+
+def test_append_cuts_and_root_bound_improves():
+    """B&B root bound with cuts >= pure LP bound on a knapsack-like MIP."""
+    rng = np.random.default_rng(7)
+    n = 12
+    w = rng.integers(3, 10, size=n).astype(float)
+    cap = float(w.sum() // 3)
+    c = -(w + rng.normal(scale=0.1, size=n))  # maximize value ~ weight
+    a = sp.csr_matrix(w[None, :])
+    qp = QuadraticProgram(
+        objective_vector=c,
+        constraint_matrix=a,
+        constraint_lower=np.array([-np.inf]),
+        constraint_upper=np.array([cap]),
+        variable_lower=np.zeros(n),
+        variable_upper=np.ones(n),
+        integrality=np.ones(n, dtype=bool),
+    )
+    res = linprog(c, A_ub=a.todense(), b_ub=[cap], bounds=[(0, 1)] * n,
+                  method="highs")
+    lp_bound = res.fun
+    x_lp = res.x
+    pool = generate_cuts(a, qp.constraint_lower, qp.constraint_upper,
+                         qp.variable_lower, qp.variable_upper,
+                         qp.integrality, x_lp)
+    if pool is None:
+        pytest.skip("LP optimum already integral for this seed")
+    qp2 = append_cuts(qp, pool)
+    res2 = linprog(c, A_ub=qp2.constraint_matrix.todense(),
+                   b_ub=qp2.constraint_upper,
+                   bounds=[(0, 1)] * n, method="highs")
+    assert res2.status == 0
+    assert res2.fun >= lp_bound - 1e-9  # bound can only tighten
+    # and the integer optimum is still feasible for the cut system
+    from ortools_tpu.mip.branch_and_bound import solve as mip_solve
+    mres = mip_solve(qp, max_nodes=2000, node_batch_size=8)
+    x_int = mres.solution
+    assert np.all(qp2.constraint_matrix @ x_int
+                  <= qp2.constraint_upper + 1e-6)
