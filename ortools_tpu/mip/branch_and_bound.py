@@ -290,6 +290,12 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         if not batch:
             break
         num_nodes += len(batch)
+        # Pad to the full batch size by repeating the first node: keeps the
+        # jitted batched-LP program at ONE static shape (a fresh XLA
+        # compile per distinct batch size would dominate wall time).
+        n_real = len(batch)
+        while len(batch) < params.node_batch_size:
+            batch.append(batch[0])
         lbs = np.stack([nd.lb for nd in batch])
         ubs = np.stack([nd.ub for nd in batch])
         warm_x = (
@@ -320,7 +326,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             )
         res = solve_batch(qp_min, lbs, ubs, batch_lp_params,
                           warm_start_x=warm_x, warm_start_y=warm_y)
-        for i, nd in enumerate(batch):
+        for i, nd in enumerate(batch[:n_real]):
             x_lp = res.primal_solution[i]
             # res.dual_bound is a *valid* lower bound on the node LP (exact
             # Lagrangian dual value of the dual iterate) even when the LP

@@ -26,7 +26,13 @@ from __future__ import annotations
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
 
+import numpy as np
+
 from ortools_tpu.sat import model_ir as ir
+from ortools_tpu.sat.scheduling_propagators import (
+    disjunctive_bounds,
+    timetable_bounds,
+)
 from ortools_tpu.utils.domain import Domain, INT_MAX, INT_MIN
 
 Doms = List[Domain]
@@ -565,36 +571,65 @@ class Engine:
                                        ei_lo, min(ei_hi, sj_hi), queue)
                     self._tighten_expr(doms, aj.start,
                                        max(sj_lo, ei_lo), sj_hi, queue)
+        # Θ-tree-style overload checking + edge finding over the whole
+        # task set (reference sat/disjunctive.h:135-232, theta_tree.h) —
+        # strictly stronger than the pairwise pass for 3+ tasks.
+        tasks = [(k, info) for k, info in present if info[3] > 0]
+        if len(tasks) >= 3:
+            est = np.array([info[1] for _, info in tasks], dtype=np.int64)
+            lct = np.array([info[6] for _, info in tasks], dtype=np.int64)
+            dur = np.array([info[3] for _, info in tasks], dtype=np.int64)
+            new_est, new_lct, ok = disjunctive_bounds(est, lct, dur)
+            if not ok:
+                raise Conflict()
+            for t, (k, info) in enumerate(tasks):
+                at = self.model.constraints[k].args
+                if new_est[t] > est[t]:
+                    self._tighten_expr(doms, at.start,
+                                       int(new_est[t]), info[2], queue)
+                if new_lct[t] < lct[t]:
+                    self._tighten_expr(doms, at.end,
+                                       info[5], int(new_lct[t]), queue)
 
     def _propagate_cumulative(self, doms: Doms, a: ir.CumulativeArgs,
                               queue: Set[int]) -> None:
+        """Timetable propagation (reference sat/timetable.h): mandatory-
+        part profile conflict + per-task start/end tightening + capacity
+        lower bound, via sat/scheduling_propagators.timetable_bounds."""
         cap_lo, cap_hi = self._expr_hull(doms, a.capacity)
-        events = []
+        tasks = []  # (k, info, d_lo)
         for kk, dem in zip(a.intervals, a.demands):
-            enf, s_lo, s_hi, z_lo, _, e_lo, _ = self._interval_info(doms, kk)
+            enf, s_lo, s_hi, z_lo, _, e_lo, e_hi = \
+                self._interval_info(doms, kk)
             if enf is not True:
                 continue
             d_lo, _ = self._expr_hull(doms, dem)
-            if d_lo <= 0:
+            if d_lo <= 0 or z_lo <= 0:
                 continue
-            if s_hi < e_lo:  # mandatory part [s_hi, e_lo)
-                events.append((s_hi, d_lo))
-                events.append((e_lo, -d_lo))
-        if not events:
+            tasks.append((kk, (s_lo, s_hi, e_lo, e_hi, z_lo), d_lo))
+        if not tasks:
             return
-        events.sort()
-        load = 0
-        i = 0
-        while i < len(events):
-            t = events[i][0]
-            while i < len(events) and events[i][0] == t and events[i][1] < 0:
-                load += events[i][1]
-                i += 1
-            while i < len(events) and events[i][0] == t:
-                load += events[i][1]
-                i += 1
-            if load > cap_hi:
-                raise Conflict()
+        est = np.array([t[1][0] for t in tasks], dtype=np.int64)
+        lst = np.array([t[1][1] for t in tasks], dtype=np.int64)
+        ect = np.array([t[1][2] for t in tasks], dtype=np.int64)
+        lct = np.array([t[1][3] for t in tasks], dtype=np.int64)
+        dur = np.array([t[1][4] for t in tasks], dtype=np.int64)
+        dem_lo = np.array([t[2] for t in tasks], dtype=np.int64)
+        new_est, new_lct, ok, prof_max = timetable_bounds(
+            est, lst, ect, lct, dur, dem_lo, int(cap_hi))
+        if not ok:
+            raise Conflict()
+        if prof_max > cap_lo:
+            self._tighten_expr(doms, a.capacity, int(prof_max), cap_hi,
+                               queue)
+        for t, (kk, info, _) in enumerate(tasks):
+            at = self.model.constraints[kk].args
+            if new_est[t] > est[t]:
+                self._tighten_expr(doms, at.start,
+                                   int(new_est[t]), info[1], queue)
+            if new_lct[t] < lct[t]:
+                self._tighten_expr(doms, at.end,
+                                   info[2], int(new_lct[t]), queue)
 
     def _propagate_circuit(self, doms: Doms, a: ir.CircuitArgs,
                            queue: Set[int]) -> None:
