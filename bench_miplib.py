@@ -61,12 +61,12 @@ def main():
             integrality=integ,
             options={"time_limit": tlim},
         )
-        ours = (sign * r.objective_value
-                if r.status in (MPSolverStatus.OPTIMAL,
-                                MPSolverStatus.FEASIBLE)
-                and not math.isnan(r.objective_value) else math.nan)
-        # ours stored in original sense; convert to minimization sense
-        ours_min = ours if not qp.maximize else -ours
+        # r.objective_value is in the ORIGINAL sense; sign converts it to
+        # the minimization sense that scipy milp reports.
+        ours_min = (sign * r.objective_value
+                    if r.status in (MPSolverStatus.OPTIMAL,
+                                    MPSolverStatus.FEASIBLE)
+                    and not math.isnan(r.objective_value) else math.nan)
         ref = s.fun if s.status in (0, 1) and s.fun is not None else math.nan
         matched = (
             not math.isnan(ours_min) and not math.isnan(ref)

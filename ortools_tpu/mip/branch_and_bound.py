@@ -39,6 +39,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ortools_tpu.mip.cuts import append_cuts, generate_cuts
+from ortools_tpu.mip.heuristics import round_and_repair
 from ortools_tpu.mip.propagation import propagate_bounds
 from ortools_tpu.models.lp import QuadraticProgram
 from ortools_tpu.pdlp.batched import solve_batch
@@ -219,6 +220,14 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             incumbent_obj = obj
             incumbent_x = x_r
 
+    def run_heuristics(x_lp: np.ndarray) -> None:
+        """LP-guided rounding + repair + 1-opt (mip/heuristics.py); every
+        candidate goes through the same checker as any incumbent."""
+        if not len(int_idx):
+            return
+        for cand in round_and_repair(qp_min, x_lp, int_idx):
+            try_incumbent(cand)
+
     # ---- root LP + cutting-plane rounds --------------------------------
     # Cuts are globally valid rows appended to qp_min; every later node LP
     # (and the propagator) sees them.  Reference roles: sat/cuts.cc MIR +
@@ -238,6 +247,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             root_bound = max(root_bound, float(res0.dual_bound[0]))
             root_warm_x, root_warm_y = x_root, res0.dual_solution[0]
             try_incumbent(x_root)
+            run_heuristics(x_root)
             if num_cuts >= params.cut_rounds * params.max_cuts_per_round:
                 break
             frac0 = (np.abs(x_root[int_idx] - np.round(x_root[int_idx]))
@@ -340,6 +350,8 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             if gap_closed(node_bound):
                 continue
             try_incumbent(x_lp)
+            if i == 0:  # best-bound node of the batch: full heuristics
+                run_heuristics(x_lp)
             frac = np.abs(x_lp[int_idx] - np.round(x_lp[int_idx])) \
                 if len(int_idx) else np.zeros(0)
             if frac.size == 0 or frac.max() <= params.integrality_tol:

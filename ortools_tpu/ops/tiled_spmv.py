@@ -9,13 +9,16 @@ effective vs ~800 GB/s peak.
 This layout eliminates every per-block dynamic index:
 
 - blocks are grouped into SUPER-TILES of (128 block-rows x 128 block-cols)
-  and packed into fixed-size chunks of C blocks (zero-padded), stored as a
-  [bn, bm*C] lane-major slab per chunk with block data TRANSPOSED:
-  the per-block contraction over j (the bn axis) is a cross-SUBLANE
-  reduction (a few vector adds) instead of a cross-lane reduction;
-- the x gather is ONE one-hot matmul per chunk on the MXU and the y
-  scatter is ONE one-hot matmul, with both one-hots built in-register
-  from an iota comparison;
+  and packed into fixed-size chunks of C = 128 blocks (zero-padded),
+  stored as a [bn, bm*C] lane-major slab per chunk (lane l = i*C + b for
+  block-row offset i, block b) with block data TRANSPOSED: the per-block
+  contraction over j (the bn axis) is a cross-SUBLANE reduction (a few
+  vector adds) instead of a cross-lane reduction;
+- the x gather is ONE one-hot matmul per chunk on the MXU:
+      Gt[l, b] = (local_col[b] == l)  ->  xbT = x_panelT @ Gt
+  and the y scatter is ONE one-hot matmul:
+      R[b, q]  = (local_row[b] == q)  ->  y_panelT += P @ R
+  with both one-hots built in-register from an iota comparison;
 - all matmuls run as *exact* bf16 triples: f32 operands are split into
   three bf16 terms (hi/mid/lo cover the 24-bit mantissa), the one-hot side
   is exactly representable, and products accumulate in f32 — full f32
@@ -27,15 +30,12 @@ This layout eliminates every per-block dynamic index:
 - chunk slabs stream HBM->VMEM through the Pallas grid pipeline
   (double-buffered automatically).
 
-Two lane orderings cover all block shapes (Mosaic only supports 1-D->2-D
-reshapes whose last dim is a multiple of 128):
-
-- ``block`` order (wide blocks, C == 128): lane l = i*C + b; the summed
-  products reshape to [bm, C] directly.
-- ``row`` order (tall blocks, bm % 128 == 0): lane l = b*bm + i; the sum
-  reshapes to [C, bm] and the scatter contracts over the leading axis.
-  Used for the block-transposed Aᵀ layout (BlockSparseMatrix
-  .block_transpose), whose blocks are (128, 8).
+C is fixed at 128 because Mosaic's 1-D->2-D vector reshape needs the lane
+dim to be exactly 128: the summed [bm*C] product lanes reshape to [bm, C].
+The block shape is otherwise free — (8, 128) A tiles and their (128, 8)
+block-transposed Aᵀ tiles (BlockSparseMatrix.block_transpose) both ride
+the same kernel; for Aᵀ the scatter matmul is a perfect [128,128]x[128,128]
+MXU op.
 
 Capability parity: the TPU-native replacement for the reference Sharder's
 TransposedMatrixVectorProduct kernel set (ortools/pdlp/sharder.h:237,
@@ -58,6 +58,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_CHUNK = 128  # blocks per chunk; see module docstring
+
 
 def _ceil_to(x: int, k: int) -> int:
     return -(-x // k) * k
@@ -69,11 +71,8 @@ class TiledSpmv:
     """Chunked super-tile layout for the fused SpMV kernel."""
 
     data_t: jax.Array  # [nchunk, bn, bm * C] transposed slabs (see header)
-    # 'block' order: rows_lo [nchunk, C, 1], cols_lo [nchunk, 1, C]
-    # 'row' order:   rows_lo [nchunk, C, 1], cols_lo [nchunk, 1, bm*C]
-    #                (cols expanded to lane resolution)
-    rows_lo: jax.Array
-    cols_lo: jax.Array
+    rows_lo: jax.Array  # int32 [nchunk, C, 1] block-row within super-tile
+    cols_lo: jax.Array  # int32 [nchunk, 1, C] block-col within super-tile
     super_rows: jax.Array  # int32 [nchunk]
     super_cols: jax.Array  # int32 [nchunk]
     bm: int
@@ -81,14 +80,12 @@ class TiledSpmv:
     nsr: int  # super-row count (y padded to nsr*128*bm)
     nsc: int  # super-col count (x padded to nsc*128*bn... cols nsc*128)
     num_real_blocks: int
-    lane_order: str = "block"  # 'block' (l=i*C+b) or 'row' (l=b*bm+i)
 
     def tree_flatten(self):
         return (
             (self.data_t, self.rows_lo, self.cols_lo, self.super_rows,
              self.super_cols),
-            (self.bm, self.bn, self.nsr, self.nsc, self.num_real_blocks,
-             self.lane_order),
+            (self.bm, self.bn, self.nsr, self.nsc, self.num_real_blocks),
         )
 
     @classmethod
@@ -110,15 +107,6 @@ class TiledSpmv:
         return total / max(1, self.num_real_blocks)
 
 
-def default_chunk_size(bm: int) -> int:
-    """'block' order needs C to be a multiple of 128 (the summed lanes
-    reshape to [bm, C]); 'row' order (bm % 128 == 0) sizes C so a slab's
-    lane width stays a multiple of 128 and ~4K lanes."""
-    if bm % 128 == 0:
-        return max(1, 4096 // bm)
-    return 128
-
-
 def pack_tiled(
     data: np.ndarray,
     block_rows: np.ndarray,
@@ -138,17 +126,9 @@ def pack_tiled(
     br = np.asarray(block_rows)[:nb].astype(np.int64)
     bc = np.asarray(block_cols)[:nb].astype(np.int64)
     bm, bn = int(data.shape[1]), int(data.shape[2])
-    c_sz = chunk_size or default_chunk_size(bm)
-    lane_order = "row" if bm % 128 == 0 else "block"
-    if lane_order == "row":
-        # same Mosaic reshape constraint, lane dim = bm here
-        assert bm == 128, f"'row' lane order needs bm == 128, got {bm}"
-    if lane_order == "block":
-        # Mosaic's 1-D->2-D vector reshape requires the lane dim to be
-        # exactly 128, so the summed [bm*C] lanes can only reshape to
-        # [bm, 128].
-        assert c_sz == 128, (
-            f"'block' lane order needs chunk_size == 128, got {c_sz}")
+    c_sz = chunk_size or _CHUNK
+    # Mosaic's 1-D->2-D vector reshape needs lane dim exactly 128.
+    assert c_sz == 128, f"chunk_size must be 128, got {c_sz}"
     mm, nn = padded_shape
     nsr = max(1, _ceil_to(mm // bm, 128) // 128)
     nsc = max(1, _ceil_to(nn // bn, 128) // 128)
@@ -185,23 +165,14 @@ def pack_tiled(
         out_cols[k, 0, :cnt] = (bc[lo:hi] - csc * 128).astype(np.int32)
         out_sr[k] = csr
         out_sc[k] = csc
-    if lane_order == "block":
-        # slab lane l = i*C + b
-        slabs = np.ascontiguousarray(out_data.transpose(0, 3, 2, 1)).reshape(
-            nchunk, bn, bm * c_sz
-        )
-        cols_arr = out_cols
-    else:
-        # slab lane l = b*bm + i; cols expanded to lane resolution so the
-        # gather one-hot can be built without an in-kernel // or repeat
-        slabs = np.ascontiguousarray(out_data.transpose(0, 3, 1, 2)).reshape(
-            nchunk, bn, bm * c_sz
-        )
-        cols_arr = np.repeat(out_cols, bm, axis=2)  # [nchunk, 1, bm*C]
+    # transpose each chunk [C, bm, bn] -> slab [bn, bm*C] with lane i*C+b
+    slabs = np.ascontiguousarray(out_data.transpose(0, 3, 2, 1)).reshape(
+        nchunk, bn, bm * c_sz
+    )
     return TiledSpmv(
         data_t=jnp.asarray(slabs, dtype=dtype),
         rows_lo=jnp.asarray(out_rows),
-        cols_lo=jnp.asarray(cols_arr),
+        cols_lo=jnp.asarray(out_cols),
         super_rows=jnp.asarray(out_sr),
         super_cols=jnp.asarray(out_sc),
         bm=bm,
@@ -209,7 +180,6 @@ def pack_tiled(
         nsr=nsr,
         nsc=nsc,
         num_real_blocks=nb,
-        lane_order=lane_order,
     )
 
 
@@ -230,8 +200,8 @@ def _dot3(ah, am, al, b, f32):
     )
 
 
-def _spmv_tiled_kernel(lane_order, sr_ref, sc_ref, data_ref, rows_ref,
-                       cols_ref, xh_ref, xm_ref, xl_ref, y_ref):
+def _spmv_tiled_kernel(sr_ref, sc_ref, data_ref, rows_ref, cols_ref,
+                       xh_ref, xm_ref, xl_ref, y_ref):
     c = pl.program_id(0)
     bn = data_ref.shape[1]
     width = data_ref.shape[2]
@@ -248,52 +218,35 @@ def _spmv_tiled_kernel(lane_order, sr_ref, sc_ref, data_ref, rows_ref,
     def _():
         y_ref[...] = jnp.zeros_like(y_ref)
 
-    if lane_order == "block":
-        # gather: xbT[j, b] = x_panelT[j, local_col[b]] via a one-hot
-        # matmul, then broadcast to lanes l = i*C + b by tiling.
-        sub = jax.lax.broadcasted_iota(jnp.int32, (128, cc), 0)
-        gt = (cols_ref[0] == sub).astype(jnp.bfloat16)  # [128, C]
-        xbt = _dot3(xh_ref[...], xm_ref[...], xl_ref[...], gt, f32)
-        z = data_ref[0] * jnp.tile(xbt, (1, bm))  # [bn, bm*C]
-        pvec = jnp.sum(z, axis=0)  # [bm*C], lane i*C + b
-        p2 = pvec.reshape(bm, cc)  # [bm, C]  (C % 128 == 0)
-        # scatter: y_panelT[i, q] += sum_b p2[i, b] * [local_row[b] == q]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (cc, 128), 1)
-        r = (rows_ref[0] == lane).astype(jnp.bfloat16)  # [C, 128]
-        ph, pm, plo = _split3(p2, f32)
-        y_ref[0] += _dot3(ph, pm, plo, r, f32)  # [bm, 128]
-    else:
-        # 'row' order: lane l = b*bm + i; cols_ref is lane-expanded
-        # [1, bm*C].  One gather matmul produces the x value per LANE.
-        sub = jax.lax.broadcasted_iota(jnp.int32, (128, width), 0)
-        gt = (cols_ref[0] == sub).astype(jnp.bfloat16)  # [128, bm*C]
-        xbt = _dot3(xh_ref[...], xm_ref[...], xl_ref[...], gt, f32)
-        z = data_ref[0] * xbt  # [bn, bm*C]
-        pvec = jnp.sum(z, axis=0)  # [bm*C], lane b*bm + i
-        p2t = pvec.reshape(cc, bm)  # [C, bm]  (bm % 128 == 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (cc, 128), 1)
-        r = (rows_ref[0] == lane).astype(jnp.bfloat16)  # [C, 128]
-        ph, pm, plo = _split3(p2t, f32)
-        # contract over the chunk axis: y[i, q] += sum_b p2t[b, i] r[b, q]
-        dn = (((0,), (0,)), ((), ()))
-        y_ref[0] += (
-            jax.lax.dot_general(ph, r, dn, preferred_element_type=f32)
-            + jax.lax.dot_general(pm, r, dn, preferred_element_type=f32)
-            + jax.lax.dot_general(plo, r, dn, preferred_element_type=f32)
-        )  # [bm, 128]
+    # gather: xbT[j, b] = x_panelT[j, local_col[b]] via a one-hot matmul.
+    # Gt is exactly representable in bf16; x comes pre-split into three
+    # bf16 terms, so the three MXU passes reconstruct f32 exactly.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (128, cc), 0)
+    gt = (cols_ref[0] == sub).astype(jnp.bfloat16)  # [128, C]
+    xbt = _dot3(xh_ref[...], xm_ref[...], xl_ref[...], gt, f32)  # [bn, C]
+
+    # per-block product; contraction over j is a cross-SUBLANE reduction
+    z = data_ref[0] * jnp.tile(xbt, (1, bm))  # [bn, bm*C]
+    pvec = jnp.sum(z, axis=0)  # [bm*C]
+    p2 = pvec.reshape(bm, cc)  # [bm, C] (lane i*C+b -> row i, col b)
+
+    # scatter: y_panelT[i, q] += sum_b p2[i, b] * [local_row[b] == q]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cc, 128), 1)
+    r = (rows_ref[0] == lane).astype(jnp.bfloat16)  # [C, 128]
+    ph, pm, plo = _split3(p2, f32)
+    y_ref[0] += _dot3(ph, pm, plo, r, f32)  # [bm, 128]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nsr", "nsc", "bm", "bn", "lane_order", "interpret"),
+    static_argnames=("nsr", "nsc", "bm", "bn", "interpret"),
 )
 def _tiled_matvec_call(data_t, rows_lo, cols_lo, super_rows, super_cols,
                        xt, nsr: int, nsc: int, bm: int, bn: int,
-                       lane_order: str, interpret: bool):
+                       interpret: bool):
     nchunk = data_t.shape[0]
     width = data_t.shape[2]
     c_sz = width // bm
-    cols_width = width if lane_order == "row" else c_sz
     xh, xm, xl = _split3(xt, data_t.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # super_rows, super_cols
@@ -301,7 +254,7 @@ def _tiled_matvec_call(data_t, rows_lo, cols_lo, super_rows, super_cols,
         in_specs=[
             pl.BlockSpec((1, bn, width), lambda c, sr, sc: (c, 0, 0)),
             pl.BlockSpec((1, c_sz, 1), lambda c, sr, sc: (c, 0, 0)),
-            pl.BlockSpec((1, 1, cols_width), lambda c, sr, sc: (c, 0, 0)),
+            pl.BlockSpec((1, 1, c_sz), lambda c, sr, sc: (c, 0, 0)),
             pl.BlockSpec((bn, 128), lambda c, sr, sc: (0, sc[c])),
             pl.BlockSpec((bn, 128), lambda c, sr, sc: (0, sc[c])),
             pl.BlockSpec((bn, 128), lambda c, sr, sc: (0, sc[c])),
@@ -311,7 +264,7 @@ def _tiled_matvec_call(data_t, rows_lo, cols_lo, super_rows, super_cols,
         ),
     )
     y3t = pl.pallas_call(
-        functools.partial(_spmv_tiled_kernel, lane_order),
+        _spmv_tiled_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nsr, bm, 128), data_t.dtype),
         interpret=interpret,
@@ -331,7 +284,7 @@ def tiled_matvec(t: TiledSpmv, x: jax.Array, m_padded: int,
         xt = jnp.pad(xt, ((0, 0), (0, t.nsc * 128 - ncb)))
     y3t = _tiled_matvec_call(
         t.data_t, t.rows_lo, t.cols_lo, t.super_rows, t.super_cols, xt,
-        t.nsr, t.nsc, bm, bn, t.lane_order, interpret,
+        t.nsr, t.nsc, bm, bn, interpret,
     )
     # [nsr, bm, 128] -> rows (sr*128 + q)*bm + i
     y = jnp.transpose(y3t, (0, 2, 1)).reshape(t.nsr * 128 * bm)

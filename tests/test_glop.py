@@ -117,3 +117,69 @@ def test_free_variables():
     r = solve(qp)
     assert r.status == MPSolverStatus.OPTIMAL
     assert abs(r.objective_value - 2.0) < 1e-9
+
+
+def test_dual_simplex_warm_restart():
+    """resolve() after a bound flip: dual simplex re-optimizes in far
+    fewer iterations than a cold solve (reference revised_simplex.cc:3058
+    DualMinimize warm-start role)."""
+    import scipy.sparse as sp
+    from ortools_tpu.glop.simplex import RevisedSimplex
+    rng = np.random.default_rng(11)
+    m, n = 40, 80
+    a = sp.csr_matrix(rng.normal(size=(m, n)))
+    x0 = np.abs(rng.normal(size=n))
+    b = a @ x0
+    qp = QuadraticProgram(
+        objective_vector=1.0 + np.abs(rng.normal(size=n)),
+        constraint_matrix=a,
+        constraint_lower=b,
+        constraint_upper=np.full(m, np.inf),
+        variable_lower=np.zeros(n),
+        variable_upper=np.full(n, 10.0),
+    )
+    sx = RevisedSimplex(qp)
+    st = sx.primal_solve()
+    assert st == MPSolverStatus.OPTIMAL
+    cold_iters = sx.iters
+    res0 = sx.result(st)
+
+    # flip a bound like a B&B child node would
+    lb2 = np.array(qp.variable_lower)
+    ub2 = np.array(qp.variable_upper)
+    j = int(np.argmax(res0.primal_solution))
+    ub2[j] = max(0.0, np.floor(res0.primal_solution[j] - 0.5))
+    before = sx.iters
+    st2 = sx.resolve(lb2, ub2)
+    warm_iters = sx.iters - before
+    assert st2 == MPSolverStatus.OPTIMAL
+    res2 = sx.result(st2)
+    assert res2.primal_solution[j] <= ub2[j] + 1e-7
+
+    # cold reference on the same modified LP
+    import dataclasses as dc
+    qp2 = dc.replace(qp, variable_lower=lb2, variable_upper=ub2)
+    res_cold = solve(qp2)
+    assert res_cold.status == MPSolverStatus.OPTIMAL
+    assert abs(res2.objective_value - res_cold.objective_value) <= \
+        1e-6 * (1 + abs(res_cold.objective_value))
+    assert warm_iters < max(5, cold_iters // 2), (warm_iters, cold_iters)
+
+
+def test_dual_simplex_detects_infeasible_bound_change():
+    import scipy.sparse as sp
+    from ortools_tpu.glop.simplex import RevisedSimplex
+    # x + y >= 4, x,y in [0, 3] feasible; tighten ub to [0,1] -> infeasible
+    a = sp.csr_matrix(np.array([[1.0, 1.0]]))
+    qp = QuadraticProgram(
+        objective_vector=np.array([1.0, 2.0]),
+        constraint_matrix=a,
+        constraint_lower=np.array([4.0]),
+        constraint_upper=np.array([np.inf]),
+        variable_lower=np.zeros(2),
+        variable_upper=np.full(2, 3.0),
+    )
+    sx = RevisedSimplex(qp)
+    assert sx.primal_solve() == MPSolverStatus.OPTIMAL
+    st = sx.resolve(np.zeros(2), np.full(2, 1.0))
+    assert st == MPSolverStatus.INFEASIBLE
