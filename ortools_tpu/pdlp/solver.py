@@ -175,6 +175,7 @@ def _ruiz_and_l2_rescale(
 def build_device_problem(
     qp: QuadraticProgram, params: PdhgParams,
     pad_blocks_to_multiple_of: int = 1,
+    row_pad_multiple: int = 128, col_pad_multiple: int = 128,
 ) -> DeviceProblem:
     qp = qp.as_minimization()
     m, n = qp.num_constraints, qp.num_variables
@@ -192,8 +193,13 @@ def build_device_problem(
     # Pad both logical dims to multiples of 128 so A (blocks bm x 128) and
     # its stored transpose (also bm x 128 blocks) agree on padded vector
     # lengths: A is (M, N), A^T is (N, M).
-    mm = -(-max(m, 1) // 128) * 128
-    nn = -(-max(n, 1) // 128) * 128
+    def _lcm(x, y):
+        return x * y // math.gcd(x, y)
+
+    mm = -(-max(m, 1) // _lcm(128, row_pad_multiple)) * _lcm(
+        128, row_pad_multiple)
+    nn = -(-max(n, 1) // _lcm(128, col_pad_multiple)) * _lcm(
+        128, col_pad_multiple)
     dev_a = BlockSparseMatrix.from_scipy(
         a_scaled, block_shape=block, dtype=dtype,
         pad_blocks_to_multiple_of=pad_blocks_to_multiple_of,
@@ -292,15 +298,53 @@ class _Matvecs(NamedTuple):
     rmatvec: Callable[[jax.Array], jax.Array]
 
 
+class Comm2D(NamedTuple):
+    """2-D (row x col) mesh communication spec for the SpMV pair.
+
+    Device (r, c) holds the blocks of A whose rows fall in row-range r and
+    cols in col-range c (equal contiguous ranges).  Iterate vectors stay
+    full-length replicated in the PDHG body (all elementwise math and dots
+    are then mesh-oblivious); the matvec communicates only SEGMENTS:
+
+        y = all_gather_row( psum_col( A_rc @ x[c-range] ) )
+        x = all_gather_col( psum_row( A_rc^T @ y[r-range] ) )
+
+    — per-device collective volume is seg_m + seg_m*(R-1)/R instead of the
+    1-D path's full-length psum over all devices (SURVEY §5 long-context
+    analogue; reference Sharder's 2-sided products, sharder.h:237)."""
+
+    row_axis: str
+    col_axis: str
+    seg_m: int  # padded rows per row range
+    seg_n: int  # padded cols per col range
+
+
 def _make_matvecs(
-    a: BlockSparseMatrix, at: BlockSparseMatrix, psum: Optional[Callable]
+    a: BlockSparseMatrix, at: BlockSparseMatrix, psum
 ) -> _Matvecs:
-    """SpMV closures; under shard_map each device holds a slice of the block
-    list and `psum` combines full-length partial products (the TPU-native
+    """SpMV closures.  ``psum`` selects the parallel mode: None (single
+    device), a psum callable (1-D block sharding: each device holds a slice
+    of the block list, full-length partials psum-combined — the TPU-native
     analogue of the reference Sharder's per-thread shards +
-    ParallelSumOverShards)."""
+    ParallelSumOverShards), or a Comm2D (row x col partition)."""
     if psum is None:
         return _Matvecs(a.matvec, at.matvec)
+    if isinstance(psum, Comm2D):
+        comm = psum
+
+        def mv(x):
+            c = jax.lax.axis_index(comm.col_axis)
+            x_c = jax.lax.dynamic_slice(x, (c * comm.seg_n,), (comm.seg_n,))
+            y_r = jax.lax.psum(a.matvec(x_c), comm.col_axis)
+            return jax.lax.all_gather(y_r, comm.row_axis, tiled=True)
+
+        def rmv(y):
+            r = jax.lax.axis_index(comm.row_axis)
+            y_r = jax.lax.dynamic_slice(y, (r * comm.seg_m,), (comm.seg_m,))
+            x_c = jax.lax.psum(at.matvec(y_r), comm.row_axis)
+            return jax.lax.all_gather(x_c, comm.col_axis, tiled=True)
+
+        return _Matvecs(mv, rmv)
     return _Matvecs(
         lambda x: psum(a.matvec(x)),
         lambda y: psum(at.matvec(y)),
@@ -748,7 +792,19 @@ def solve(
     if params.presolve:
         return _solve_with_presolve(qp, params, mesh, start)
 
-    if mesh is not None:
+    if mesh is not None and len(mesh.shape) == 2:
+        # 2-D row x col partition: segment collectives (Comm2D).
+        prob, psum = build_2d_problem(qp_min, params, mesh)
+        pspec = _problem_specs_2d(prob, *mesh.axis_names)
+        P = jax.sharding.PartitionSpec
+
+        def wrap(fn, n_args):
+            sm = jax.shard_map(
+                fn, mesh=mesh, in_specs=(pspec,) + (P(),) * n_args,
+                out_specs=P(), check_vma=False,
+            )
+            return jax.jit(sm)
+    elif mesh is not None:
         axis = params.mesh_axis
         psum = functools.partial(jax.lax.psum, axis_name=axis)
         prob = build_device_problem(
@@ -777,7 +833,7 @@ def solve(
     power_iter = wrap(_make_power_iter(params, psum), 1)
     initial_state = wrap(_make_initial_state(params, psum), 1)
     final_iterate = wrap(
-        functools.partial(_final_iterate, params.optimality_norm), 2
+        _make_final_iterate(params.optimality_norm, psum), 2
     )
 
     v0 = jax.random.normal(
@@ -983,15 +1039,17 @@ def solve(
     )
 
 
-def _final_iterate(norm, prob: DeviceProblem, x, y) -> dict:
-    ax = prob.a.matvec(x)
-    aty = prob.at.matvec(y)
-    s = _iterate_stats(prob, x, y, ax, aty, norm)
-    return dict(
-        x=prob.col_scale * x,
-        y=prob.row_scale * y,
-        reduced_costs=s["reduced_costs"],
-    )
+def _make_final_iterate(norm, psum=None):
+    def final_iterate(prob: DeviceProblem, x, y) -> dict:
+        mv = _make_matvecs(prob.a, prob.at, psum)
+        s = _iterate_stats(prob, x, y, mv.matvec(x), mv.rmatvec(y), norm)
+        return dict(
+            x=prob.col_scale * x,
+            y=prob.row_scale * y,
+            reduced_costs=s["reduced_costs"],
+        )
+
+    return final_iterate
 
 
 def _invalid_result(qp: QuadraticProgram, reason: TerminationReason) -> SolveResult:
@@ -1097,3 +1155,95 @@ def _place_problem(prob: DeviceProblem, mesh: jax.sharding.Mesh,
         ),
         prob, specs,
     )
+
+
+def build_2d_problem(
+    qp: QuadraticProgram, params: PdhgParams, mesh: jax.sharding.Mesh,
+) -> Tuple[DeviceProblem, Comm2D]:
+    """Partition A over a 2-D (row x col) mesh.
+
+    Rows/cols are split into equal contiguous ranges (static shapes for
+    shard_map); each mesh cell (r, c) stores its blocks with LOCAL indices,
+    zero-padded to the max cell population (the nnz-mass unit is the
+    uniform dense block, so padding is the only imbalance).  The stacked
+    block arrays are sharded on their leading axis in mesh row-major
+    order, so each device's shard_map slice IS its cell.
+
+    Reference counterpart: the Sharder's mass-balanced matrix partition
+    (sharder.h:149-165) extended to the 2-D row x col design of SURVEY §5's
+    long-context analogue.
+    """
+    row_axis, col_axis = mesh.axis_names
+    nr, nc = mesh.shape[row_axis], mesh.shape[col_axis]
+    qpm = qp.as_minimization()
+    bm, bn = params.block_shape or auto_block_shape(
+        qpm.num_constraints, qpm.num_variables, qpm.num_nonzeros)
+    base = build_device_problem(
+        qpm, params,
+        row_pad_multiple=nr * bm * (128 // math.gcd(128, bm)),
+        col_pad_multiple=nc * bn * (128 // math.gcd(128, bn)),
+    )
+    mm, nn = base.a.padded_shape
+    assert mm % (nr * bm) == 0 and nn % (nc * bn) == 0
+    seg_m, seg_n = mm // nr, nn // nc
+    rows_per_seg, cols_per_seg = seg_m // bm, seg_n // bn
+
+    data = np.asarray(base.a.data)[: base.a.num_real_blocks]
+    brow = np.asarray(base.a.block_rows)[: base.a.num_real_blocks]
+    bcol = np.asarray(base.a.block_cols)[: base.a.num_real_blocks]
+    cell_r = brow // rows_per_seg
+    cell_c = bcol // cols_per_seg
+    cell = cell_r * nc + cell_c
+    counts = np.bincount(cell, minlength=nr * nc)
+    nbmax = max(1, int(counts.max()))
+    stacked = np.zeros((nr * nc * nbmax, bm, bn), dtype=data.dtype)
+    srows = np.zeros(nr * nc * nbmax, dtype=np.int32)
+    scols = np.zeros(nr * nc * nbmax, dtype=np.int32)
+    order = np.argsort(cell, kind="stable")
+    pos = 0
+    for k in range(nr * nc):
+        sel = order[pos: pos + counts[k]]
+        pos += counts[k]
+        off = k * nbmax
+        stacked[off: off + len(sel)] = data[sel]
+        srows[off: off + len(sel)] = brow[sel] % rows_per_seg
+        scols[off: off + len(sel)] = bcol[sel] % cols_per_seg
+    a2d = BlockSparseMatrix(
+        data=jnp.asarray(stacked), block_rows=jnp.asarray(srows),
+        block_cols=jnp.asarray(scols), shape=(seg_m, seg_n),
+        padded_shape=(seg_m, seg_n), num_real_blocks=nbmax,
+    )
+    at2d = BlockSparseMatrix(
+        data=jnp.transpose(a2d.data, (0, 2, 1)), block_rows=a2d.block_cols,
+        block_cols=a2d.block_rows, shape=(seg_n, seg_m),
+        padded_shape=(seg_n, seg_m), num_real_blocks=nbmax,
+    )
+    prob = base._replace(a=a2d, at=at2d)
+    comm = Comm2D(row_axis=row_axis, col_axis=col_axis,
+                  seg_m=seg_m, seg_n=seg_n)
+    # Place: block arrays sharded over BOTH axes on the leading dim
+    # (row-major cells), vectors replicated.
+    specs = _problem_specs_2d(prob, row_axis, col_axis)
+    prob = jax.tree_util.tree_map(
+        lambda leaf, spec: jax.device_put(
+            leaf, jax.sharding.NamedSharding(mesh, spec)),
+        prob, specs,
+    )
+    return prob, comm
+
+
+def _problem_specs_2d(prob: DeviceProblem, row_axis: str, col_axis: str
+                      ) -> DeviceProblem:
+    P = jax.sharding.PartitionSpec
+
+    def mat(mspec: BlockSparseMatrix) -> BlockSparseMatrix:
+        return BlockSparseMatrix(
+            data=P((row_axis, col_axis)),
+            block_rows=P((row_axis, col_axis)),
+            block_cols=P((row_axis, col_axis)),
+            shape=mspec.shape, padded_shape=mspec.padded_shape,
+            num_real_blocks=mspec.num_real_blocks,
+        )
+
+    reps = {f: P() for f in DeviceProblem._fields if f not in ("a", "at")}
+    return prob._replace(a=mat(prob.a), at=mat(prob.at), **reps)
