@@ -88,6 +88,11 @@ class PdhgParams:
     # Fused Pallas SpMV (ops/tiled_spmv.py).  None = auto: enabled on the
     # TPU backend for f32 single-shard problems; True/False forces.
     use_tiled_spmv: Optional[bool] = None
+    # Feasibility polishing (reference use_feasibility_polishing,
+    # solvers.proto:478 / primal_dual_hybrid_gradient.cc:2442): once the
+    # objective gap is met, solve primal- and dual-feasibility
+    # subproblems warm-started from the average iterate.
+    use_feasibility_polishing: bool = False
 
     # -- logging ----------------------------------------------------------
     verbosity: int = 0

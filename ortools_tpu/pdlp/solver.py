@@ -756,15 +756,54 @@ def _make_initial_state(params: PdhgParams, psum: Optional[Callable] = None):
     return initial_state
 
 
-def _check_optimality(stats: dict, prob_consts: dict, params: PdhgParams) -> bool:
+def _make_warm_state(params: PdhgParams, psum=None):
+    """State from a given (x0, y0) start with inherited step/weight —
+    the feasibility-polishing entry point (reference Solver ctor with
+    starting solutions, primal_dual_hybrid_gradient.cc:2594-2599)."""
+
+    def warm_state(prob: DeviceProblem, x0, y0, step, weight) -> PdhgState:
+        mv = _make_matvecs(prob.a, prob.at, psum)
+        dtype = prob.c.dtype
+        x0 = jnp.clip(x0.astype(dtype), prob.var_lb, prob.var_ub)
+        y0 = y0.astype(dtype)
+        return PdhgState(
+            x=x0,
+            y=y0,
+            ax=mv.matvec(x0),
+            aty=mv.rmatvec(y0),
+            step_size=step.astype(dtype),
+            primal_weight=weight.astype(dtype),
+            x_sum=jnp.zeros_like(x0),
+            y_sum=jnp.zeros_like(y0),
+            sum_weights=jnp.asarray(0.0, dtype),
+            x_restart=x0,
+            y_restart=y0,
+            num_steps=jnp.asarray(0, jnp.int32),
+            num_accepted=jnp.asarray(0, jnp.int32),
+            kkt_passes=jnp.asarray(1.0, dtype),
+        )
+
+    return warm_state
+
+
+def _check_optimality(stats: dict, prob_consts: dict, params: PdhgParams,
+                      require: Tuple[str, ...] = ("gap", "primal", "dual"),
+                      ) -> bool:
+    """Optimality per the reference detailed criteria; ``require`` masks
+    which parts must hold (feasibility polishing sets the others to
+    infinity, primal_dual_hybrid_gradient.cc:2585/2656)."""
     eps_a = params.eps_optimal_absolute
     eps_r = params.eps_optimal_relative
     nb, nc = prob_consts["norm_b"], prob_consts["norm_c"]
     p, d = stats["primal_objective"], stats["dual_objective"]
-    gap_ok = abs(p - d) <= eps_a + eps_r * (abs(p) + abs(d))
-    pr_ok = stats["primal_residual"] <= eps_a + eps_r * nb
-    dr_ok = stats["dual_residual"] <= eps_a + eps_r * nc
-    return bool(gap_ok and pr_ok and dr_ok)
+    ok = True
+    if "gap" in require:
+        ok &= abs(p - d) <= eps_a + eps_r * (abs(p) + abs(d))
+    if "primal" in require:
+        ok &= stats["primal_residual"] <= eps_a + eps_r * nb
+    if "dual" in require:
+        ok &= stats["dual_residual"] <= eps_a + eps_r * nc
+    return bool(ok)
 
 
 def solve(
@@ -835,6 +874,7 @@ def solve(
     final_iterate = wrap(
         _make_final_iterate(params.optimality_norm, psum), 2
     )
+    warm_state = wrap(_make_warm_state(params, psum), 4)
 
     v0 = jax.random.normal(
         jax.random.PRNGKey(0), (prob.c.shape[0],), dtype=prob.c.dtype
@@ -854,6 +894,89 @@ def solve(
     normalized_gap_at_last_trial = math.inf
     iters_at_last_restart = 0
     iterations = 0
+    next_polish = 16 * params.termination_check_frequency
+    polish_work = 0  # polishing iterations, counted into kkt passes only
+
+    def _zero_finite(v):
+        return jnp.where(jnp.isfinite(v), jnp.zeros_like(v), v)
+
+    def _polish_phase(pprob, pconsts, state0, budget, require):
+        """Run the solver on a modified problem until the masked criteria
+        hold; returns (x, y, iters) or None on budget/numerical failure."""
+        st = state0
+        it = 0
+        kkt_last = math.inf
+        while it < budget:
+            st = run_major(pprob, st)
+            it += params.termination_check_frequency
+            stats_p = compute_stats(pprob, st)
+            curp = {k: float(v) for k, v in stats_p["current"].items()}
+            avgp = {k: float(v) for k, v in stats_p["average"].items()}
+            kkt_c = float(stats_p["kkt_current"])
+            kkt_a = float(stats_p["kkt_average"])
+            if not math.isfinite(kkt_c):
+                return None
+            if _check_optimality(curp, pconsts, params, require):
+                return st.x, st.y, it
+            if _check_optimality(avgp, pconsts, params, require):
+                return stats_p["x_avg"], stats_p["y_avg"], it
+            cand = min(kkt_a, kkt_c)
+            if math.isinf(kkt_last):
+                kkt_last = cand
+            elif cand <= params.sufficient_reduction_for_restart * kkt_last:
+                st = apply_restart(pprob, st, jnp.asarray(kkt_a <= kkt_c),
+                                   stats_p["x_avg"], stats_p["y_avg"])
+                kkt_last = cand
+        return None
+
+    def _try_feasibility_polishing(stats, avg_stats):
+        """Reference TryFeasibilityPolishing (:2442): gate on the
+        objective gap, then primal polishing (zero objective) and dual
+        polishing (finite bounds zeroed), both warm-started; accept only
+        when the combined point passes the FULL criteria."""
+        nonlocal polish_work
+        if not _check_optimality(avg_stats, prob_consts, params, ("gap",)):
+            return None
+        budget = max(iterations // 8, params.termination_check_frequency)
+        zero_c = jnp.zeros_like(prob.c)
+        prob_p = prob._replace(c=zero_c, q=jnp.zeros_like(prob.q),
+                               orig_c=jnp.zeros_like(prob.orig_c),
+                               orig_q=jnp.zeros_like(prob.orig_q),
+                               norm_c=jnp.zeros_like(prob.norm_c))
+        consts_p = dict(norm_b=prob_consts["norm_b"], norm_c=0.0)
+        st_p = warm_state(prob_p, stats["x_avg"],
+                          jnp.zeros_like(state.y), state.step_size,
+                          state.primal_weight)
+        rp = _polish_phase(prob_p, consts_p, st_p, budget, ("primal",))
+        if rp is None:
+            return None
+        polish_work += rp[2]
+        prob_d = prob._replace(
+            con_lb=_zero_finite(prob.con_lb),
+            con_ub=_zero_finite(prob.con_ub),
+            var_lb=_zero_finite(prob.var_lb),
+            var_ub=_zero_finite(prob.var_ub),
+            orig_con_lb=_zero_finite(prob.orig_con_lb),
+            orig_con_ub=_zero_finite(prob.orig_con_ub),
+            orig_var_lb=_zero_finite(prob.orig_var_lb),
+            orig_var_ub=_zero_finite(prob.orig_var_ub),
+            norm_b=jnp.zeros_like(prob.norm_b),
+        )
+        consts_d = dict(norm_b=0.0, norm_c=prob_consts["norm_c"])
+        st_d = warm_state(prob_d, jnp.zeros_like(state.x), stats["y_avg"],
+                          state.step_size, state.primal_weight)
+        rd = _polish_phase(prob_d, consts_d, st_d, budget, ("dual",))
+        if rd is None:
+            return None
+        polish_work += rd[2]
+        x_pol, y_pol = rp[0], rd[1]
+        st_f = warm_state(prob, x_pol, y_pol, state.step_size,
+                          state.primal_weight)
+        stats_f = compute_stats(prob, st_f)
+        curf = {k: float(v) for k, v in stats_f["current"].items()}
+        if _check_optimality(curf, prob_consts, params):
+            return ("polished", curf, st_f.x, st_f.y)
+        return None
 
     while True:
         if iterations >= params.iteration_limit:
@@ -902,6 +1025,15 @@ def solve(
         if kkt_passes >= params.kkt_matrix_pass_limit:
             reason = TerminationReason.KKT_MATRIX_PASS_LIMIT
             break
+
+        if (params.use_feasibility_polishing
+                and iterations >= next_polish):
+            polished = _try_feasibility_polishing(stats, avg)
+            next_polish *= 2
+            if polished is not None:
+                reason = TerminationReason.OPTIMAL
+                best = polished
+                break
 
         # Infeasibility certificates from candidate rays (reference
         # termination.h:74 kIterateTermination infeasibility branch).

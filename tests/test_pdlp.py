@@ -277,3 +277,17 @@ def test_free_variables_lp():
     r = solve(qp, PdhgParams(**F64))
     assert r.termination_reason == TerminationReason.OPTIMAL
     assert abs(r.primal_objective - 2.0) < 1e-5
+
+
+def test_feasibility_polishing_solves():
+    """use_feasibility_polishing: gate + polish phases return a point
+    passing the full criteria (reference :2442 TryFeasibilityPolishing)."""
+    qp = random_lp(100, 80, density=0.12, seed=41)
+    ref = scipy_solve(qp)
+    p = PdhgParams(dtype=jnp.float64, use_feasibility_polishing=True,
+                   iteration_limit=100_000)
+    r = solve(qp, p)
+    assert r.termination_reason == TerminationReason.OPTIMAL
+    assert abs(r.primal_objective - ref) <= 1e-4 * (1 + abs(ref))
+    # the returned point satisfies the residual tolerances
+    assert r.primal_residual <= 1e-4 * (1 + abs(ref))
