@@ -16,7 +16,12 @@ class SatParameters:
     max_time_in_seconds: float = math.inf
     max_deterministic_time: float = math.inf
     max_number_of_conflicts: int = 2**62
-    num_workers: int = 1  # >1 = portfolio over strategies (host threads)
+    num_workers: int = 1  # >1 = portfolio over strategies
+    # True (default): deterministic interleaved portfolio (reference
+    # interleave_search / DeterministicLoop, the A.10 reproducibility
+    # contract).  False: forked worker processes advancing concurrently
+    # (reference NonDeterministicLoop) for wall-clock speedup.
+    interleave_search: bool = True
     random_seed: int = 1
     log_search_progress: bool = False
     enumerate_all_solutions: bool = False

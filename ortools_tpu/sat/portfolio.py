@@ -39,10 +39,128 @@ LNS_BRANCHES = 2000  # per LNS subproblem solve
 LNS_RELAX_FRACTION = 0.3  # fraction of variables freed each round
 
 
+def _vars_of_constraint(work: "ir.CpModelIR", ct: ir.ConstraintIR
+                        ) -> List[int]:
+    out: List[int] = []
+    seen = set()
+
+    def add(v: int) -> None:
+        if 0 <= v < len(work.variables) and v not in seen:
+            seen.add(v)
+            out.append(v)
+
+    def add_int(v: int, is_literal: bool) -> None:
+        add((-v - 1) if (is_literal and v < 0) else v)
+
+    def walk(obj, name: str = "") -> None:
+        if isinstance(obj, ir.LinearExprIR):
+            for v in obj.vars:
+                add(v)
+        elif isinstance(obj, int):
+            # int fields are variable indices or literals only when the
+            # field name says so; coefficients/values/domains are skipped
+            if "literal" in name:
+                add_int(obj, True)
+            elif name in ("vars", "variables", "index", "target",
+                          "f_direct", "f_inverse", "tails", "heads"):
+                add_int(obj, False)
+        elif isinstance(obj, (list, tuple)):
+            for e in obj:
+                walk(e, name)
+        elif dataclasses.is_dataclass(obj):
+            for f in dataclasses.fields(obj):
+                walk(getattr(obj, f.name), f.name)
+
+    walk(ct.args)
+    for lit in ct.enforcement_literals:
+        add(lit if lit >= 0 else -lit - 1)
+    return out
+
+
+def _lns_random_variables(work, rng, frac: float) -> set:
+    """cp_model_lns.h RelaxRandomVariablesGenerator."""
+    nvars = len(work.variables)
+    k = max(1, int(nvars * frac))
+    return set(rng.sample(range(nvars), min(k, nvars)))
+
+
+def _lns_random_constraints(work, rng, frac: float) -> set:
+    """cp_model_lns.h RelaxRandomConstraintsGenerator: free every variable
+    of randomly chosen constraints until the target fraction is reached."""
+    nvars = max(1, len(work.variables))
+    target = max(1, int(nvars * frac))
+    cts = list(range(len(work.constraints)))
+    rng.shuffle(cts)
+    relax: set = set()
+    for ci in cts:
+        relax.update(_vars_of_constraint(work, work.constraints[ci]))
+        if len(relax) >= target:
+            break
+    return relax or _lns_random_variables(work, rng, frac)
+
+
+def _lns_variable_graph(work, rng, frac: float) -> set:
+    """cp_model_lns.h VariableGraphNeighborhoodGenerator: BFS over the
+    variable/constraint incidence graph from a random seed variable."""
+    nvars = len(work.variables)
+    if nvars == 0:
+        return set()
+    var_to_cts: dict = {}
+    for ci, ct in enumerate(work.constraints):
+        for v in _vars_of_constraint(work, ct):
+            var_to_cts.setdefault(v, []).append(ci)
+    target = max(1, int(nvars * frac))
+    relax = {rng.randrange(nvars)}
+    frontier = list(relax)
+    while frontier and len(relax) < target:
+        v = frontier.pop(0)
+        for ci in var_to_cts.get(v, []):
+            for w in _vars_of_constraint(work, work.constraints[ci]):
+                if w not in relax:
+                    relax.add(w)
+                    frontier.append(w)
+                    if len(relax) >= target:
+                        return relax
+    return relax
+
+
+def _lns_time_window(work, rng, frac: float, best: List[int]) -> set:
+    """cp_model_lns.h SchedulingTimeWindowNeighborhoodGenerator: free the
+    variables of intervals whose incumbent start falls in a random window;
+    falls back to random variables for non-scheduling models."""
+    intervals = [ct for ct in work.constraints if ct.kind == "interval"]
+    if not intervals:
+        return _lns_random_variables(work, rng, frac)
+
+    def start_val(ct) -> int:
+        e = ct.args.start
+        return e.offset + sum(
+            c * best[v] for v, c in zip(e.vars, e.coeffs)
+            if v < len(best))
+
+    starts = sorted(start_val(ct) for ct in intervals)
+    lo = starts[rng.randrange(len(starts))]
+    span = max(1, (starts[-1] - starts[0]))
+    hi = lo + max(1, int(span * frac))
+    relax: set = set()
+    for ct in intervals:
+        if lo <= start_val(ct) <= hi:
+            relax.update(_vars_of_constraint(work, ct))
+    return relax or _lns_random_variables(work, rng, frac)
+
+
+# generator rotation for the LNS fleet (reference cp_model_lns.h:93-766,
+# scoped to four structurally distinct neighborhoods)
+LNS_GENERATORS = ("random_vars", "random_constraints", "variable_graph",
+                  "time_window")
+
+
 class LnsWorker:
-    """Large-neighborhood-search worker (reference cp_model_lns.h random
-    variable relaxation generator): fix a random subset of variables to the
-    incumbent, search the free rest under the objective bound."""
+    """Large-neighborhood-search worker (reference cp_model_lns.h): fix a
+    subset of variables to the incumbent, search the free rest under the
+    objective bound.  Each worker rotates through the generator catalogue
+    (random variables / random constraints / variable graph / scheduling
+    time window), mirroring the reference's generator fleet."""
 
     def __init__(self, work: "ir.CpModelIR", deadline: float,
                  seed: int) -> None:
@@ -51,8 +169,24 @@ class LnsWorker:
         self.work = work
         self.deadline = deadline
         self._rng = _random.Random(seed)
+        self._gen_idx = seed % len(LNS_GENERATORS)
         self.num_branches = 0
         self.num_conflicts = 0
+
+    def _relax_set(self, best: List[int]) -> set:
+        gen = LNS_GENERATORS[self._gen_idx]
+        self._gen_idx = (self._gen_idx + 1) % len(LNS_GENERATORS)
+        if gen == "random_constraints":
+            return _lns_random_constraints(self.work, self._rng,
+                                           LNS_RELAX_FRACTION)
+        if gen == "variable_graph":
+            return _lns_variable_graph(self.work, self._rng,
+                                       LNS_RELAX_FRACTION)
+        if gen == "time_window":
+            return _lns_time_window(self.work, self._rng,
+                                    LNS_RELAX_FRACTION, best)
+        return _lns_random_variables(self.work, self._rng,
+                                     LNS_RELAX_FRACTION)
 
     def slice(self, best: Optional[List[int]],
               bound_ct: Optional[ir.ConstraintIR],
@@ -60,8 +194,8 @@ class LnsWorker:
         if best is None:
             return
         nvars = len(self.work.variables)
-        keep = max(0, int(nvars * (1.0 - LNS_RELAX_FRACTION)))
-        fixed_idx = self._rng.sample(range(nvars), keep) if keep else []
+        relax = self._relax_set(best)
+        fixed_idx = [v for v in range(nvars) if v not in relax]
         cts = list(self.work.constraints)
         if bound_ct is not None:
             cts.append(bound_ct)

@@ -51,17 +51,26 @@ def _objective_value(obj: ir.ObjectiveIR, values: List[int]) -> int:
 
 def _solve_portfolio(model, work, obj, params, callback, deadline,
                      hint_solution, n_orig, resp):
-    """Interleaved deterministic portfolio (num_workers > 1)."""
+    """Portfolio (num_workers > 1): deterministic interleaved by default,
+    forked worker processes when interleave_search=False."""
     from ortools_tpu.sat.portfolio import InterleavedPortfolio
     from ortools_tpu.utils.domain import Domain, INT_MIN
 
     # Half the workers become LNS workers on optimization models
     # (reference portfolio composition has a large LNS fleet, §2.4.6)
     num_lns = params.num_workers // 2 if obj is not None else 0
-    pf = InterleavedPortfolio(
-        work, params.num_workers, deadline, params.max_branches,
-        num_lns=num_lns,
-    )
+    if params.interleave_search:
+        pf = InterleavedPortfolio(
+            work, params.num_workers, deadline, params.max_branches,
+            num_lns=num_lns,
+        )
+    else:
+        from ortools_tpu.sat.parallel_portfolio import ParallelPortfolio
+
+        pf = ParallelPortfolio(
+            work, params.num_workers, deadline, params.max_branches,
+            num_lns=num_lns,
+        )
     state = {
         "best": hint_solution,
         "best_obj": None,

@@ -74,3 +74,47 @@ def test_portfolio_with_optimization_and_hint():
     s = CpSolver()
     s.parameters.num_workers = 3
     assert s.solve(m) == OPTIMAL
+
+
+def test_parallel_portfolio_optimizes():
+    """Process-parallel portfolio (interleave_search=False) reaches the
+    same optimum as the deterministic one."""
+    m, _ = knapsack_model(seed=5)
+    s1 = CpSolver()
+    s1.parameters.num_workers = 4
+    assert s1.solve(m) == OPTIMAL
+    m2, _ = knapsack_model(seed=5)
+    s2 = CpSolver()
+    s2.parameters.num_workers = 4
+    s2.parameters.interleave_search = False
+    assert s2.solve(m2) == OPTIMAL
+    assert s1.objective_value == s2.objective_value
+
+
+def test_parallel_portfolio_infeasible():
+    m = CpModel()
+    x = m.new_int_var(0, 5, "x")
+    y = m.new_int_var(0, 5, "y")
+    m.add(x + y >= 20)
+    s = CpSolver()
+    s.parameters.num_workers = 3
+    s.parameters.interleave_search = False
+    assert s.solve(m) == INFEASIBLE
+
+
+def test_lns_generators_cover_model():
+    from ortools_tpu.sat.portfolio import (
+        _lns_random_constraints, _lns_time_window, _lns_variable_graph)
+    import random
+    m, _ = knapsack_model(seed=7)
+    from ortools_tpu.sat import expand
+    work = expand.expand_model(m.ir)
+    rng = random.Random(0)
+    nvars = len(work.variables)
+    best = [v.domain.min() for v in work.variables]
+    for gen in (_lns_random_constraints, _lns_variable_graph):
+        relax = gen(work, rng, 0.3)
+        assert 0 < len(relax) <= nvars
+        assert all(0 <= v < nvars for v in relax)
+    relax = _lns_time_window(work, rng, 0.3, best)
+    assert 0 < len(relax) <= nvars
