@@ -108,7 +108,15 @@ def presolve_model(model: ir.CpModelIR) -> Optional[ir.CpModelIR]:
                 [index_map[k] for k in ct.args.y_intervals],
             ))
 
-    return dataclasses.replace(model, variables=new_vars, constraints=kept)
+    out = dataclasses.replace(model, variables=new_vars, constraints=kept)
+    # Round-2 depth: clique merging + probing (size-gated; both preserve
+    # the 1:1 variable indexing contract).
+    out = merge_cliques(out)
+    if len(out.variables) * max(1, len(out.constraints)) <= 2_000_000:
+        out = probe_binaries(out)
+        if out is None:
+            return None
+    return out
 
 
 def _entailed(ct: ir.ConstraintIR, doms) -> bool:
@@ -159,3 +167,159 @@ def _constraint_key(ct: ir.ConstraintIR, enf: List[int]):
     else:
         return id(ct)  # only cheap kinds are deduplicated
     return (ct.kind, body, tuple(sorted(enf)))
+
+
+# ---------------------------------------------------------------------------
+# Probing (reference ortools/sat/probing.h) and clique merging (reference
+# CpModelPresolver::TransformIntoMaxCliques, cp_model_presolve.cc)
+# ---------------------------------------------------------------------------
+
+
+def probe_binaries(model: ir.CpModelIR, max_probes: int = 128
+                   ) -> Optional[ir.CpModelIR]:
+    """Probe boolean variables: propagate both b=0 and b=1 at the root.
+
+    - one branch conflicts  -> fix b to the other value;
+    - both branches conflict -> model infeasible (returns None);
+    - otherwise intersect the two branch domains (singleton-style shaving)
+      and keep any reduction valid in both worlds.
+
+    Reference: ortools/sat/probing.h FailedLiteralProbing; recast as two
+    whole-model propagation fixed points per probed binary.
+    """
+    engine = Engine(model)
+    base = engine.initial_domains()
+    if not engine.root_propagate(base):
+        return None
+    booleans = [
+        i for i, v in enumerate(model.variables)
+        if base[i].min() >= 0 and base[i].max() <= 1
+        and not base[i].is_fixed()
+    ][:max_probes]
+    changed = False
+    for b in booleans:
+        if base[b].is_fixed():
+            continue
+        branches = []
+        for val in (0, 1):
+            doms = list(base)
+            doms[b] = Domain(val, val)
+            queue = set(engine.watchers[b])
+            try:
+                engine.propagate(doms, queue)
+                branches.append(doms)
+            except Conflict:
+                branches.append(None)
+        d0, d1 = branches
+        if d0 is None and d1 is None:
+            return None
+        if d0 is None or d1 is None:
+            base = d1 if d0 is None else d0
+            changed = True
+            continue
+        # both worlds feasible: keep intersected (union of values) hulls
+        for i in range(len(base)):
+            lo = min(d0[i].min(), d1[i].min())
+            hi = max(d0[i].max(), d1[i].max())
+            if lo > base[i].min() or hi < base[i].max():
+                base[i] = base[i].intersection_with(Domain(lo, hi))
+                changed = True
+    if not changed:
+        return model
+    new_vars = [
+        ir.IntegerVariableIR(v.name, base[i])
+        for i, v in enumerate(model.variables)
+    ]
+    return dataclasses.replace(model, variables=new_vars)
+
+
+def _amo_edges(model: ir.CpModelIR):
+    """Collect mutual-exclusion edges between literals and the constraint
+    indices they come from (at_most_one pairs; bool_or of two literals
+    gives at_most_one of their negations)."""
+    edges = {}  # (lit_a, lit_b) sorted -> list of ct indices
+    covered = set()
+    for ci, ct in enumerate(model.constraints):
+        if ct.enforcement_literals:
+            continue
+        if ct.kind == "at_most_one":
+            lits = list(ct.args.literals)
+            covered.add(ci)
+            for i in range(len(lits)):
+                for j in range(i + 1, len(lits)):
+                    k = tuple(sorted((lits[i], lits[j])))
+                    edges.setdefault(k, []).append(ci)
+        elif ct.kind == "bool_or" and len(ct.args.literals) == 2:
+            a, b = ct.args.literals
+            na, nb = ir.negated_literal(a), ir.negated_literal(b)
+            k = tuple(sorted((na, nb)))
+            edges.setdefault(k, []).append(ci)
+            covered.add(ci)
+    return edges, covered
+
+
+def merge_cliques(model: ir.CpModelIR) -> ir.CpModelIR:
+    """Greedy max-clique merging of at_most_one structure (reference
+    TransformIntoMaxCliques): pairwise exclusions are grown into maximal
+    cliques, each emitted as ONE at_most_one; covered binary clauses and
+    smaller at_most_ones are dropped."""
+    edges, covered = _amo_edges(model)
+    if not edges:
+        return model
+    adj = {}
+    for (a, b) in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # Greedy clique cover of the edge set, largest-degree seeds first;
+    # only cliques of size >= 3 are worth emitting (pairs stay as-is).
+    remaining = set(edges.keys())
+    cliques = []
+    for a in sorted(adj, key=lambda x: -len(adj[x])):
+        for b in sorted(adj[a]):
+            if tuple(sorted((a, b))) not in remaining:
+                continue
+            clique = {a, b}
+            cand = adj[a] & adj[b]
+            for c in sorted(cand, key=lambda x: -len(adj[x])):
+                if all(c in adj[m] for m in clique):
+                    clique.add(c)
+            if len(clique) < 3:
+                continue
+            for x in clique:
+                for y in clique:
+                    if x < y:
+                        remaining.discard((x, y))
+            cliques.append(sorted(clique))
+    if not cliques:
+        return model
+    # a source constraint is dropped only when one emitted clique subsumes
+    # its entire exclusion structure
+    clique_sets = [set(c) for c in cliques]
+    subsumed = set()
+    for ci in covered:
+        ct = model.constraints[ci]
+        if ct.kind == "at_most_one":
+            lits = set(ct.args.literals)
+        else:  # bool_or pair -> exclusion between the negations
+            lits = {ir.negated_literal(l) for l in ct.args.literals}
+        if any(lits <= cs for cs in clique_sets):
+            subsumed.add(ci)
+    covered = subsumed
+    # Scheduling constraints reference interval POSITIONS, so when any are
+    # present, covered constraints are replaced in place by a trivially
+    # true at_most_one([]) instead of being dropped (keeps indices stable).
+    has_sched = any(ct.kind in ("no_overlap", "cumulative", "no_overlap_2d")
+                    for ct in model.constraints)
+    if has_sched:
+        kept = [
+            ct if ci not in covered
+            else ir.ConstraintIR("at_most_one", ir.BoolArgs([]))
+            for ci, ct in enumerate(model.constraints)
+        ]
+    else:
+        kept = [ct for ci, ct in enumerate(model.constraints)
+                if ci not in covered]
+    for clique in cliques:
+        kept.append(ir.ConstraintIR("at_most_one", ir.BoolArgs(
+            list(clique))))
+    return dataclasses.replace(model, constraints=kept)

@@ -89,3 +89,52 @@ def test_solver_with_presolve_matches_without():
     assert s1.solve(m1) == OPTIMAL
     assert s2.solve(m2) == OPTIMAL
     assert s1.objective_value == s2.objective_value
+
+
+def test_probing_fixes_failed_literal():
+    """b=1 forces a conflict via chained implications -> probing fixes b=0
+    at the root (reference probing.h FailedLiteralProbing)."""
+    from ortools_tpu.sat.presolve import probe_binaries
+    m = CpModel()
+    b = m.new_bool_var("b")
+    x = m.new_int_var(0, 10, "x")
+    # b -> x >= 8 and b -> x <= 3: b must be false
+    m.add(x >= 8).only_enforce_if(b)
+    m.add(x <= 3).only_enforce_if(b)
+    out = probe_binaries(m.ir)
+    assert out is not None
+    assert out.variables[b.index].domain.is_fixed()
+    assert out.variables[b.index].domain.fixed_value() == 0
+
+
+def test_probing_detects_infeasible():
+    from ortools_tpu.sat.presolve import probe_binaries
+    m = CpModel()
+    b = m.new_bool_var("b")
+    x = m.new_int_var(0, 10, "x")
+    m.add(x >= 8).only_enforce_if(b)
+    m.add(x <= 3).only_enforce_if(b)
+    m.add(x >= 8).only_enforce_if(b.negated())
+    m.add(x <= 3).only_enforce_if(b.negated())
+    assert probe_binaries(m.ir) is None
+
+
+def test_clique_merging_builds_bigger_amo():
+    """Three pairwise exclusions merge into one at_most_one of size 3."""
+    from ortools_tpu.sat.presolve import merge_cliques
+    m = CpModel()
+    a = m.new_bool_var("a")
+    b = m.new_bool_var("b")
+    c = m.new_bool_var("c")
+    m.add_at_most_one([a, b])
+    m.add_at_most_one([b, c])
+    m.add_at_most_one([a, c])
+    out = merge_cliques(m.ir)
+    amos = [ct for ct in out.constraints if ct.kind == "at_most_one"]
+    assert any(len(ct.args.literals) >= 3 for ct in amos)
+    # and the merged model is equivalent: at most one of a,b,c true
+    from ortools_tpu.sat.cp_model import CpSolver
+    s = CpSolver()
+    m.maximize(a + b + c)
+    assert s.status_name(s.solve(m)) == "OPTIMAL"
+    assert s.objective_value == 1
