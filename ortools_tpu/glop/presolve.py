@@ -11,10 +11,13 @@ and its rule classes, SURVEY §2.2) scoped to the core composable rules:
 - implied free/forcing-row detection via activity bounds (infeasibility);
 
 Each fired rule pushes an undo record; ``postsolve`` reconstructs a primal
-solution of the ORIGINAL problem.  Dual reconstruction sets dropped-row
-duals to zero and recomputes reduced costs on the original problem —
-exact objective/primal parity, best-effort duals (full dual postsolve is
-the round-2 upgrade; the reference's undo stack is exact).
+solution of the ORIGINAL problem.  ``postsolve_duals`` replays the
+singleton-row undo log in reverse (the reference's exact undo-stack
+design, preprocessor.h:271): a reduced cost stranded on a bound that a
+dropped singleton row imposed is transferred to that row's dual
+(y_i = r_j / a_ij), which zeroes the residual exactly because a singleton
+row touches one column.  Redundant rows keep dual 0 (valid: they are
+implied), fixed/empty columns keep their recomputed reduced costs.
 """
 
 from __future__ import annotations
@@ -43,6 +46,10 @@ class PresolveResult:
     kept_rows: np.ndarray  # original row indices kept
     kept_cols: np.ndarray  # original col indices kept
     fixed_values: np.ndarray  # value for every original col (nan if kept)
+    # Undo log of folded singleton rows, in firing order:
+    # (row, col, a_ij, imposed_lo, imposed_hi) — bounds in x_j space.
+    singleton_log: List[Tuple[int, int, float, float, float]] = \
+        dataclasses.field(default_factory=list)
 
     def postsolve(self, x_reduced: np.ndarray) -> np.ndarray:
         n = len(self.fixed_values)
@@ -51,16 +58,47 @@ class PresolveResult:
         return x
 
     def postsolve_duals(self, qp: QuadraticProgram, x: np.ndarray,
-                        y_reduced: np.ndarray
+                        y_reduced: np.ndarray, tol: float = 1e-7
                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact dual reconstruction (reference undo-stack postsolve).
+
+        Replays the singleton-row log in reverse: when the final reduced
+        cost of x_j is complementary to a bound that only the dropped
+        singleton row i imposed (the original variable bound is strictly
+        looser), the reduced cost moves onto y_i = r_j / a_ij; since row i
+        touches only column j this zeroes r_j without disturbing any other
+        column.  Rows dropped as redundant are implied by the rest, so
+        dual 0 is optimal for them."""
+        qp = qp.as_minimization()
         m = qp.num_constraints
         y = np.zeros(m)
         y[self.kept_rows] = y_reduced
-        r = qp.objective_vector - qp.constraint_matrix.T @ y
+        at = sp.csc_matrix(qp.constraint_matrix)
+        r = np.asarray(qp.objective_vector - at.T @ y, dtype=np.float64)
+        lb = qp.variable_lower
+        ub = qp.variable_upper
+        for (i, j, aij, lo_imp, hi_imp) in reversed(self.singleton_log):
+            if abs(r[j]) <= tol:
+                continue
+            scale = 1.0 + abs(x[j])
+            if r[j] > 0:
+                # complementary with a LOWER bound; transfer when x_j sits
+                # on the imposed bound and the original bound is looser
+                if (np.isfinite(lo_imp) and abs(x[j] - lo_imp) <= tol * scale
+                        and (not np.isfinite(lb[j])
+                             or lo_imp > lb[j] + tol * scale)):
+                    y[i] += r[j] / aij
+                    r[j] = 0.0
+            else:
+                if (np.isfinite(hi_imp) and abs(x[j] - hi_imp) <= tol * scale
+                        and (not np.isfinite(ub[j])
+                             or hi_imp < ub[j] - tol * scale)):
+                    y[i] += r[j] / aij
+                    r[j] = 0.0
         rc = np.where(
             r > 0,
-            np.where(np.isfinite(qp.variable_lower), r, 0.0),
-            np.where(np.isfinite(qp.variable_upper), r, 0.0),
+            np.where(np.isfinite(lb), r, 0.0),
+            np.where(np.isfinite(ub), r, 0.0),
         )
         return y, rc
 
@@ -86,6 +124,7 @@ def presolve(qp: QuadraticProgram, max_rounds: int = 10,
     col_alive = np.ones(n, dtype=bool)
     fixed = np.full(n, np.nan)
     changed_any = False
+    singleton_log: List[Tuple[int, int, float, float, float]] = []
 
     csc = sp.csc_matrix(a)
 
@@ -146,6 +185,7 @@ def presolve(qp: QuadraticProgram, max_rounds: int = 10,
                 lo, hi = cl[i] / aij, cu[i] / aij
                 if aij < 0:
                     lo, hi = hi, lo
+                singleton_log.append((int(i), j, aij, lo, hi))
                 if lo > lb[j]:
                     lb[j] = lo
                 if hi < ub[j]:
@@ -210,7 +250,7 @@ def presolve(qp: QuadraticProgram, max_rounds: int = 10,
             + float(np.nansum(qp.objective_vector * np.nan_to_num(fixed))),
         )
         return PresolveResult(PresolveStatus.REDUCED, reduced,
-                              kept_rows, kept_cols, fixed)
+                              kept_rows, kept_cols, fixed, singleton_log)
     sub = sp.csr_matrix(a[np.ix_(kept_rows, kept_cols)])
     obj_shift = float(np.nansum(
         np.where(col_alive, 0.0, qp.objective_vector * np.nan_to_num(fixed))
@@ -227,4 +267,5 @@ def presolve(qp: QuadraticProgram, max_rounds: int = 10,
     )
     status = PresolveStatus.REDUCED if changed_any else \
         PresolveStatus.UNCHANGED
-    return PresolveResult(status, reduced, kept_rows, kept_cols, fixed)
+    return PresolveResult(status, reduced, kept_rows, kept_cols, fixed,
+                          singleton_log)

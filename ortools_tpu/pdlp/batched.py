@@ -134,10 +134,8 @@ def solve_batch(
         jax.vmap(S._make_initial_state(params), in_axes=(axes, None))
     )
     final_iterate = jax.jit(
-        jax.vmap(
-            lambda p, x, y: S._final_iterate(params.optimality_norm, p, x, y),
-            in_axes=(axes, 0, 0),
-        )
+        jax.vmap(S._make_final_iterate(params.optimality_norm),
+                 in_axes=(axes, 0, 0))
     )
 
     power_iter = jax.jit(S._make_power_iter(params))

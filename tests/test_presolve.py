@@ -120,3 +120,40 @@ def test_presolve_maximize_roundtrip():
     r = solve(qp, PdhgParams(dtype=jnp.float64, presolve=True))
     assert r.termination_reason == TerminationReason.OPTIMAL
     assert abs(r.primal_objective - 17.0) < 1e-5  # 3*5 + 1*2
+
+
+def test_exact_duals_for_binding_singleton_row():
+    """A binding singleton row must receive a nonzero dual in postsolve
+    (reference exact undo-stack postsolve; was 'best-effort' in round 1)."""
+    from scipy.optimize import linprog
+    # min x0 + x1  s.t. 2*x0 >= 4 (singleton), x0 + x1 >= 5; x free-ish
+    a = sp.csr_matrix(np.array([[2.0, 0.0], [1.0, 1.0]]))
+    qp = QuadraticProgram(
+        objective_vector=np.array([3.0, 1.0]),
+        constraint_matrix=a,
+        constraint_lower=np.array([4.0, 5.0]),
+        constraint_upper=np.array([np.inf, np.inf]),
+        variable_lower=np.zeros(2),
+        variable_upper=np.full(2, 100.0),
+    )
+    res = presolve(qp)
+    assert res.status == PresolveStatus.REDUCED
+    # solve the reduced LP exactly
+    from ortools_tpu.glop import solve as glop_solve
+    r = glop_solve(res.reduced)
+    x = res.postsolve(r.primal_solution)
+    y, rc = res.postsolve_duals(qp, x, r.dual_solution)
+    # HiGHS reference duals
+    ref = linprog(qp.objective_vector, A_ub=-a.todense(),
+                  b_ub=-qp.constraint_lower,
+                  bounds=[(0, 100)] * 2, method="highs")
+    assert ref.status == 0
+    y_ref = ref.ineqlin.marginals * -1.0  # sign: >= rows
+    np.testing.assert_allclose(x, ref.x, atol=1e-7)
+    np.testing.assert_allclose(y, y_ref, atol=1e-6)
+    # strong duality through the reconstructed duals
+    bound_term = float(np.where(y > 0, qp.constraint_lower, 0.0) @ y)
+    rc_term = float(np.where(rc > 0, qp.variable_lower,
+                             qp.variable_upper) @ rc)
+    dual_obj = bound_term + rc_term
+    np.testing.assert_allclose(dual_obj, ref.fun, atol=1e-6)
