@@ -65,13 +65,14 @@ def held_karp_tsp(dist: np.ndarray, start: int = 0
 
 def christofides_tsp(dist: np.ndarray) -> Tuple[float, List[int]]:
     """Christofides 1.5-approximation for symmetric metric TSP:
-    MST + minimum perfect matching on odd-degree nodes (greedy + Hungarian
-    refinement) + Eulerian circuit + shortcutting."""
-    from ortools_tpu.graph.assignment import hungarian
+    MST + MINIMUM perfect matching on odd-degree nodes (graph/matching.py:
+    exact via the MIP path up to 30 odd nodes, greedy + 2-exchange beyond)
+    + Eulerian circuit + shortcutting."""
     from ortools_tpu.graph.components import (
         eulerian_path,
         minimum_spanning_tree,
     )
+    from ortools_tpu.graph.matching import min_weight_perfect_matching
 
     n = dist.shape[0]
     if n == 1:
@@ -87,31 +88,10 @@ def christofides_tsp(dist: np.ndarray) -> Tuple[float, List[int]]:
         deg[b] += 1
         mst_edges.append((a, b))
     odd = np.nonzero(deg % 2 == 1)[0]
-    # min-cost perfect matching on odd nodes via Hungarian on the bipartite
-    # doubling (standard practical stand-in for blossom; may be slightly
-    # suboptimal but preserves the approximation in practice), symmetrized
-    # by greedy repair.
-    matched = set()
     match_edges = []
     if len(odd):
-        sub = dist[np.ix_(odd, odd)].astype(float)
-        np.fill_diagonal(sub, np.inf)
-        assign, _ = hungarian(sub)
-        for i, j in enumerate(assign):
-            a, b = int(odd[i]), int(odd[j])
-            if a in matched or b in matched or a == b:
-                continue
-            if assign[j] == i:  # mutual pair -> take it
-                matched.add(a)
-                matched.add(b)
-                match_edges.append((a, b))
-        rest = [int(v) for v in odd if v not in matched]
-        # greedy pair the remainder
-        while rest:
-            a = rest.pop()
-            k = int(np.argmin([dist[a, b] for b in rest]))
-            b = rest.pop(k)
-            match_edges.append((a, b))
+        match_edges = min_weight_perfect_matching(
+            dist.astype(float), [int(v) for v in odd])
     multi = mst_edges + match_edges
     circuit = eulerian_path(n, multi)
     assert circuit is not None

@@ -138,3 +138,46 @@ def test_christofides_quality_and_one_tree_bound():
     lb = one_tree_lower_bound(d)
     assert lb <= opt + 1e-6
     assert lb >= 0.5 * opt  # sane bound quality
+
+
+def test_blossom_max_cardinality():
+    """Edmonds blossom handles odd cycles (where greedy/bipartite fail)."""
+    from ortools_tpu.graph.matching import max_cardinality_matching
+    # triangle + pendant: perfect matching of size 2
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    mate = max_cardinality_matching(4, edges)
+    assert sum(1 for v in mate if v >= 0) == 4
+    # Petersen graph has a perfect matching
+    outer = [(i, (i + 1) % 5) for i in range(5)]
+    inner = [(5 + i, 5 + (i + 2) % 5) for i in range(5)]
+    spokes = [(i, 5 + i) for i in range(5)]
+    mate = max_cardinality_matching(10, outer + inner + spokes)
+    assert all(v >= 0 for v in mate)
+    # odd component: one vertex stays unmatched
+    mate = max_cardinality_matching(3, [(0, 1), (1, 2), (2, 0)])
+    assert sum(1 for v in mate if v >= 0) == 2
+
+
+def test_min_weight_perfect_matching_exact():
+    from ortools_tpu.graph.matching import min_weight_perfect_matching
+    import itertools
+    rng = np.random.default_rng(5)
+    pts = rng.random((8, 2))
+    dist = np.linalg.norm(pts[:, None] - pts[None, :], axis=2)
+    pairs = min_weight_perfect_matching(dist)
+    assert len(pairs) == 4
+    cost = sum(dist[a, b] for a, b in pairs)
+    # brute force all perfect matchings of 8 nodes
+    def all_matchings(nodes):
+        if not nodes:
+            yield []
+            return
+        a = nodes[0]
+        for i in range(1, len(nodes)):
+            b = nodes[i]
+            rest = nodes[1:i] + nodes[i+1:]
+            for m in all_matchings(rest):
+                yield [(a, b)] + m
+    best = min(sum(dist[a, b] for a, b in m)
+               for m in all_matchings(list(range(8))))
+    assert abs(cost - best) <= 1e-6
