@@ -110,6 +110,7 @@ class Solver {
         ++conflicts_;
         if (Level() == 0) {
           ok_ = false;
+          if (proof_enabled_) proof_.push_back(0);  // empty clause
           return 0;
         }
         int bt_level;
@@ -164,6 +165,9 @@ class Solver {
       Enqueue(next, kNoReason);
     }
   }
+
+  void EnableProof() { proof_enabled_ = true; }
+  const std::vector<i32>& Proof() const { return proof_; }
 
   uint8_t ModelValue(int v) const { return model_[v]; }
   const std::vector<u32>& Core() const { return core_; }
@@ -434,6 +438,7 @@ class Solver {
     }
     learnt_buf_.resize(out);
     ClearSeen();
+    if (proof_enabled_) RecordProof(learnt_buf_, /*deletion=*/false);
 
     *asserting = learnt_buf_[0];
     if (learnt_buf_.size() == 1) {
@@ -503,6 +508,13 @@ class Solver {
       if (ClauseLbd(cref) <= 2) continue;
       if (IsReason(cref)) continue;
       arena_[cref] |= 2;  // dead
+      if (proof_enabled_) {
+        proof_buf_.clear();
+        i32* lits = &arena_[cref + 3];
+        for (int k = 0; k < ClauseSize(cref); ++k)
+          proof_buf_.push_back((u32)lits[k]);
+        RecordProof(proof_buf_, /*deletion=*/true);
+      }
     }
     RebuildWatchesAndLists();
   }
@@ -529,6 +541,19 @@ class Solver {
     relink(clauses_);
     relink(learnts_);
   }
+
+  // ---- DRAT proof log (reference sat/drat_writer.h) ----------------------
+  // Records: [n, ext_lits...] for additions, [-n, ext_lits...] for
+  // deletions, and a bare 0 for the final empty clause.
+  void RecordProof(const std::vector<u32>& lits, bool deletion) {
+    i32 n = (i32)lits.size();
+    proof_.push_back(deletion ? -n : n);
+    for (u32 l : lits)
+      proof_.push_back((l & 1u) ? -(i32)((l >> 1) + 1) : (i32)((l >> 1) + 1));
+  }
+  bool proof_enabled_ = false;
+  std::vector<i32> proof_;
+  std::vector<u32> proof_buf_;
 
   // ---- decision heuristic -----------------------------------------------
   void HeapInsert(int v) {
@@ -646,6 +671,15 @@ i32 cdcl_get_core(void* s, i32* out) {
     out[i] = (l & 1u) ? -(i32)((l >> 1) + 1) : (i32)((l >> 1) + 1);
   }
   return (i32)core.size();
+}
+
+void cdcl_enable_proof(void* s) { static_cast<Solver*>(s)->EnableProof(); }
+i64 cdcl_proof_size(void* s) {
+  return (i64)static_cast<Solver*>(s)->Proof().size();
+}
+void cdcl_get_proof(void* s, i32* out) {
+  const auto& p = static_cast<Solver*>(s)->Proof();
+  for (size_t i = 0; i < p.size(); ++i) out[i] = p[i];
 }
 
 i64 cdcl_num_conflicts(void* s) {

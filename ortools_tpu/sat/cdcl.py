@@ -50,6 +50,12 @@ def _lib() -> ctypes.CDLL:
         lib.cdcl_get_core.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)
         ]
+        lib.cdcl_enable_proof.argtypes = [ctypes.c_void_p]
+        lib.cdcl_proof_size.restype = ctypes.c_int64
+        lib.cdcl_proof_size.argtypes = [ctypes.c_void_p]
+        lib.cdcl_get_proof.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)
+        ]
         lib.cdcl_num_conflicts.restype = ctypes.c_int64
         lib.cdcl_num_conflicts.argtypes = [ctypes.c_void_p]
         lib.cdcl_num_propagations.restype = ctypes.c_int64
@@ -66,10 +72,13 @@ UNKNOWN = -1
 class CdclSolver:
     """Incremental CDCL solver over the native core."""
 
-    def __init__(self, num_vars: int = 0):
+    def __init__(self, num_vars: int = 0, proof: bool = False):
         self._lib = _lib()
         self._handle = ctypes.c_void_p(self._lib.cdcl_new(num_vars))
         self._num_assumptions = 0
+        self._proof = proof
+        if proof:
+            self._lib.cdcl_enable_proof(self._handle)
 
     def __del__(self):
         try:
@@ -157,6 +166,31 @@ class CdclSolver:
         buf = (ctypes.c_int32 * max(1, self._num_assumptions + 1))()
         n = self._lib.cdcl_get_core(self._handle, buf)
         return [int(buf[i]) for i in range(n)]
+
+    def proof(self) -> List:
+        """DRAT proof events: ("a"|"d", [ext_lits]) in emission order
+        (reference sat/drat_writer.h).  Requires proof=True."""
+        sz = int(self._lib.cdcl_proof_size(self._handle))
+        buf = (ctypes.c_int32 * max(1, sz))()
+        if sz:
+            self._lib.cdcl_get_proof(self._handle, buf)
+        out = []
+        i = 0
+        while i < sz:
+            n = buf[i]
+            i += 1
+            kind = "d" if n < 0 else "a"
+            k = abs(n)
+            out.append((kind, [int(buf[i + t]) for t in range(k)]))
+            i += k
+        return out
+
+    def write_drat(self, path: str) -> None:
+        """Write the recorded proof in textual DRAT format."""
+        with open(path, "w") as f:
+            for kind, lits in self.proof():
+                prefix = "d " if kind == "d" else ""
+                f.write(prefix + " ".join(map(str, lits)) + " 0\n")
 
     @property
     def num_conflicts(self) -> int:

@@ -48,9 +48,13 @@ class Engine:
                  var_rule: str = "min_domain",
                  value_rule: str = "min",
                  seed: int = 0,
-                 value_hints: Optional[Dict[int, int]] = None) -> None:
+                 value_hints: Optional[Dict[int, int]] = None,
+                 should_stop=None) -> None:
         self.model = model
         self.deadline = deadline
+        # cooperative interruption (reference util/sigint.h via the
+        # shared time limit's stop flag)
+        self.should_stop = should_stop or (lambda: False)
         self.max_branches = max_branches
         self.num_branches = 0
         self.num_conflicts = 0
@@ -210,7 +214,9 @@ class Engine:
         rounds = 0
         while queue:
             rounds += 1
-            if rounds % 256 == 0 and time.perf_counter() > self.deadline:
+            if rounds % 256 == 0 and (
+                    time.perf_counter() > self.deadline
+                    or self.should_stop()):
                 raise TimeoutError()
             ci = queue.pop()
             ct = self.model.constraints[ci]
@@ -790,7 +796,7 @@ class Engine:
         slice_end = self.num_branches + max_branches
 
         while True:
-            if time.perf_counter() > self.deadline:
+            if time.perf_counter() > self.deadline or self.should_stop():
                 self._current = current
                 return "limit"
             v = self._pick_variable(current)

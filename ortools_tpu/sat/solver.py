@@ -41,6 +41,9 @@ class CpSolverResponse:
     sufficient_assumptions_for_infeasibility: List[int] = dataclasses.field(
         default_factory=list
     )
+    # time integral of log(1+gap) over the solve (reference
+    # SharedResponseManager::UpdateGapIntegral); smaller is better
+    gap_integral: float = 0.0
 
 
 def _objective_value(obj: ir.ObjectiveIR, values: List[int]) -> int:
@@ -151,9 +154,18 @@ def _solve_portfolio(model, work, obj, params, callback, deadline,
 
 
 def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
-                callback=None) -> CpSolverResponse:
+                callback=None, interrupt=None) -> CpSolverResponse:
+    """``interrupt``: object with an ``interrupted`` property (e.g.
+    utils.interrupt.SigintHandler); polled cooperatively by the engines
+    (reference sigint wiring, cp_model_solver.cc:4080)."""
     params = params or SatParameters()
     start = time.perf_counter()
+    should_stop = ((lambda: interrupt.interrupted)
+                   if interrupt is not None else None)
+
+    from ortools_tpu.utils.logging_util import GapIntegral
+
+    gap = GapIntegral(time.perf_counter)
 
     def resp(status, solution=None, obj=math.nan, bound=math.nan,
              branches=0, conflicts=0, core=()):
@@ -166,6 +178,7 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
             num_branches=branches,
             num_conflicts=conflicts,
             sufficient_assumptions_for_infeasibility=list(core),
+            gap_integral=gap.finalize(),
         )
 
     errs = validate_model(model)
@@ -210,7 +223,7 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
         work = presolved
 
     value_hints = dict(model.solution_hint)
-    engine = Engine(work, deadline=deadline,
+    engine = Engine(work, deadline=deadline, should_stop=should_stop,
                     max_branches=params.max_branches,
                     value_hints=value_hints)
     doms = engine.initial_domains()
@@ -338,6 +351,7 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
             work, constraints=list(work.constraints) + bound_cts
         )
         engine = Engine(work_iter, deadline=deadline,
+                        should_stop=should_stop,
                         max_branches=params.max_branches - num_branches,
                         value_hints=value_hints)
         doms = engine.initial_domains()
@@ -364,6 +378,7 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
         if improved[0] is not None:
             best_solution = improved[0]
             best_obj = internal_obj(best_solution)
+            gap.update(float(best_obj), -math.inf)
             if callback is not None:
                 callback._on_solution(
                     best_solution, float(_objective_value(obj, best_solution))

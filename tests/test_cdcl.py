@@ -124,3 +124,52 @@ def test_at_most_one_encodings():
             if count > n + 1:
                 break
         assert count == n
+
+
+def test_drat_proof_unsat_verified():
+    """UNSAT run emits a DRAT proof that the checker validates
+    (reference drat_writer.h + drat_checker.h contract)."""
+    from ortools_tpu.sat.cdcl import CdclSolver
+    from ortools_tpu.sat.drat import check_drat
+    import itertools
+    # pigeonhole PHP(4,3): 4 pigeons, 3 holes — UNSAT with real learning
+    np_, nh = 4, 3
+    def var(p, h):
+        return p * nh + h + 1
+    clauses = []
+    for p in range(np_):
+        clauses.append([var(p, h) for h in range(nh)])
+    for h in range(nh):
+        for p1 in range(np_):
+            for p2 in range(p1 + 1, np_):
+                clauses.append([-var(p1, h), -var(p2, h)])
+    s = CdclSolver(num_vars=np_ * nh, proof=True)
+    for c in clauses:
+        s.add_clause(c)
+    assert s.solve() == 0  # UNSAT
+    proof = s.proof()
+    assert proof, "UNSAT run must emit proof events"
+    assert check_drat(clauses, proof), "DRAT proof failed verification"
+
+
+def test_drat_write_and_parse_roundtrip(tmp_path):
+    from ortools_tpu.sat.cdcl import CdclSolver
+    from ortools_tpu.sat.drat import check_drat, parse_drat
+    clauses = [[1, 2], [-1, 2], [1, -2], [-1, -2]]
+    s = CdclSolver(num_vars=2, proof=True)
+    for c in clauses:
+        s.add_clause(c)
+    assert s.solve() == 0
+    path = str(tmp_path / "proof.drat")
+    s.write_drat(path)
+    events = parse_drat(path)
+    assert check_drat(clauses, events)
+
+
+def test_drat_checker_rejects_bogus_proof():
+    from ortools_tpu.sat.drat import check_drat
+    clauses = [[1, 2]]
+    # claiming the empty clause out of thin air must fail
+    assert not check_drat(clauses, [("a", [])])
+    # a non-RUP addition must fail
+    assert not check_drat(clauses, [("a", [-1]), ("a", [])])

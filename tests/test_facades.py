@@ -72,3 +72,59 @@ def test_cli_solve(tmp_path):
     assert rc == 0
     text = open(sol).read()
     assert text.startswith("=obj=")
+
+
+def test_sigint_handler_interrupts_cp_solve():
+    """Cooperative interruption: a programmatic interrupt stops the solve
+    at the next engine checkpoint (reference util/sigint.h contract)."""
+    import numpy as np
+    import threading
+    import time as _time
+    from ortools_tpu.sat.cp_model import CpModel
+    from ortools_tpu.sat.solver import solve_model
+    from ortools_tpu.sat.params import SatParameters
+    from ortools_tpu.utils.interrupt import SigintHandler
+
+    # A model slow enough not to finish instantly.
+    rng = np.random.default_rng(0)
+    m = CpModel()
+    n = 40
+    xs = [m.new_bool_var(f"x{i}") for i in range(n)]
+    w = rng.integers(5, 40, n)
+    v = rng.integers(5, 50, n)
+    m.add(sum(int(wi) * x for wi, x in zip(w, xs)) <= int(w.sum() * 0.5))
+    m.maximize(sum(int(vi) * x for vi, x in zip(v, xs)))
+
+    h = SigintHandler()
+    timer = threading.Timer(0.3, h.interrupt)
+    timer.start()
+    t0 = _time.perf_counter()
+    r = solve_model(m.ir, SatParameters(max_time_in_seconds=60.0),
+                    interrupt=h)
+    dt = _time.perf_counter() - t0
+    timer.cancel()
+    assert dt < 30.0, "interrupt did not stop the solve"
+    assert r.status.name in ("FEASIBLE", "UNKNOWN", "OPTIMAL")
+
+
+def test_gap_integral_reported():
+    from ortools_tpu.sat.cp_model import CpModel
+    from ortools_tpu.sat.solver import solve_model
+
+    m = CpModel()
+    x = m.new_int_var(0, 10, "x")
+    m.maximize(x)
+    r = solve_model(m.ir)
+    assert r.gap_integral >= 0.0
+
+
+def test_solver_logger_callbacks():
+    from ortools_tpu.utils.logging_util import SolverLogger
+
+    lines = []
+    lg = SolverLogger()
+    lg.add_info_logging_callback(lines.append)
+    lg.log_info("phase 1")
+    lg("phase 2")
+    assert lines == ["phase 1", "phase 2"]
+    assert lg.contents() == "phase 1\nphase 2"
