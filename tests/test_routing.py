@@ -259,3 +259,57 @@ def test_vrptw_time_windows():
     assert sol is not None
     route = [mgr.index_to_node(i) for i in sol.routes()[0]]
     assert route.index(2) < route.index(1)
+
+
+def test_lp_cumul_scheduling_respects_windows():
+    """routing_lp_scheduling role: optimal cumuls along fixed routes with
+    time windows and slack (reference DimensionCumulOptimizer)."""
+    from ortools_tpu.routing.lp_scheduling import optimize_route_cumuls
+
+    manager = RoutingIndexManager(5, 1, 0)
+    model = RoutingModel(manager)
+    times = np.array([
+        [0, 2, 4, 6, 8],
+        [2, 0, 3, 5, 7],
+        [4, 3, 0, 2, 4],
+        [6, 5, 2, 0, 3],
+        [8, 7, 4, 3, 0],
+    ])
+
+    def transit(a, b):
+        na, nb = manager.index_to_node(a), manager.index_to_node(b)
+        return int(times[na][nb])
+
+    cb = model.register_transit_callback(transit)
+    model.set_arc_cost_evaluator_of_all_vehicles(cb)
+    model.add_dimension(cb, 10, 100, True, "Time")
+    dim = model.get_dimension_or_die("Time")
+    # visit 2 cannot start before t=10 (forces slack)
+    dim.set_cumul_var_range(2, 10, 50)
+    route = [1, 2, 3, 4]
+    cumuls = optimize_route_cumuls(model, [route], "Time")
+    assert cumuls is not None
+    assert cumuls[model.start(0)] == 0.0
+    assert cumuls[2] >= 10.0 - 1e-6
+    # transit feasibility along the route
+    seq = [model.start(0)] + route + [model.end(0)]
+    for a, b in zip(seq, seq[1:]):
+        t = transit(a, b)
+        assert cumuls[b] >= cumuls[a] + t - 1e-6
+        assert cumuls[b] <= cumuls[a] + t + 10 + 1e-6
+
+
+def test_lp_cumul_scheduling_detects_infeasible_windows():
+    from ortools_tpu.routing.lp_scheduling import optimize_route_cumuls
+
+    manager = RoutingIndexManager(3, 1, 0)
+    model = RoutingModel(manager)
+
+    def transit(a, b):
+        return 5
+
+    cb = model.register_transit_callback(transit)
+    model.add_dimension(cb, 0, 100, True, "T")
+    dim = model.get_dimension_or_die("T")
+    dim.set_cumul_var_range(2, 0, 3)  # unreachable: needs >= 5
+    assert optimize_route_cumuls(model, [[1, 2]], "T") is None

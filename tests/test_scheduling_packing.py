@@ -192,3 +192,43 @@ def test_jobshop_cdcl_ft10_proven_optimal():
     assert sol.makespan == 930
     assert sol.optimal
     _check_jobshop_solution(inst, sol)
+
+
+def test_arc_flow_bin_packing_matches_ffd_or_better():
+    """Arc-flow MIP (reference arc_flow_builder/solver) is exact; verify
+    against the known optimum of a classic instance."""
+    from ortools_tpu.packing.arc_flow import (
+        build_arc_flow_graph, solve_vector_bin_packing)
+    # items 6,5,4,3,2 with capacity 10 -> optimum 2 bins
+    bins, g = solve_vector_bin_packing([10], [[6], [5], [4], [3], [2]],
+                                       [1, 1, 1, 1, 1])
+    assert bins == 2
+    assert g.num_nodes >= 3
+    # demands > 1: 4 items of size 3, capacity 6 -> 2 bins
+    bins2, _ = solve_vector_bin_packing([6], [[3]], [4])
+    assert bins2 == 2
+    # 2-dimensional (vector) packing: sizes (3,1),(3,5),(2,4) cap (5,6)
+    bins3, _ = solve_vector_bin_packing(
+        [5, 6], [[3, 1], [3, 5], [2, 4]], [1, 1, 1])
+    assert bins3 == 2
+
+
+def test_binpacking_2d_parser(tmp_path):
+    from ortools_tpu.packing.arc_flow import parse_binpacking_2d
+    p = tmp_path / "cl_01_1.2bp"
+    p.write_text("""3
+10 8
+4 3
+5 5
+2 8
+2
+6 6
+3 3
+6 6
+""")
+    shape, items = parse_binpacking_2d(str(p), instance=1)
+    assert shape == (10, 8)
+    assert items == [(4, 3), (5, 5), (2, 8)]
+    shape2, items2 = parse_binpacking_2d(str(p), instance=2)
+    assert shape2 == (6, 6)
+    assert items2 == [(3, 3), (6, 6)]
