@@ -271,6 +271,29 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     num_branches = 0
     num_conflicts = 0
 
+    # Pure-SAT special case (reference SolvePureSatModel,
+    # cp_model_solver.cc:4137): clause-like boolean models route to the
+    # native CDCL core.
+    if (obj is None and not params.enumerate_all_solutions
+            and params.num_workers <= 1 and callback is None):
+        from ortools_tpu.sat.pure_sat import solve_pure_sat
+
+        pure = solve_pure_sat(work)
+        if pure is not None:
+            st, values, core, ncf = pure
+            if st == 1:
+                values = values[:n_orig]
+                if solution_is_feasible(model, values):
+                    # decision problems report OPTIMAL on success (the
+                    # reference's convention for satisfied models)
+                    return resp(SolveStatus.OPTIMAL, values,
+                                conflicts=ncf)
+            elif st == 0:
+                return resp(SolveStatus.INFEASIBLE, conflicts=ncf,
+                            core=core or model.assumptions)
+            # UNKNOWN (or verification surprise): fall through to the
+            # propagation engine
+
     if params.num_workers > 1 and not params.enumerate_all_solutions:
         return _solve_portfolio(model, work, obj, params, callback,
                                 deadline, hint_solution, n_orig, resp)

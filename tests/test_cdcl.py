@@ -173,3 +173,32 @@ def test_drat_checker_rejects_bogus_proof():
     assert not check_drat(clauses, [("a", [])])
     # a non-RUP addition must fail
     assert not check_drat(clauses, [("a", [-1]), ("a", [])])
+
+
+def test_pure_sat_special_case_routes_to_cdcl():
+    """Clause-only CpModels ride the native CDCL core
+    (reference SolvePureSatModel, cp_model_solver.cc:4137)."""
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+    m = CpModel()
+    xs = [m.new_bool_var(f"x{i}") for i in range(12)]
+    for i in range(11):
+        m.add_bool_or(xs[i], xs[i + 1].negated())
+    m.add_bool_or(*[x.negated() for x in xs[:6]])
+    m.add_at_most_one(xs[3:7])
+    s = CpSolver()
+    st = s.solve(m)
+    assert s.status_name(st) in ("FEASIBLE", "OPTIMAL")
+
+
+def test_pure_sat_unsat_and_core():
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+    m = CpModel()
+    a = m.new_bool_var("a")
+    b = m.new_bool_var("b")
+    m.add_bool_or(a, b)
+    m.add_bool_or(a.negated(), b)
+    m.add_bool_or(a, b.negated())
+    m.add_bool_or(a.negated(), b.negated())
+    s = CpSolver()
+    st = s.solve(m)
+    assert s.status_name(st) == "INFEASIBLE"
