@@ -57,6 +57,9 @@ def _split_top(s: str, sep: str = ",") -> List[str]:
     return out
 
 
+FLOAT_SCALE = 10**6  # fixed-point scale for float variables
+
+
 class _FzModel:
     def __init__(self) -> None:
         self.model = CpModel()
@@ -66,6 +69,13 @@ class _FzModel:
         self.output_items: List[Tuple[str, object]] = []
         self.objective = None
         self.sense = "satisfy"
+        # float variables are fixed-point integers at FLOAT_SCALE
+        # (the reference scales floats into CpModel integers too,
+        # flatzinc/cp_model_fz_solver + FloatObjectiveProto)
+        self.float_var_ids: set = set()
+
+    def is_float(self, item) -> bool:
+        return isinstance(item, IntVar) and item.index in self.float_var_ids
 
     # ---- value/expression resolution ----------------------------------
     def value(self, tok: str):
@@ -85,6 +95,9 @@ class _FzModel:
             return 0
         if re.fullmatch(r"-?\d+", tok):
             return int(tok)
+        if re.fullmatch(r"-?\d+\.\d+([eE][-+]?\d+)?", tok) or \
+                re.fullmatch(r"-?\d+[eE][-+]?\d+", tok):
+            return float(tok)
         m = re.fullmatch(r"(\w+)\[(\d+)\]", tok)
         if m:
             return self.arrays[m.group(1)][int(m.group(2)) - 1]
@@ -193,14 +206,30 @@ def _parse_decl(fz: _FzModel, body: str, anns: List[str],
             else:
                 fz.vars[name] = fz.model.new_constant(int(val))
         else:
-            fz.vars[name] = mdl.new_int_var_from_domain(
-                _parse_domain(dom_s), name
-            )
+            dom_s2 = dom_s.strip()
+            fm = re.fullmatch(
+                r"(-?\d+(?:\.\d+)?)\s*\.\.\s*(-?\d+(?:\.\d+)?)",
+                dom_s2)
+            if dom_s2 == "float" or (
+                    fm and ("." in fm.group(1) or "." in fm.group(2))):
+                if dom_s2 == "float":
+                    lo, hi = -(2**40), 2**40
+                else:
+                    lo = _scaled_const(float(fm.group(1)))
+                    hi = _scaled_const(float(fm.group(2)))
+                v = mdl.new_int_var(lo, hi, name)
+                fz.vars[name] = v
+                fz.float_var_ids.add(v.index)
+            else:
+                fz.vars[name] = mdl.new_int_var_from_domain(
+                    _parse_domain(dom_s), name
+                )
         if any(a.startswith("output_var") for a in anns):
             fz.output_items.append((name, fz.vars[name]))
         return
     # par declaration
-    pm = re.match(r"(?:int|bool)\s*:\s*(\w+)\s*=\s*(.*)$", body, re.S)
+    pm = re.match(r"(?:int|bool|float)\s*:\s*(\w+)\s*=\s*(.*)$",
+                  body, re.S)
     if pm:
         name, init = pm.groups()
         fz.pars[name] = fz.value(init.strip())
@@ -352,6 +381,104 @@ def _parse_constraint(fz: _FzModel, text: str) -> None:
         k = len(exprs)
         tuples = [tuple(flat[i:i + k]) for i in range(0, len(flat), k)]
         mdl.add_allowed_assignments(exprs, tuples)
+    elif name == "set_in_reif":
+        b = lit(2)
+        dom_tok = args[1].strip()
+        rm = re.fullmatch(r"(-?\d+)\s*\.\.\s*(-?\d+)", dom_tok)
+        if rm:
+            d = Domain(int(rm.group(1)), int(rm.group(2)))
+        else:
+            d = Domain.from_values([int(x) for x in
+                                    _split_top(dom_tok[1:-1])])
+        mdl.add_linear_expression_in_domain(expr(0), d).only_enforce_if(b)
+        comp = d.complement()
+        mdl.add_linear_expression_in_domain(expr(0), comp) \
+            .only_enforce_if(_neg(b))
+    elif name in ("array_int_element", "array_var_int_element"):
+        # FlatZinc: element(idx, array, target) with 1-based idx
+        idx = expr(0) - 1
+        arr = [E(v) for v in fz.var_list(args[1])]
+        mdl.add_element(idx, arr, expr(2))
+    elif name in ("array_bool_element", "array_var_bool_element"):
+        idx = expr(0) - 1
+        arr = [E(fz.as_lit(v)) if not isinstance(v, (IntVar,))
+               else E(v) for v in fz.var_list(args[1])]
+        mdl.add_element(idx, arr, expr(2))
+    elif name in ("count_eq", "count"):
+        arr = [E(v) for v in fz.var_list(args[0])]
+        val = expr(1)
+        cnt = expr(2)
+        bs = []
+        for e in arr:
+            b = mdl.new_bool_var("")
+            mdl.add(e == val).only_enforce_if(b)
+            mdl.add(e != val).only_enforce_if(b.negated())
+            bs.append(b)
+        mdl.add(LinearExpr.sum([E(b) for b in bs]) == cnt)
+    elif name == "bool_xor":
+        if len(args) == 3:
+            r = lit(2)
+            mdl.add(expr(0) + expr(1) == 1).only_enforce_if(r)
+            mdl.add(expr(0) == expr(1)).only_enforce_if(_neg(r))
+        else:
+            mdl.add(expr(0) + expr(1) == 1)
+    elif name in ("bool_lin_eq", "bool_lin_le"):
+        e = fz.lin(args[0], args[1])
+        c = int(V(args[2]))
+        mdl.add(e == c) if name == "bool_lin_eq" else mdl.add(e <= c)
+    elif name in ("minimum_int", "maximum_int"):
+        exprs = [E(v) for v in fz.var_list(args[1])]
+        if name == "minimum_int":
+            mdl.add_min_equality(expr(0), exprs)
+        else:
+            mdl.add_max_equality(expr(0), exprs)
+    # ---- float builtins: fixed-point at FLOAT_SCALE ---------------------
+    elif name == "int2float":
+        # f == FLOAT_SCALE * x
+        mdl.add(expr(1) == expr(0) * FLOAT_SCALE)
+    elif name in ("float_lin_eq", "float_lin_le", "float_lin_ne",
+                  "float_lin_eq_reif", "float_lin_le_reif"):
+        cs = [float(x) for x in fz.value(args[0])]
+        ics, cscale = _int_coeffs(cs)
+        vs = fz.var_list(args[1])
+        e = LinearExpr.sum([E(v) * c for c, v in zip(ics, vs)])
+        # vars live at FLOAT_SCALE, coefficients at cscale: the RHS must
+        # scale by both, exactly
+        rhs = float(V(args[2]))
+        crhs_f = rhs * cscale * FLOAT_SCALE
+        crhs = round(crhs_f)
+        if abs(crhs - crhs_f) > 1e-6:
+            raise FlatZincError(f"float rhs {rhs} not exactly scalable")
+        if name == "float_lin_eq":
+            mdl.add(e == crhs)
+        elif name == "float_lin_le":
+            mdl.add(e <= crhs)
+        elif name == "float_lin_ne":
+            mdl.add(e != crhs)
+        else:
+            b = lit(3)
+            if name == "float_lin_eq_reif":
+                mdl.add(e == crhs).only_enforce_if(b)
+                mdl.add(e != crhs).only_enforce_if(_neg(b))
+            else:
+                mdl.add(e <= crhs).only_enforce_if(b)
+                mdl.add(e >= crhs + 1).only_enforce_if(_neg(b))
+    elif name in ("float_eq", "float_ne", "float_le", "float_lt"):
+        a0, a1 = V(args[0]), V(args[1])
+        e0 = E(a0) if not isinstance(a0, float) else \
+            LinearExpr.of(_scaled_const(a0))
+        e1 = E(a1) if not isinstance(a1, float) else \
+            LinearExpr.of(_scaled_const(a1))
+        if name == "float_eq":
+            mdl.add(e0 == e1)
+        elif name == "float_ne":
+            mdl.add(e0 != e1)
+        elif name == "float_le":
+            mdl.add(e0 <= e1)
+        else:
+            mdl.add(e0 <= e1 - 1)
+    elif name == "float_plus":
+        mdl.add(expr(0) + expr(1) == expr(2))
     else:
         raise FlatZincError(f"unsupported FlatZinc predicate: {name}")
 
@@ -362,18 +489,49 @@ def _neg(lit):
     return lit.negated()
 
 
+def _scaled_const(x: float) -> int:
+    """Exact fixed-point representation; FlatZinc floats are decimal
+    literals, so scaling by 10^6 is exact for <= 6 decimals."""
+    v = round(x * FLOAT_SCALE)
+    if abs(v - x * FLOAT_SCALE) > 1e-6:
+        raise FlatZincError(
+            f"float constant {x} not representable at scale {FLOAT_SCALE}")
+    return int(v)
+
+
+def _int_coeffs(cs: List[float]) -> Tuple[List[int], int]:
+    """Smallest 10^d making every coefficient integral (d <= 9)."""
+    for d in range(10):
+        scale = 10 ** d
+        out = []
+        ok = True
+        for c in cs:
+            v = round(c * scale)
+            if abs(v - c * scale) > 1e-9 * max(1.0, abs(c * scale)):
+                ok = False
+                break
+            out.append(int(v))
+        if ok:
+            return out, scale
+    raise FlatZincError(f"float coefficients {cs} need more than 9 decimals")
+
+
 def _format_output(fz: _FzModel, solver: CpSolver) -> str:
+    def fmt(v) -> str:
+        val = solver.value(fz.as_expr(v))
+        if fz.is_float(v):
+            return repr(val / FLOAT_SCALE)
+        return str(val)
+
     lines = []
     for name, item in fz.output_items:
         if isinstance(item, list):
-            vals = ", ".join(
-                str(solver.value(fz.as_expr(v))) for v in item
-            )
+            vals = ", ".join(fmt(v) for v in item)
             lines.append(
                 f"{name} = array1d(1..{len(item)}, [{vals}]);"
             )
         else:
-            lines.append(f"{name} = {solver.value(item)};")
+            lines.append(f"{name} = {fmt(item)};")
     lines.append("----------")
     return "\n".join(lines)
 

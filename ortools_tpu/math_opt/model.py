@@ -144,3 +144,116 @@ def solve(model: Model, solver_type: SolverType = SolverType.GLOP,
         MPSolverStatus.MODEL_INVALID: TerminationReason.OTHER_ERROR,
     }[status]
     return SolveResult(_Termination(reason), s, model)
+
+
+# ---------------------------------------------------------------------------
+# Incremental updates (reference math_opt model_update.proto + the
+# IncrementalSolver session, core/solver.h:68)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ModelUpdate:
+    """A batch of model mutations (reference model_update.proto scoped to
+    the supported update classes: variable-bound changes and objective
+    coefficient changes)."""
+
+    variable_lower: Dict[int, float] = dataclasses.field(default_factory=dict)
+    variable_upper: Dict[int, float] = dataclasses.field(default_factory=dict)
+    objective_coeffs: Dict[int, float] = dataclasses.field(
+        default_factory=dict)
+
+    def set_variable_lb(self, var: Variable, lb: float) -> "ModelUpdate":
+        self.variable_lower[var.index] = float(lb)
+        return self
+
+    def set_variable_ub(self, var: Variable, ub: float) -> "ModelUpdate":
+        self.variable_upper[var.index] = float(ub)
+        return self
+
+    def set_objective_coefficient(self, var: Variable, coeff: float
+                                  ) -> "ModelUpdate":
+        self.objective_coeffs[var.index] = float(coeff)
+        return self
+
+    @property
+    def bounds_only(self) -> bool:
+        return not self.objective_coeffs
+
+
+class IncrementalSolver:
+    """Session keeping solver state across updates (core/solver.h:68).
+
+    For GLOP with bounds-only updates, re-solves warm-start through the
+    dual simplex (glop/simplex.RevisedSimplex.resolve — the reference's
+    incrementalism pattern); otherwise re-solves from scratch on the
+    updated model.
+    """
+
+    def __init__(self, model: Model,
+                 solver_type: SolverType = SolverType.GLOP) -> None:
+        self.model = model
+        self.solver_type = solver_type
+        self._sx = None  # live RevisedSimplex session
+
+    def solve(self, **params) -> SolveResult:
+        if self.solver_type == SolverType.GLOP:
+            from ortools_tpu.glop.simplex import RevisedSimplex
+
+            qp = self.model.storage.to_qp()
+            self._sx = RevisedSimplex(qp)
+            status = self._sx.primal_solve()
+            return self._wrap(self._sx.result(status))
+        self._sx = None
+        return solve(self.model, self.solver_type, **params)
+
+    def update(self, upd: ModelUpdate) -> None:
+        mb = self.model.storage
+        for i, lo in upd.variable_lower.items():
+            mb.var_lb[i] = lo
+        for i, hi in upd.variable_upper.items():
+            mb.var_ub[i] = hi
+        for i, cv in upd.objective_coeffs.items():
+            mb.objective.coeffs[i] = cv
+        if self._sx is not None and upd.bounds_only:
+            import numpy as np
+
+            st = self._sx.resolve(
+                np.asarray(mb.var_lb, dtype=np.float64),
+                np.asarray(mb.var_ub, dtype=np.float64),
+            )
+            self._last = self._wrap(self._sx.result(st))
+        else:
+            self._sx = None
+            self._last = None
+
+    def solve_after_update(self, upd: Optional[ModelUpdate] = None,
+                           **params) -> SolveResult:
+        if upd is not None:
+            self.update(upd)
+        if self._sx is not None and getattr(self, "_last", None) is not None:
+            return self._last
+        return self.solve(**params)
+
+    def _wrap(self, res) -> SolveResult:
+        reason = {
+            MPSolverStatus.OPTIMAL: TerminationReason.OPTIMAL,
+            MPSolverStatus.INFEASIBLE: TerminationReason.INFEASIBLE,
+            MPSolverStatus.UNBOUNDED: TerminationReason.UNBOUNDED,
+            MPSolverStatus.ABNORMAL: TerminationReason.NUMERICAL_ERROR,
+        }.get(res.status, TerminationReason.OTHER_ERROR)
+        shim = _SimplexShim(res)
+        return SolveResult(_Termination(reason), shim, self.model)
+
+
+class _SimplexShim:
+    """Adapts a glop SimplexResult to the SolveResult accessor surface."""
+
+    def __init__(self, res) -> None:
+        self._values = res.primal_solution
+        self.objective_value = res.objective_value
+        self.best_objective_bound = res.objective_value
+
+    def value(self, expr) -> float:
+        return float(expr.offset + sum(
+            c * self._values[i] for i, c in expr.coeffs.items()))

@@ -128,3 +128,34 @@ def test_solver_logger_callbacks():
     lg("phase 2")
     assert lines == ["phase 1", "phase 2"]
     assert lg.contents() == "phase 1\nphase 2"
+
+
+def test_math_opt_incremental_update_warm_restart():
+    """ModelUpdate + IncrementalSolver (reference model_update.proto /
+    core/solver.h session): bounds-only updates re-solve warm through
+    the dual simplex."""
+    from ortools_tpu.math_opt.model import (
+        IncrementalSolver, Model, ModelUpdate, SolverType,
+        TerminationReason)
+
+    m = Model("inc")
+    x = m.add_variable(lb=0.0, ub=10.0, name="x")
+    y = m.add_variable(lb=0.0, ub=10.0, name="y")
+    m.add_linear_constraint(x + y >= 4.0)
+    m.minimize(2 * x + 3 * y)
+    sess = IncrementalSolver(m, SolverType.GLOP)
+    r1 = sess.solve()
+    assert r1.termination.reason == TerminationReason.OPTIMAL
+    assert abs(r1.objective_value() - 8.0) < 1e-7  # x=4, y=0
+
+    upd = ModelUpdate().set_variable_ub(x, 1.0)
+    r2 = sess.solve_after_update(upd)
+    assert r2.termination.reason == TerminationReason.OPTIMAL
+    assert abs(r2.objective_value() - (2.0 + 9.0)) < 1e-7  # x=1, y=3
+    vals = {v.index: val for v, val in r2.variable_values().items()} if \
+        hasattr(r2, "variable_values") else None
+
+    # infeasible update detected through the warm path
+    upd2 = ModelUpdate().set_variable_ub(x, 1.0).set_variable_ub(y, 2.0)
+    r3 = sess.solve_after_update(upd2)
+    assert r3.termination.reason == TerminationReason.INFEASIBLE

@@ -130,3 +130,73 @@ solve satisfy;
     m = re.search(r"\[([0-9, ]+)\]", r.text)
     q = [int(x) for x in m.group(1).split(",")]
     assert sorted(q) == [1, 2, 3, 4]
+
+
+def test_float_linear_constraints():
+    """float_* builtins via exact fixed-point scaling (reference
+    cp_model_fz_solver float handling)."""
+    text = """
+var 0.0..10.0: x :: output_var;
+var 0.0..10.0: y :: output_var;
+constraint float_lin_eq([1.5, 2.5], [x, y], 10.0);
+constraint float_le(x, 2.0);
+constraint float_lin_le([-1.0], [y], -2.8);
+solve satisfy;
+"""
+    out = solve_fzn_text(text).text
+    assert "----------" in out
+    vals = {}
+    for line in out.splitlines():
+        if "=" in line:
+            k, v = line.split("=")
+            vals[k.strip()] = float(v.strip().rstrip(";"))
+    assert abs(1.5 * vals["x"] + 2.5 * vals["y"] - 10.0) < 1e-5
+    assert vals["x"] <= 2.0 + 1e-9
+    assert vals["y"] >= 2.8 - 1e-9
+
+
+def test_int2float_and_float_plus():
+    text = """
+var 0..5: n :: output_var;
+var 0.0..20.0: f :: output_var;
+var 0.0..30.0: g :: output_var;
+constraint int2float(n, f);
+constraint float_plus(f, f, g);
+constraint float_eq(g, 6.0);
+solve satisfy;
+"""
+    out = solve_fzn_text(text).text
+    assert "n = 3;" in out
+
+
+def test_element_and_count_builtins():
+    text = """
+array [1..4] of var 1..3: xs :: output_array([1..4]);
+var 1..4: i;
+var 1..3: t :: output_var;
+constraint array_var_int_element(i, xs, t);
+constraint int_eq(i, 2);
+constraint int_eq(t, 3);
+var 0..4: c :: output_var;
+constraint count_eq(xs, 3, c);
+constraint int_le(c, 1);
+solve satisfy;
+"""
+    out = solve_fzn_text(text).text
+    assert "t = 3;" in out
+    assert "c = 1;" in out
+
+
+def test_set_in_reif():
+    text = """
+var 0..10: x :: output_var;
+var bool: b;
+constraint set_in_reif(x, 3..5, b);
+constraint bool_clause([], [b]);
+constraint int_le(x, 4);
+solve satisfy;
+"""
+    # b must be false -> x not in 3..5 and x <= 4
+    out = solve_fzn_text(text).text
+    val = int(out.splitlines()[0].split("=")[1].strip().rstrip(";"))
+    assert val <= 4 and not (3 <= val <= 5)
