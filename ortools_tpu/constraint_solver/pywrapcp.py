@@ -336,3 +336,133 @@ def _flatten(items):
             yield from _flatten(it)
         else:
             yield it
+
+
+# ---------------------------------------------------------------------------
+# Classic scheduling surface: IntervalVar / SequenceVar / Cumulative
+# (reference constraint_solver.h:4643 IntervalVar, :4797 SequenceVar,
+# sched_*.cc) — layered on the CP model's interval + no_overlap/cumulative
+# ---------------------------------------------------------------------------
+
+
+class IntervalVar:
+    """Classic fixed/variable-duration interval on top of CpModel."""
+
+    def __init__(self, solver: "Solver", start, duration_expr, end,
+                 performed=None, name: str = "") -> None:
+        self._solver = solver
+        self._start = start
+        self._duration = duration_expr
+        self._end = end
+        self._performed = performed  # BoolVar or None (always performed)
+        self.name = name
+        m = solver._model
+        if performed is None:
+            self._iv = m.new_interval_var(start, duration_expr, end, name)
+        else:
+            self._iv = m.new_optional_interval_var(
+                start, duration_expr, end, performed, name)
+
+    # expressions
+    def StartExpr(self):
+        return _cm.LinearExpr.of(self._start)
+
+    def EndExpr(self):
+        return _cm.LinearExpr.of(self._end)
+
+    def DurationExpr(self):
+        return _cm.LinearExpr.of(self._duration)
+
+    def PerformedExpr(self):
+        return (_cm.LinearExpr.of(self._performed)
+                if self._performed is not None else _cm.LinearExpr.of(1))
+
+    # domain accessors (pre/post solve)
+    def StartMin(self) -> int:
+        return self._start.domain.min()
+
+    def StartMax(self) -> int:
+        return self._start.domain.max()
+
+    def EndMin(self) -> int:
+        return self._end.domain.min()
+
+    def EndMax(self) -> int:
+        return self._end.domain.max()
+
+    def MustBePerformed(self) -> bool:
+        return self._performed is None
+
+
+class SequenceVar:
+    """Classic sequence variable over a disjunctive resource: exposes the
+    intervals and, after solving, their chronological ranking."""
+
+    def __init__(self, solver: "Solver", intervals: List[IntervalVar],
+                 name: str = "") -> None:
+        self._solver = solver
+        self._intervals = list(intervals)
+        self.name = name
+
+    def Size(self) -> int:
+        return len(self._intervals)
+
+    def Interval(self, i: int) -> IntervalVar:
+        return self._intervals[i]
+
+    def RankedSequence(self) -> List[int]:
+        """Indices of performed intervals in start order (post-solve)."""
+        sv = self._solver
+        order = [
+            (sv.Value(iv._start), k)
+            for k, iv in enumerate(self._intervals)
+            if iv._performed is None or sv.Value(iv._performed)
+        ]
+        return [k for _, k in sorted(order)]
+
+
+class _Disjunctive:
+    def __init__(self, solver: "Solver", intervals: List[IntervalVar],
+                 name: str) -> None:
+        self._seq = SequenceVar(solver, intervals, name)
+        solver._model.add_no_overlap([iv._iv for iv in intervals])
+
+    def SequenceVar(self) -> SequenceVar:
+        return self._seq
+
+
+def _interval_methods(cls):
+    def FixedDurationIntervalVar(self, start_min: int, start_max: int,
+                                 duration: int, optional: bool = False,
+                                 name: str = "") -> IntervalVar:
+        m = self._model
+        s = m.new_int_var(int(start_min), int(start_max), f"{name}_s")
+        e = m.new_int_var(int(start_min) + int(duration),
+                          int(start_max) + int(duration), f"{name}_e")
+        perf = m.new_bool_var(f"{name}_p") if optional else None
+        return IntervalVar(self, s, int(duration), e, perf, name)
+
+    def IntervalVarBounds(self, start_min, start_max, dur_min, dur_max,
+                          end_min, end_max, optional=False, name=""):
+        m = self._model
+        s = m.new_int_var(int(start_min), int(start_max), f"{name}_s")
+        d = m.new_int_var(int(dur_min), int(dur_max), f"{name}_d")
+        e = m.new_int_var(int(end_min), int(end_max), f"{name}_e")
+        perf = m.new_bool_var(f"{name}_p") if optional else None
+        return IntervalVar(self, s, d, e, perf, name)
+
+    def DisjunctiveConstraint(self, intervals, name="") -> _Disjunctive:
+        return _Disjunctive(self, list(intervals), name)
+
+    def Cumulative(self, intervals, demands, capacity, name="") -> None:
+        self._model.add_cumulative(
+            [iv._iv for iv in intervals], list(demands), capacity)
+
+    cls.FixedDurationIntervalVar = FixedDurationIntervalVar
+    cls.IntervalVar = IntervalVarBounds
+    cls.DisjunctiveConstraint = DisjunctiveConstraint
+    cls.Cumulative = Cumulative
+    return cls
+
+
+_interval_methods(Solver)

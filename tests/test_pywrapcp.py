@@ -80,3 +80,50 @@ def test_infeasible_root():
     assert not solver.NextSolution()
     solver.EndSearch()
     assert not solver.Solve(solver.Phase([x]))
+
+
+def test_interval_and_sequence_vars():
+    """Classic IntervalVar/SequenceVar surface (constraint_solver.h:4643,
+    :4797) over the CP engine."""
+    solver = Solver("jobs")
+    a = solver.FixedDurationIntervalVar(0, 10, 3, False, "a")
+    b = solver.FixedDurationIntervalVar(0, 10, 4, False, "b")
+    c = solver.FixedDurationIntervalVar(0, 10, 2, False, "c")
+    disj = solver.DisjunctiveConstraint([a, b, c], "machine")
+    seq = disj.SequenceVar()
+    assert seq.Size() == 3
+    # minimize makespan
+    makespan = solver.IntVar(0, 30, "mk")
+    for iv in (a, b, c):
+        solver.Add(iv.EndExpr() <= makespan)
+    solver.Minimize(makespan, 1)
+    assert solver.Solve()
+    assert solver.Value(makespan) == 9  # 3+4+2
+    order = seq.RankedSequence()
+    assert sorted(order) == [0, 1, 2]
+    # starts respect the ranking
+    starts = [solver.Value(iv._start) for iv in (a, b, c)]
+    durs = [3, 4, 2]
+    for x, y in zip(order, order[1:]):
+        assert starts[x] + durs[x] <= starts[y]
+
+
+def test_cumulative_classic():
+    solver = Solver("cum")
+    a = solver.FixedDurationIntervalVar(0, 20, 4, False, "a")
+    b = solver.FixedDurationIntervalVar(0, 20, 4, False, "b")
+    solver.Cumulative([a, b], [1, 1], 1, "res")
+    mk = solver.IntVar(0, 40, "mk")
+    solver.Add(a.EndExpr() <= mk)
+    solver.Add(b.EndExpr() <= mk)
+    solver.Minimize(mk, 1)
+    assert solver.Solve()
+    assert solver.Value(mk) == 8
+
+
+def test_optional_interval():
+    solver = Solver("opt")
+    a = solver.FixedDurationIntervalVar(0, 5, 3, True, "a")
+    assert not a.MustBePerformed()
+    solver.Add(a.PerformedExpr() == 0)
+    assert solver.Solve()
