@@ -495,21 +495,26 @@ def _iterate_stats(prob: DeviceProblem, x, y, ax, aty,
     )
     dual_viol = r - reduced_costs
 
-    primal_obj = jnp.vdot(prob.orig_c, x_o) + 0.5 * jnp.vdot(
-        prob.orig_q, x_o * x_o
-    )
+    # Objective-gap reductions run compensated (df32) in f32: the gap
+    # criterion at 1e-6 relative sits right at f32 summation noise for
+    # large n (ops/df32.py; ROADMAP "selective df32" item).
+    if x_o.dtype == jnp.float32:
+        from ortools_tpu.ops.df32 import sum_df32 as _sm, vdot_df32 as _vd
+    else:
+        _vd, _sm = jnp.vdot, jnp.sum
+    primal_obj = _vd(prob.orig_c, x_o) + 0.5 * _vd(prob.orig_q, x_o * x_o)
     # Dual objective: constraint-bound term l^T[y]+ - u^T[y]- plus the
     # variable-bound term for absorbed reduced costs, minus the quadratic
     # correction; sign-split with `where` so 0*inf never appears.
-    con_term = jnp.sum(
+    con_term = _sm(
         jnp.where(y_o > 0, prob.orig_con_lb * y_o, 0.0)
         + jnp.where(y_o < 0, prob.orig_con_ub * y_o, 0.0)
     )
-    var_term = jnp.sum(
+    var_term = _sm(
         jnp.where(reduced_costs > 0, prob.orig_var_lb * reduced_costs, 0.0)
         + jnp.where(reduced_costs < 0, prob.orig_var_ub * reduced_costs, 0.0)
     )
-    dual_obj = con_term + var_term - 0.5 * jnp.vdot(prob.orig_q, x_o * x_o)
+    dual_obj = con_term + var_term - 0.5 * _vd(prob.orig_q, x_o * x_o)
 
     # A *valid* lower bound on the optimum from y alone: the exact
     # Lagrangian dual value  con_term(y) + sum_i min_{x_i in [lb,ub]}
