@@ -88,6 +88,13 @@ class PdhgParams:
     # Fused Pallas SpMV (ops/tiled_spmv.py).  None = auto: enabled on the
     # TPU backend for f32 single-shard problems; True/False forces.
     use_tiled_spmv: Optional[bool] = None
+    # Linesearch rule (reference solvers.proto:248): "adaptive"
+    # (ADAPTIVE_LINESEARCH_RULE, default) or "malitsky_pock"
+    # (arXiv:1608.08883, reference TakeMalitskyPockStep :2211).
+    linesearch_rule: str = "adaptive"
+    mp_step_downscaling: float = 0.7  # solvers.proto MalitskyPockParams
+    mp_contraction: float = 0.99
+    mp_interpolation: float = 1.0
     # Feasibility polishing (reference use_feasibility_polishing,
     # solvers.proto:478 / primal_dual_hybrid_gradient.cc:2442): once the
     # objective gap is met, solve primal- and dual-feasibility

@@ -108,6 +108,10 @@ class PdhgState(NamedTuple):
     num_steps: jax.Array  # int32: total step attempts (accepted + rejected)
     num_accepted: jax.Array  # int32
     kkt_passes: jax.Array  # cumulative KKT matrix passes (1 = A and A^T)
+    # Malitsky-Pock linesearch state: ratio of the last two primal step
+    # sizes (theta in arXiv:1608.08883); 1.0 and unused under the
+    # adaptive rule.
+    step_ratio: jax.Array
 
 
 @dataclasses.dataclass
@@ -221,8 +225,16 @@ def build_device_problem(
             and pad_blocks_to_multiple_of == 1
         )
     if use_tiled and pad_blocks_to_multiple_of == 1:
-        dev_a = dev_a.with_tiled()
-        dev_at = dev_at.with_tiled()
+        # The chunked super-tile layout pays off only when blocks cluster:
+        # on patterns sparser than the super-tile grid the C=128 chunk
+        # padding dominates (e.g. ~200x on a 131k^2 LP with 10k blocks),
+        # so fall back to the XLA gather path per matrix.
+        dev_a2 = dev_a.with_tiled()
+        if dev_a2.tiled.padding_ratio <= 3.0:
+            dev_a = dev_a2
+        dev_at2 = dev_at.with_tiled()
+        if dev_at2.tiled.padding_ratio <= 3.0:
+            dev_at = dev_at2
 
     def padv(v, fill, size):
         out = np.full(size, fill, dtype=np.float64)
@@ -361,10 +373,15 @@ def _dual_prox(y_hat, sigma, con_lb, con_ub):
 
 
 def _make_iteration(params: PdhgParams, psum: Optional[Callable] = None):
-    """Build the jittable single-iteration function (adaptive step).
+    """Build the jittable single-iteration function.
 
     ``prob`` is an explicit argument (not a closure) so the same function
-    works under shard_map with the matrix blocks sharded over the mesh."""
+    works under shard_map with the matrix blocks sharded over the mesh.
+    The step rule follows ``params.linesearch_rule``: the adaptive rule
+    (reference TakeAdaptiveStep) or Malitsky-Pock (TakeMalitskyPockStep).
+    """
+    if params.linesearch_rule == "malitsky_pock":
+        return _make_mp_iteration(params, psum)
     reduction_exp = params.step_size_reduction_exponent
     growth_exp = params.step_size_growth_exponent
     max_attempts = params.max_step_attempts
@@ -448,6 +465,88 @@ def _make_iteration(params: PdhgParams, psum: Optional[Callable] = None):
             num_accepted=state.num_accepted + 1,
             kkt_passes=state.kkt_passes
             + 0.5 * (attempts.astype(dtype) + 1.0),
+            step_ratio=state.step_ratio,
+        )
+
+    return iteration
+
+
+def _make_mp_iteration(params: PdhgParams, psum: Optional[Callable] = None):
+    """Malitsky-Pock linesearch (reference primal_dual_hybrid_gradient.cc
+    :2211 TakeMalitskyPockStep; arXiv:1608.08883).
+
+    One primal prox per outer iteration; the dual linesearch scales the
+    candidate step by 0.7 until
+        omega * tau * ||A^T(y+ - y)|| <= 0.99 * ||y+ - y||.
+    A x+ is recovered from A(extrapolated) by linearity (no extra SpMV).
+    Deviation noted: the reference's nonsymmetric average adds the
+    pre-step primal iterate on the first accumulation; here the shared
+    step-weighted average is used for both primal and dual (one weight
+    accumulator), which stays a convex combination of iterates."""
+    downscaling = params.mp_step_downscaling
+    contraction = params.mp_contraction
+    interpolation = params.mp_interpolation
+    max_attempts = max(params.max_step_attempts, 60)
+
+    def iteration(prob: DeviceProblem, state: PdhgState) -> PdhgState:
+        mv = _make_matvecs(prob.a, prob.at, psum)
+        dtype = prob.c.dtype
+        tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+        omega = state.primal_weight
+        grad = prob.c + prob.q * state.x - state.aty
+        tau = state.step_size / omega
+        x_cand = jnp.clip(state.x - tau * grad, prob.var_lb, prob.var_ub)
+        dx = x_cand - state.x
+        dilating = 1.0 + interpolation * (
+            jnp.sqrt(1.0 + state.step_ratio) - 1.0)
+        tau0 = tau * dilating
+
+        def cond(carry):
+            accepted, attempts, *_ = carry
+            return jnp.logical_and(~accepted, attempts < max_attempts)
+
+        def body(carry):
+            _, attempts, tau_new, _, _, _, _ = carry
+            theta = tau_new / jnp.maximum(tau, tiny)
+            sigma = omega * omega * tau_new
+            ax_e = mv.matvec(x_cand + theta * dx)  # SpMV
+            y_hat = state.y - sigma * ax_e
+            y_cand = _dual_prox(y_hat, sigma, prob.con_lb, prob.con_ub)
+            aty_cand = mv.rmatvec(y_cand)  # SpMV
+            dy_norm = jnp.sqrt(jnp.vdot(y_cand - state.y,
+                                        y_cand - state.y))
+            dprod_norm = jnp.sqrt(jnp.vdot(aty_cand - state.aty,
+                                           aty_cand - state.aty))
+            accepted = (omega * tau_new * dprod_norm
+                        <= contraction * dy_norm)
+            next_tau = jnp.where(accepted, tau_new, downscaling * tau_new)
+            return (accepted, attempts + 1, next_tau, theta, y_cand,
+                    ax_e, aty_cand)
+
+        init = (jnp.asarray(False), jnp.asarray(0, jnp.int32), tau0,
+                state.step_ratio, state.y, state.ax, state.aty)
+        accepted, attempts, tau_acc, theta, y_new, ax_e, aty_new = (
+            jax.lax.while_loop(cond, body, init)
+        )
+        # A x_cand from A(x_cand + theta dx) and A x by linearity.
+        ax_new = (ax_e + theta * state.ax) / (1.0 + theta)
+        weight = tau_acc
+        return PdhgState(
+            x=x_cand,
+            y=y_new,
+            ax=ax_new,
+            aty=aty_new,
+            step_size=tau_acc * omega,
+            primal_weight=omega,
+            x_sum=state.x_sum + weight * x_cand,
+            y_sum=state.y_sum + weight * y_new,
+            sum_weights=state.sum_weights + weight,
+            x_restart=state.x_restart,
+            y_restart=state.y_restart,
+            num_steps=state.num_steps + attempts,
+            num_accepted=state.num_accepted + 1,
+            kkt_passes=state.kkt_passes + attempts.astype(dtype),
+            step_ratio=theta,
         )
 
     return iteration
@@ -708,6 +807,7 @@ def _make_apply_restart(params: PdhgParams,
             num_steps=state.num_steps,
             num_accepted=state.num_accepted,
             kkt_passes=state.kkt_passes + 1.0,
+            step_ratio=state.step_ratio,
         )
 
     return apply_restart
@@ -756,6 +856,7 @@ def _make_initial_state(params: PdhgParams, psum: Optional[Callable] = None):
             num_steps=jnp.asarray(0, jnp.int32),
             num_accepted=jnp.asarray(0, jnp.int32),
             kkt_passes=jnp.asarray(1.0, dtype),
+            step_ratio=jnp.asarray(1.0, dtype),
         )
 
     return initial_state
@@ -786,6 +887,7 @@ def _make_warm_state(params: PdhgParams, psum=None):
             num_steps=jnp.asarray(0, jnp.int32),
             num_accepted=jnp.asarray(0, jnp.int32),
             kkt_passes=jnp.asarray(1.0, dtype),
+            step_ratio=jnp.asarray(1.0, dtype),
         )
 
     return warm_state

@@ -291,3 +291,15 @@ def test_feasibility_polishing_solves():
     assert abs(r.primal_objective - ref) <= 1e-4 * (1 + abs(ref))
     # the returned point satisfies the residual tolerances
     assert r.primal_residual <= 1e-4 * (1 + abs(ref))
+
+
+def test_malitsky_pock_rule_solves():
+    """linesearch_rule='malitsky_pock' (reference TakeMalitskyPockStep)
+    reaches the same optimum as the adaptive rule."""
+    qp = random_lp(90, 70, density=0.12, seed=43)
+    ref = scipy_solve(qp)
+    p = PdhgParams(dtype=jnp.float64, linesearch_rule="malitsky_pock",
+                   iteration_limit=200_000)
+    r = solve(qp, p)
+    assert r.termination_reason == TerminationReason.OPTIMAL
+    assert abs(r.primal_objective - ref) <= 1e-4 * (1 + abs(ref))
