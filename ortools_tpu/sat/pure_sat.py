@@ -126,7 +126,21 @@ def solve_pure_sat(model: ir.CpModelIR, deadline_conflicts: int = 0,
         return None
     from ortools_tpu.sat.cdcl import CdclSolver
 
-    s = CdclSolver(num_vars=len(model.variables), proof=proof)
+    nv = len(model.variables)
+    simp = None
+    if not model.assumptions and not proof:
+        # SAT presolve (reference simplification.cc SatPresolver): BVE +
+        # subsumption; skipped under assumptions (eliminated variables
+        # could be assumed) and when emitting DRAT (the proof must be
+        # relative to the original formula).
+        from ortools_tpu.sat.simplification import presolve_cnf
+
+        simp = presolve_cnf(clauses, nv)
+        if simp.unsat:
+            return 0, None, [], 0
+        clauses = [list(c) for c in simp.clauses]
+
+    s = CdclSolver(num_vars=nv, proof=proof)
     for c in clauses:
         if not s.add_clause(c):
             return 0, None, [], s.num_conflicts
@@ -135,7 +149,9 @@ def solve_pure_sat(model: ir.CpModelIR, deadline_conflicts: int = 0,
                  conflict_budget=deadline_conflicts)
     if st == 1:
         m = s.model()
-        values = [int(m[i]) for i in range(len(model.variables))]
+        values = [int(m[i]) for i in range(nv)]
+        if simp is not None:
+            values = simp.reconstruct(values)
         return 1, values, [], s.num_conflicts
     if st == 0:
         core_ext = s.core()
