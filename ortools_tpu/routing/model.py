@@ -74,6 +74,8 @@ class _Dimension:
     cumul_lb: Dict[int, int] = dataclasses.field(default_factory=dict)
     cumul_ub: Dict[int, int] = dataclasses.field(default_factory=dict)
     span_cost_coefficient: int = 0
+    breaks_per_vehicle: Dict[int, list] = dataclasses.field(
+        default_factory=dict)
 
     def set_cumul_var_range(self, index: int, lo: int, hi: int) -> None:
         self.cumul_lb[index] = lo
@@ -90,6 +92,14 @@ class _Dimension:
         self.span_cost_coefficient = int(coeff)
 
     SetGlobalSpanCostCoefficient = set_global_span_cost_coefficient
+
+    def set_break_intervals_of_vehicle(self, breaks, vehicle: int) -> None:
+        """Breaks the vehicle must take during its route (reference
+        routing.h:2849 SetBreakIntervalsOfVehicle); scheduled along fixed
+        routes by routing/breaks.py."""
+        self.breaks_per_vehicle[int(vehicle)] = list(breaks)
+
+    SetBreakIntervalsOfVehicle = set_break_intervals_of_vehicle
 
 
 class Assignment:

@@ -313,3 +313,48 @@ def test_lp_cumul_scheduling_detects_infeasible_windows():
     dim = model.get_dimension_or_die("T")
     dim.set_cumul_var_range(2, 0, 3)  # unreachable: needs >= 5
     assert optimize_route_cumuls(model, [[1, 2]], "T") is None
+
+
+def test_vehicle_breaks_scheduled_on_route():
+    """SetBreakIntervalsOfVehicle (reference routing.h:2849): a break is
+    placed in a gap, pushing downstream cumuls."""
+    from ortools_tpu.routing.breaks import BreakInterval, \
+        schedule_route_with_breaks
+
+    manager = RoutingIndexManager(4, 1, 0)
+    model = RoutingModel(manager)
+
+    def transit(a, b):
+        return 4
+
+    cb = model.register_transit_callback(transit)
+    model.add_dimension(cb, 100, 100, True, "Time")
+    dim = model.get_dimension_or_die("Time")
+    br = BreakInterval(duration=3, start_min=4, start_max=9)
+    dim.set_break_intervals_of_vehicle([br], 0)
+    out = schedule_route_with_breaks(model, [1, 2, 3], "Time",
+                                     dim.breaks_per_vehicle[0])
+    assert out is not None
+    c = out["cumuls"]
+    # total time = 4 arcs * 4 + 3 break = 19
+    assert c[model.end(0)] >= 19
+    st = out["break_starts"][0]
+    p = out["break_arcs"][0]
+    assert 4 <= st <= 9
+    seq = [model.start(0), 1, 2, 3, model.end(0)]
+    assert c[seq[p]] <= st and st + 3 <= c[seq[p + 1]]
+
+
+def test_vehicle_breaks_infeasible_window():
+    from ortools_tpu.routing.breaks import BreakInterval, \
+        schedule_route_with_breaks
+
+    manager = RoutingIndexManager(3, 1, 0)
+    model = RoutingModel(manager)
+    cb = model.register_transit_callback(lambda a, b: 5)
+    model.add_dimension(cb, 0, 12, True, "T")
+    dim = model.get_dimension_or_die("T")
+    # break of 5 cannot fit: route needs 15 + 5 > capacity 12
+    br = BreakInterval(duration=5, start_min=0, start_max=12)
+    out = schedule_route_with_breaks(model, [1, 2], "T", [br])
+    assert out is None
