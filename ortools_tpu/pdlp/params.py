@@ -104,6 +104,10 @@ class PdhgParams:
     # -- logging ----------------------------------------------------------
     verbosity: int = 0
     record_iteration_stats: bool = False
+    # Seeds for Gaussian random projections of the iterates recorded as
+    # point metadata in the iteration log (reference
+    # random_projection_seeds, solvers.proto:403).
+    random_projection_seeds: Tuple[int, ...] = ()
 
     def validate(self) -> list[str]:
         errs = []

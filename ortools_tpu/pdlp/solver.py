@@ -736,9 +736,24 @@ def _make_compute_stats(params: PdhgParams,
                 + gap**2
             )
 
+        # Seeded Gaussian random projections of the iterates (reference
+        # SetRandomProjections, iteration_stats.cc:321-346) — cheap
+        # convergence diagnostics recorded in the iteration log.
+        projections = {}
+        for seed in params.random_projection_seeds:
+            kx = jax.random.normal(jax.random.PRNGKey(seed),
+                                   state.x.shape, state.x.dtype)
+            ky = jax.random.normal(jax.random.PRNGKey(seed + 1),
+                                   state.y.shape, state.y.dtype)
+            nx = jnp.sqrt(jnp.asarray(state.x.shape[0], state.x.dtype))
+            ny = jnp.sqrt(jnp.asarray(state.y.shape[0], state.y.dtype))
+            projections[f"primal_{seed}"] = jnp.vdot(kx, state.x) / nx
+            projections[f"dual_{seed}"] = jnp.vdot(ky, state.y) / ny
+
         out = dict(
             current={k: v for k, v in cur.items() if k != "reduced_costs"},
             average={k: v for k, v in avg.items() if k != "reduced_costs"},
+            projections=projections,
             kkt_current=kkt(cur),
             kkt_average=kkt(avg),
             x_avg=x_avg,
@@ -1106,6 +1121,9 @@ def solve(
                        step_size=float(stats["step_size"]),
                        primal_weight=float(stats["primal_weight"]),
                        kkt_passes=kkt_passes)
+            if stats.get("projections"):
+                rec["point_metadata"] = {
+                    k: float(v) for k, v in stats["projections"].items()}
             log.append(rec)
         if params.verbosity >= 2:
             print(

@@ -303,3 +303,20 @@ def test_malitsky_pock_rule_solves():
     r = solve(qp, p)
     assert r.termination_reason == TerminationReason.OPTIMAL
     assert abs(r.primal_objective - ref) <= 1e-4 * (1 + abs(ref))
+
+
+def test_random_projection_point_metadata():
+    """Iteration log records seeded Gaussian projections (reference
+    SetRandomProjections, iteration_stats.cc:321-346)."""
+    qp = random_lp(40, 30, density=0.2, seed=9)
+    p = PdhgParams(dtype=jnp.float64, record_iteration_stats=True,
+                   random_projection_seeds=(7, 42))
+    r = solve(qp, p)
+    assert r.iteration_stats
+    md = r.iteration_stats[-1].get("point_metadata")
+    assert md is not None
+    assert set(md) == {"primal_7", "dual_7", "primal_42", "dual_42"}
+    # deterministic across runs
+    r2 = solve(qp, p)
+    md2 = r2.iteration_stats[-1]["point_metadata"]
+    assert md == md2
