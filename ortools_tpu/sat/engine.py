@@ -354,6 +354,41 @@ class Engine:
                                 doms, v,
                                 Domain(t, t).complement(), queue,
                             )
+            # Hall-interval bounds consistency (reference
+            # sat/all_different.cc AllDifferentBoundsPropagator): for every
+            # value interval [lo, hi], if the expressions whose hulls fit
+            # inside number hi-lo+1 they saturate it, and any other
+            # expression is pushed out of the interval.
+            hulls = [self._expr_hull(doms, e) for e in a.exprs]
+            n_ad = len(hulls)
+            if 2 <= n_ad <= 64:
+                los = sorted({lo for lo, _ in hulls})
+                his = sorted({hi for _, hi in hulls})
+                for lo_v in los:
+                    for hi_v in his:
+                        if hi_v < lo_v:
+                            continue
+                        width = hi_v - lo_v + 1
+                        inside = [i for i, (l, h) in enumerate(hulls)
+                                  if l >= lo_v and h <= hi_v]
+                        if len(inside) > width:
+                            raise Conflict()
+                        if len(inside) == width:
+                            ins = set(inside)
+                            for i, (l, h) in enumerate(hulls):
+                                if i in ins:
+                                    continue
+                                # push e_i out of the Hall interval
+                                if lo_v <= l <= hi_v and h > hi_v:
+                                    self._tighten_expr(
+                                        doms, a.exprs[i], hi_v + 1, h,
+                                        queue)
+                                elif lo_v <= h <= hi_v and l < lo_v:
+                                    self._tighten_expr(
+                                        doms, a.exprs[i], l, lo_v - 1,
+                                        queue)
+                                elif l >= lo_v and h <= hi_v:
+                                    raise Conflict()
         elif k == "lin_max":
             los, his = zip(*(self._expr_hull(doms, e) for e in a.exprs))
             t_lo, t_hi = self._expr_hull(doms, a.target)

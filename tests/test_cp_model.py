@@ -377,3 +377,31 @@ def test_enforced_reservoir():
     assert s.solve(m) == OPTIMAL
     # level after t1 is 3 > max 2, so the reservoir must be unenforced
     assert s.value(lit) == 0
+
+
+def test_all_different_hall_interval_pruning():
+    """Hall-interval BC (reference all_different.cc bounds propagator):
+    three vars saturating [1,3] push the fourth out at the root."""
+    from ortools_tpu.sat.engine import Engine
+    from ortools_tpu.sat import expand
+    m = CpModel()
+    a = m.new_int_var(1, 3, "a")
+    b = m.new_int_var(1, 3, "b")
+    c = m.new_int_var(1, 3, "c")
+    d = m.new_int_var(1, 9, "d")
+    m.add_all_different([a, b, c, d])
+    eng = Engine(expand.expand_model(m.ir))
+    doms = eng.initial_domains()
+    assert eng.root_propagate(doms)
+    assert doms[d.index].min() >= 4, doms[d.index]
+
+
+def test_all_different_hall_conflict():
+    from ortools_tpu.sat.engine import Engine
+    from ortools_tpu.sat import expand
+    m = CpModel()
+    xs = [m.new_int_var(1, 2, f"x{i}") for i in range(3)]
+    m.add_all_different(xs)
+    eng = Engine(expand.expand_model(m.ir))
+    doms = eng.initial_domains()
+    assert not eng.root_propagate(doms)
