@@ -49,7 +49,7 @@ class Engine:
                  value_rule: str = "min",
                  seed: int = 0,
                  value_hints: Optional[Dict[int, int]] = None,
-                 should_stop=None) -> None:
+                 should_stop=None, profile: bool = False) -> None:
         self.model = model
         self.deadline = deadline
         # cooperative interruption (reference util/sigint.h via the
@@ -67,6 +67,11 @@ class Engine:
 
         self._rng = _random.Random(seed)
         self._circuit_cache: Dict[int, tuple] = {}
+        # per-propagator timing table (reference StatsGroup /
+        # TimeDistribution, util/stats.h; DemonProfiler role): constraint
+        # kind -> [num_runs, total_seconds]
+        self.propagator_stats: Dict[str, list] = {}
+        self.profile_propagators = profile
         # resumable search state (search_budget)
         self._current: Optional[Doms] = None
         self._stack: List[Tuple[Doms, int, Domain]] = []
@@ -226,7 +231,17 @@ class Engine:
             if enf is None:
                 self._propagate_reverse(doms, ct, queue)
                 continue
-            self._propagate_one(doms, ct, queue)
+            if self.profile_propagators:
+                t0 = time.perf_counter()
+                try:
+                    self._propagate_one(doms, ct, queue)
+                finally:
+                    rec = self.propagator_stats.setdefault(
+                        ct.kind, [0, 0.0])
+                    rec[0] += 1
+                    rec[1] += time.perf_counter() - t0
+            else:
+                self._propagate_one(doms, ct, queue)
 
     def _propagate_reverse(self, doms: Doms, ct: ir.ConstraintIR,
                            queue: Set[int]) -> None:

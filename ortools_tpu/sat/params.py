@@ -24,6 +24,9 @@ class SatParameters:
     interleave_search: bool = True
     random_seed: int = 1
     log_search_progress: bool = False
+    # Per-propagator timing tables printed at the end of the solve
+    # (reference DemonProfiler / SCOPED_TIME_STAT tables).
+    profile_propagators: bool = False
     enumerate_all_solutions: bool = False
     # search
     max_branches: int = 10_000_000

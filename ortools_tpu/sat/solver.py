@@ -224,6 +224,7 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
 
     value_hints = dict(model.solution_hint)
     engine = Engine(work, deadline=deadline, should_stop=should_stop,
+                    profile=params.profile_propagators,
                     max_branches=params.max_branches,
                     value_hints=value_hints)
     doms = engine.initial_domains()

@@ -159,3 +159,23 @@ def test_math_opt_incremental_update_warm_restart():
     upd2 = ModelUpdate().set_variable_ub(x, 1.0).set_variable_ub(y, 2.0)
     r3 = sess.solve_after_update(upd2)
     assert r3.termination.reason == TerminationReason.INFEASIBLE
+
+
+def test_propagator_timing_tables():
+    """profile_propagators yields per-kind run counts/time (reference
+    DemonProfiler / SCOPED_TIME_STAT tables)."""
+    from ortools_tpu.sat.engine import Engine
+    from ortools_tpu.sat import expand
+    from ortools_tpu.sat.cp_model import CpModel
+
+    m = CpModel()
+    xs = [m.new_int_var(0, 5, f"x{i}") for i in range(4)]
+    m.add_all_different(xs)
+    m.add(sum(xs) == 8)
+    eng = Engine(expand.expand_model(m.ir), profile=True)
+    doms = eng.initial_domains()
+    eng.root_propagate(doms)
+    assert eng.propagator_stats
+    for kind, (runs, secs) in eng.propagator_stats.items():
+        assert runs > 0 and secs >= 0.0
+    assert {"all_diff", "linear"} <= set(eng.propagator_stats)
