@@ -35,6 +35,9 @@ class SatParameters:
     feasibility_jump_max_moves: int = 200_000
     # linear relaxation bounding inside optimization
     use_lp_relaxation: bool = False
+    # core-guided (OLL) objective descent on the CDCL core for clause-like
+    # boolean models (reference optimization.cc / "core" worker)
+    use_core_guided: bool = True
     # presolve
     cp_model_presolve: bool = True
     # stop after first solution (feasibility problems)

@@ -352,6 +352,38 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     def internal_obj(values: List[int]) -> int:
         return sense * _objective_value(obj, values)
 
+    # Core-guided descent on the CDCL core for clause-like boolean models
+    # (reference optimization.cc, the "core" portfolio configuration):
+    # proves the optimum bottom-up from UNSAT cores, no tree search.
+    if (params.num_workers <= 1 and not params.enumerate_all_solutions
+            and not params.stop_after_first_solution
+            and params.use_core_guided):
+        from ortools_tpu.sat.core_guided import minimize_core_guided
+
+        cg = minimize_core_guided(work, deadline=deadline,
+                                  should_stop=should_stop)
+        if cg is not None:
+            st, values, bound, ncf = cg
+            if st == 1:
+                values = values[:n_orig]
+                if solution_is_feasible(model, values):
+                    true_obj = float(_objective_value(obj, values))
+                    if callback is not None:
+                        callback._on_solution(values, true_obj)
+                    return resp(SolveStatus.OPTIMAL, values, true_obj,
+                                true_obj, conflicts=ncf)
+            elif st == 0:
+                return resp(
+                    SolveStatus.INFEASIBLE,
+                    bound=-math.inf if obj.maximize else math.inf,
+                    conflicts=ncf, core=model.assumptions,
+                )
+            elif st == -1 and hint_solution is None:
+                return resp(SolveStatus.UNKNOWN, conflicts=ncf,
+                            bound=float(sense * bound))
+            # deadline with a hint in hand, or verification surprise:
+            # fall through to the engine
+
     if hint_solution is not None:
         best_solution = hint_solution
         best_obj = internal_obj(hint_solution)
