@@ -38,6 +38,12 @@ class SatParameters:
     # core-guided (OLL) objective descent on the CDCL core for clause-like
     # boolean models (reference optimization.cc / "core" worker)
     use_core_guided: bool = True
+    # eager order-encoding of general integer models onto the CDCL core
+    # (reference integer.h literal encoding + cp_model_loader.cc, done
+    # eagerly; sat/integer_encoding.py)
+    use_integer_cdcl: bool = True
+    # size budget for the eager integer encoding (total CNF literals)
+    integer_cdcl_budget: int = 4_000_000
     # presolve
     cp_model_presolve: bool = True
     # stop after first solution (feasibility problems)

@@ -294,6 +294,27 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
                             core=core or model.assumptions)
             # UNKNOWN (or verification surprise): fall through to the
             # propagation engine
+        elif params.use_integer_cdcl and not model.solution_hint:
+            # General integer models through the eager order encoding
+            # (reference integer.h literal encoding, done eagerly).
+            # Skipped under hints: decision-problem hints steer which
+            # solution is returned, and the CDCL core has no phase seeding.
+            from ortools_tpu.sat.integer_encoding import solve_integer_cdcl
+
+            ienc = solve_integer_cdcl(
+                work, deadline=deadline, should_stop=should_stop,
+                budget_literals=params.integer_cdcl_budget)
+            if ienc is not None:
+                st, values, _, ncf = ienc
+                if st == 1 and values is not None:
+                    values = values[:n_orig]
+                    if solution_is_feasible(model, values):
+                        return resp(SolveStatus.OPTIMAL, values,
+                                    conflicts=ncf)
+                elif st == 0:
+                    return resp(SolveStatus.INFEASIBLE, conflicts=ncf,
+                                core=model.assumptions)
+                # UNKNOWN: fall through to the propagation engine
 
     if params.num_workers > 1 and not params.enumerate_all_solutions:
         return _solve_portfolio(model, work, obj, params, callback,
@@ -383,6 +404,46 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
                             bound=float(sense * bound))
             # deadline with a hint in hand, or verification surprise:
             # fall through to the engine
+
+    # General integer optimization on the CDCL core: order-encode, then
+    # assumption-driven binary descent on the objective ladder (the ft10
+    # prover pattern generalized; reference objective probing).
+    if (params.num_workers <= 1 and not params.enumerate_all_solutions
+            and not params.stop_after_first_solution
+            and params.use_integer_cdcl):
+        from ortools_tpu.sat.integer_encoding import solve_integer_cdcl
+
+        ienc = solve_integer_cdcl(
+            work, deadline=deadline, should_stop=should_stop,
+            budget_literals=params.integer_cdcl_budget)
+        if ienc is not None:
+            st, values, bound, ncf = ienc
+            if st == 1 and values is not None:
+                values = values[:n_orig]
+                if solution_is_feasible(model, values):
+                    true_obj = float(_objective_value(obj, values))
+                    if callback is not None:
+                        callback._on_solution(values, true_obj)
+                    return resp(SolveStatus.OPTIMAL, values, true_obj,
+                                true_obj, conflicts=ncf)
+            elif st == 0:
+                return resp(
+                    SolveStatus.INFEASIBLE,
+                    bound=-math.inf if obj.maximize else math.inf,
+                    conflicts=ncf, core=model.assumptions,
+                )
+            elif st == -1 and values is not None:
+                values = values[:n_orig]
+                if solution_is_feasible(model, values):
+                    true_obj = float(_objective_value(obj, values))
+                    if callback is not None:
+                        callback._on_solution(values, true_obj)
+                    return resp(SolveStatus.FEASIBLE, values, true_obj,
+                                float(sense * bound), conflicts=ncf)
+            elif st == -1 and hint_solution is None:
+                return resp(SolveStatus.UNKNOWN, conflicts=ncf,
+                            bound=float(sense * bound))
+            # verification surprise / deadline with hint: engine fallback
 
     if hint_solution is not None:
         best_solution = hint_solution
