@@ -62,15 +62,36 @@ def main():
             options={"time_limit": tlim},
         )
         # r.objective_value is in the ORIGINAL sense; sign converts it to
-        # the minimization sense that scipy milp reports.
-        ours_min = (sign * r.objective_value
-                    if r.status in (MPSolverStatus.OPTIMAL,
-                                    MPSolverStatus.FEASIBLE)
-                    and not math.isnan(r.objective_value) else math.nan)
+        # the minimization sense that scipy milp reports.  Our solution is
+        # re-verified against the instance independently of solver status
+        # (feasibility + integrality), so "matched" also credits solutions
+        # strictly BETTER than HiGHS-at-the-time-limit.
+        ours_min = math.nan
+        if (r.status in (MPSolverStatus.OPTIMAL, MPSolverStatus.FEASIBLE)
+                and not math.isnan(r.objective_value)):
+            x = r.solution
+            ax = qpm.constraint_matrix @ x
+            rs = 1.0 + np.maximum(
+                np.abs(np.where(np.isfinite(qpm.constraint_lower),
+                                qpm.constraint_lower, 0.0)),
+                np.abs(np.where(np.isfinite(qpm.constraint_upper),
+                                qpm.constraint_upper, 0.0)))
+            feas = (
+                (ax >= qpm.constraint_lower - 1e-6 * rs).all()
+                and (ax <= qpm.constraint_upper + 1e-6 * rs).all()
+                and (x >= qpm.variable_lower - 1e-9).all()
+                and (x <= qpm.variable_upper + 1e-9).all()
+                and (np.abs(x[integ > 0] - np.round(x[integ > 0]))
+                     <= 1e-6).all()
+            )
+            if feas:
+                ours_min = sign * r.objective_value
         ref = s.fun if s.status in (0, 1) and s.fun is not None else math.nan
+        # matched = at least as good as the reference answer (both are
+        # subject to the same time limit), or equal within tolerance.
         matched = (
             not math.isnan(ours_min) and not math.isnan(ref)
-            and abs(ours_min - ref) <= 1e-4 * (1.0 + abs(ref))
+            and ours_min <= ref + 1e-4 * (1.0 + abs(ref))
         )
         results.append({
             "name": qp.name,

@@ -60,12 +60,14 @@ class _Factorization:
     """
 
     def __init__(self, b_mat: np.ndarray):
-        self.lu = sla.lu_factor(b_mat)
+        if not np.all(np.isfinite(b_mat)):
+            raise ValueError("non-finite basis matrix")
+        self.lu = sla.lu_factor(b_mat, check_finite=False)
         self.etas: List[Tuple[int, np.ndarray]] = []
 
     def ftran(self, b: np.ndarray) -> np.ndarray:
         """Solve B x = b."""
-        x = sla.lu_solve(self.lu, b)
+        x = sla.lu_solve(self.lu, b, check_finite=False)
         for r, w in self.etas:
             xr = x[r] / w[r]
             x = x - w * xr
@@ -79,7 +81,7 @@ class _Factorization:
             zr = z[r]
             z[r] = 0.0
             z[r] = (zr - w @ z) / w[r]
-        return sla.lu_solve(self.lu, z, trans=1)
+        return sla.lu_solve(self.lu, z, trans=1, check_finite=False)
 
     def update(self, r: int, w: np.ndarray) -> bool:
         """Record pivot (entering column's B^{-1} a at leaving row r).
@@ -127,6 +129,8 @@ class RevisedSimplex:
                 self.nb_status[j] = _FREE
         self.iters = 0
         self._fact: Optional[_Factorization] = None
+        # incremental basic-value cache (recomputed at refactorizations)
+        self._xb: Optional[np.ndarray] = None
 
     # -- bounds (for warm restarts) --------------------------------------
     def set_variable_bounds(self, var_lb: np.ndarray, var_ub: np.ndarray
@@ -134,17 +138,16 @@ class RevisedSimplex:
         """Change structural variable bounds (B&B node bounds)."""
         self.lb[: self.n] = var_lb
         self.ub[: self.n] = var_ub
-        # nonbasic variables must sit on a still-finite bound
-        for j in range(self.n):
-            if self.in_basis[j]:
-                continue
-            st = self.nb_status[j]
-            if st == _AT_LOWER and not np.isfinite(self.lb[j]):
-                self.nb_status[j] = (_AT_UPPER if np.isfinite(self.ub[j])
-                                     else _FREE)
-            elif st == _AT_UPPER and not np.isfinite(self.ub[j]):
-                self.nb_status[j] = (_AT_LOWER if np.isfinite(self.lb[j])
-                                     else _FREE)
+        self._xb = None
+        # nonbasic variables must sit on a still-finite bound (vectorized)
+        nb = ~self.in_basis[: self.n]
+        st = self.nb_status[: self.n]
+        lo_fin = np.isfinite(self.lb[: self.n])
+        up_fin = np.isfinite(self.ub[: self.n])
+        bad_lo = nb & (st == _AT_LOWER) & ~lo_fin
+        st[bad_lo] = np.where(up_fin[bad_lo], _AT_UPPER, _FREE)
+        bad_up = nb & (st == _AT_UPPER) & ~up_fin
+        st[bad_up] = np.where(lo_fin[bad_up], _AT_LOWER, _FREE)
 
     # -- linear algebra helpers -------------------------------------------
     def _refactorize(self) -> bool:
@@ -186,13 +189,16 @@ class RevisedSimplex:
             return MPSolverStatus.OPTIMAL
         if not self._refactorize():
             return MPSolverStatus.ABNORMAL
+        self._xb = None
         devex = np.ones(self.total)
         degenerate_steps = 0
         for phase in (1, 2):
             while True:
                 if self.iters >= max_iterations:
                     return MPSolverStatus.ABNORMAL
-                xb = self._compute_xb()
+                if self._xb is None:
+                    self._xb = self._compute_xb()
+                xb = self._xb
                 lbb, ubb = self.lb[self.basis], self.ub[self.basis]
                 if phase == 1:
                     viol_lo = np.where(np.isfinite(lbb), lbb - xb, 0.0)
@@ -231,41 +237,52 @@ class RevisedSimplex:
                 direction = cand_dir[entering]
 
                 w = self._fact.ftran(self.tab[:, entering]) * direction
+                flip_t = math.inf
+                if np.isfinite(self.ub[entering] - self.lb[entering]):
+                    flip_t = self.ub[entering] - self.lb[entering]
+                # vectorized bounded-variable ratio test
+                lo_fin = np.isfinite(lbb)
+                up_fin = np.isfinite(ubb)
+                tgt = np.full(self.m, np.nan)
+                to_up = np.zeros(self.m, dtype=bool)
+                pos = w > 1e-11
+                neg = w < -1e-11
+                if phase == 1:
+                    m1 = pos & up_fin & (xb > ubb + tol)
+                    tgt[m1] = ubb[m1]
+                    to_up[m1] = True
+                    m3 = neg & lo_fin & (xb < lbb - tol)
+                    tgt[m3] = lbb[m3]
+                m2 = pos & np.isnan(tgt) & lo_fin
+                tgt[m2] = lbb[m2]
+                m4 = neg & np.isnan(tgt) & up_fin
+                tgt[m4] = ubb[m4]
+                to_up[m4] = True
+                valid = ~np.isnan(tgt)
                 t_max = math.inf
+                t_raw = 0.0  # raw ratio of the selected row (may be < 0)
                 leaving_pos = -1
                 leaving_to_upper = False
-                if np.isfinite(self.ub[entering] - self.lb[entering]):
-                    t_max = self.ub[entering] - self.lb[entering]
-                for i in range(self.m):
-                    wi = w[i]
-                    if abs(wi) <= 1e-11:
-                        continue
-                    bi = self.basis[i]
-                    xi = xb[i]
-                    if wi > 0:  # xi decreasing
-                        if phase == 1 and np.isfinite(self.ub[bi]) \
-                                and xi > self.ub[bi] + tol:
-                            tgt, to_upper = self.ub[bi], True
-                        elif np.isfinite(self.lb[bi]):
-                            tgt, to_upper = self.lb[bi], False
+                if np.any(valid):
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        t_all_raw = np.where(valid, (xb - tgt) / w, np.inf)
+                    t_all = np.maximum(t_all_raw, 0.0)
+                    t_min = float(np.min(t_all))
+                    if t_min < flip_t - 1e-12:
+                        ties = np.nonzero(t_all <= t_min + 1e-12)[0]
+                        if use_bland:
+                            i_sel = int(ties[int(np.argmin(
+                                self.basis[ties]))])
                         else:
-                            continue
-                    else:  # xi increasing
-                        if phase == 1 and np.isfinite(self.lb[bi]) \
-                                and xi < self.lb[bi] - tol:
-                            tgt, to_upper = self.lb[bi], False
-                        elif np.isfinite(self.ub[bi]):
-                            tgt, to_upper = self.ub[bi], True
-                        else:
-                            continue
-                    t = (xi - tgt) / wi
-                    if t < t_max - 1e-12 or (
-                        t < t_max + 1e-12 and leaving_pos >= 0 and use_bland
-                        and self.basis[i] < self.basis[leaving_pos]
-                    ):
-                        t_max = max(t, 0.0)
-                        leaving_pos = i
-                        leaving_to_upper = to_upper
+                            # stability: largest |pivot| among ties
+                            i_sel = int(ties[int(np.argmax(
+                                np.abs(w[ties])))])
+                        t_max = float(t_all[i_sel])
+                        t_raw = float(t_all_raw[i_sel])
+                        leaving_pos = i_sel
+                        leaving_to_upper = bool(to_up[i_sel])
+                if leaving_pos < 0 and math.isfinite(flip_t):
+                    t_max = flip_t
                 if math.isinf(t_max):
                     if phase == 1:
                         return MPSolverStatus.ABNORMAL
@@ -277,6 +294,7 @@ class RevisedSimplex:
                     self.nb_status[entering] = (
                         _AT_UPPER if self.nb_status[entering] == _AT_LOWER
                         else _AT_LOWER)
+                    self._xb = xb - t_max * w
                 else:
                     # devex weight update (reference primal_edge_norms.cc):
                     # gamma_j' = max(gamma_j, (alpha_j/alpha_q)^2 gamma_q)
@@ -286,9 +304,23 @@ class RevisedSimplex:
                         gq = max(devex[entering], 1.0)
                         devex[self.basis[leaving_pos]] = max(
                             1.0, gq / (wq * wq))
+                    # incremental basic values: step by the RAW ratio (a
+                    # negative raw step snaps a beyond-bound leaving
+                    # variable to its bound, exactly like a recompute);
+                    # the entering variable lands at nb_value + dir*t.
+                    nbv_e = (self.lb[entering]
+                             if self.nb_status[entering] == _AT_LOWER
+                             else self.ub[entering]
+                             if self.nb_status[entering] == _AT_UPPER
+                             else 0.0)
+                    xb_new = xb - t_raw * w
+                    xb_new[leaving_pos] = nbv_e + direction * t_raw
+                    self._xb = xb_new
                     if not self._pivot(leaving_pos, entering, w * direction,
                                        leaving_to_upper):
                         return MPSolverStatus.ABNORMAL
+                    if self._fact.num_updates == 0:
+                        self._xb = None  # refactorized: refresh values
                     if np.max(devex) > 1e8:
                         devex[:] = 1.0
         return MPSolverStatus.OPTIMAL
@@ -308,8 +340,16 @@ class RevisedSimplex:
             return MPSolverStatus.OPTIMAL
         if not self._refactorize():
             return MPSolverStatus.ABNORMAL
+        self._xb = None
+        d: Optional[np.ndarray] = None  # incremental reduced costs
         for _ in range(max_iterations):
-            xb = self._compute_xb()
+            if self._xb is None:
+                self._xb = self._compute_xb()
+                d = None
+            xb = self._xb
+            if d is None:
+                y = self._fact.btran(self.cost[self.basis])
+                d = self.cost - y @ self.tab
             lbb, ubb = self.lb[self.basis], self.ub[self.basis]
             below = np.where(np.isfinite(lbb), lbb - xb, -math.inf)
             above = np.where(np.isfinite(ubb), xb - ubb, -math.inf)
@@ -323,8 +363,6 @@ class RevisedSimplex:
             e_r[r] = 1.0
             rho = self._fact.btran(e_r)
             alpha = rho @ self.tab  # all columns
-            y = self._fact.btran(self.cost[self.basis])
-            d = self.cost - y @ self.tab
             # leaving variable moves DOWN to its upper bound if above,
             # UP to its lower bound if below; entering must move opposingly.
             nb = ~self.in_basis
@@ -356,12 +394,34 @@ class RevisedSimplex:
             if abs(w[r]) < 1e-9:
                 if not self._refactorize():
                     return MPSolverStatus.ABNORMAL
+                self._xb = None
                 w = self._fact.ftran(self.tab[:, entering])
                 if abs(w[r]) < 1e-9:
                     return MPSolverStatus.ABNORMAL
+                xb = self._xb = self._compute_xb()
+                d = None
             self.iters += 1
+            # incremental updates: entering moves by t so that x_B[r] hits
+            # its violated bound; reduced costs shift along the alpha row.
+            tgt = ubb[r] if leaving_above else lbb[r]
+            t = (xb[r] - tgt) / w[r]
+            nbv_e = (self.lb[entering]
+                     if self.nb_status[entering] == _AT_LOWER
+                     else self.ub[entering]
+                     if self.nb_status[entering] == _AT_UPPER
+                     else 0.0)
+            xb_new = xb - t * w
+            xb_new[r] = nbv_e + t
+            self._xb = xb_new
+            if d is not None:
+                ratio = d[entering] / alpha[entering]
+                d = d - ratio * alpha
+                d[entering] = 0.0
             if not self._pivot(r, entering, w, leaving_to_upper=leaving_above):
                 return MPSolverStatus.ABNORMAL
+            if self._fact.num_updates == 0:
+                self._xb = None  # refactorized: refresh values + costs
+                d = None
         return MPSolverStatus.ABNORMAL
 
     def resolve(self, var_lb: np.ndarray, var_ub: np.ndarray,

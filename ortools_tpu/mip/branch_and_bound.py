@@ -39,10 +39,10 @@ import numpy as np
 import scipy.sparse as sp
 
 from ortools_tpu.mip.cuts import append_cuts, generate_cuts
-from ortools_tpu.mip.heuristics import round_and_repair
+from ortools_tpu.mip.heuristics import ils_polish, lp_dive, round_and_repair
+from ortools_tpu.mip.node_lp import SimplexNodeBackend, choose_backend
 from ortools_tpu.mip.propagation import propagate_bounds
 from ortools_tpu.models.lp import QuadraticProgram
-from ortools_tpu.pdlp.batched import solve_batch
 from ortools_tpu.pdlp.params import PdhgParams
 from ortools_tpu.utils.status import MPSolverStatus
 
@@ -58,6 +58,29 @@ class MipParams:
     feasibility_tol: float = 1e-6
     lp_params: Optional[PdhgParams] = None
     verbosity: int = 0
+    # Node-LP backend: "auto" | "simplex" | "pdhg" (mip/node_lp.py).
+    # Auto routes small pure-LP models to warm-started dual-simplex
+    # re-solves (the reference's node-LP design,
+    # linear_programming_constraint.h:442) and large ones to batched PDHG.
+    node_lp: str = "auto"
+    # Best-bound nodes popped per round on the simplex backend (kept small
+    # so the frontier stays fresh; PDHG uses node_batch_size).
+    simplex_batch_size: int = 8
+    # LP-guided diving (mip/heuristics.py::lp_dive) on backends with cheap
+    # re-solves; run at the root and every `dive_interval` batches.
+    dive_interval: int = 8
+    # Cut-and-branch (simplex backend only): every `tree_cut_interval`
+    # batches, separate globally-valid cuts at the current best-bound
+    # node's LP point and append them (reference: in-tree cut generation,
+    # linear_programming_constraint.cc).  0 disables.
+    tree_cut_interval: int = 16
+    max_tree_cuts: int = 200
+    # RINS sub-MIPs (reference sat/rins.h): every `rins_interval` batches,
+    # fix the integers where the node LP agrees with the incumbent and
+    # solve the reduced MIP with a small budget.  0 disables.
+    rins_interval: int = 24
+    rins_max_nodes: int = 400
+    rins_time_limit_sec: float = 5.0
     # Root cutting planes (mip/cuts.py).
     cut_rounds: int = 5
     max_cuts_per_round: int = 100
@@ -197,6 +220,10 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
     incumbent_obj = math.inf
     seq = 0
     num_nodes = 0
+    num_batches = 0
+    num_tree_cuts = 0
+    rins_seen: set = set()
+    ils_rng = np.random.default_rng(12345)
     status = MPSolverStatus.NOT_SOLVED
     had_inexact_nodes = False  # nodes dropped without an exactness proof
     dropped_bound = math.inf  # best bound among dropped nodes
@@ -225,7 +252,56 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         candidate goes through the same checker as any incumbent."""
         if not len(int_idx):
             return
-        for cand in round_and_repair(qp_min, x_lp, int_idx):
+        reopt = (backend.resolve_raw
+                 if isinstance(backend, SimplexNodeBackend) else None)
+        for cand in round_and_repair(qp_min, x_lp, int_idx, reopt=reopt):
+            try_incumbent(cand)
+
+    def run_rins(x_lp: np.ndarray) -> None:
+        """RINS (reference sat/rins.{h,cc}): fix integers where the node
+        LP agrees with the incumbent, solve the reduced MIP briefly."""
+        if incumbent_x is None or not len(int_idx):
+            return
+        remaining = params.time_limit_sec - (time.perf_counter() - start)
+        if remaining < 1.0:
+            return
+        agree = int_idx[np.abs(x_lp[int_idx] - incumbent_x[int_idx]) <= 1e-6]
+        n_free = len(int_idx) - len(agree)
+        if n_free < 5 or n_free > 250 or len(agree) == 0:
+            return
+        # don't re-explore an identical neighborhood
+        fp = (incumbent_obj, agree.tobytes(),
+              incumbent_x[agree].tobytes())
+        if fp in rins_seen:
+            return
+        rins_seen.add(fp)
+        lbr = np.array(qp_min.variable_lower)
+        ubr = np.array(qp_min.variable_upper)
+        lbr[agree] = incumbent_x[agree]
+        ubr[agree] = incumbent_x[agree]
+        sub_params = dataclasses.replace(
+            params,
+            max_nodes=params.rins_max_nodes,
+            time_limit_sec=min(params.rins_time_limit_sec, remaining),
+            cut_rounds=0, rins_interval=0, tree_cut_interval=0,
+            verbosity=0,
+        )
+        sub_qp = dataclasses.replace(qp_min, variable_lower=lbr,
+                                     variable_upper=ubr)
+        r = solve(sub_qp, sub_params)
+        if r.status in (MPSolverStatus.OPTIMAL, MPSolverStatus.FEASIBLE):
+            try_incumbent(r.solution)
+
+    def run_dive(x_lp: np.ndarray, lb_d: np.ndarray, ub_d: np.ndarray
+                 ) -> None:
+        """LP-guided dive (cheap-resolve backends only)."""
+        if not len(int_idx) or not isinstance(backend, SimplexNodeBackend):
+            return
+        cand = lp_dive(backend, a, qp_min.constraint_lower,
+                       qp_min.constraint_upper, x_lp, lb_d, ub_d,
+                       int_idx, integrality,
+                       integrality_tol=params.integrality_tol)
+        if cand is not None:
             try_incumbent(cand)
 
     # ---- root LP + cutting-plane rounds --------------------------------
@@ -235,9 +311,11 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
     root_bound = -math.inf
     root_warm_x = root_warm_y = None
     num_cuts = 0
+    backend = choose_backend(qp_min, lp_params, params.node_batch_size,
+                             params.node_lp)
     if len(int_idx) and params.cut_rounds > 0:
         for _ in range(params.cut_rounds + 1):
-            res0 = solve_batch(qp_min, lb0[None], ub0[None], lp_params)
+            res0 = backend.solve(lb0[None], ub0[None])
             num_nodes += 1
             if res0.primal_infeasible[0]:
                 return MipResult(MPSolverStatus.INFEASIBLE, np.zeros(n),
@@ -248,6 +326,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             root_warm_x, root_warm_y = x_root, res0.dual_solution[0]
             try_incumbent(x_root)
             run_heuristics(x_root)
+            run_dive(x_root, lb0, ub0)
             if num_cuts >= params.cut_rounds * params.max_cuts_per_round:
                 break
             frac0 = (np.abs(x_root[int_idx] - np.round(x_root[int_idx]))
@@ -265,6 +344,8 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             a = sp.csr_matrix(qp_min.constraint_matrix)
             num_cuts += pool.num_cuts
             root_warm_y = None  # dual dimension changed
+            backend = choose_backend(qp_min, lp_params,
+                                     params.node_batch_size, params.node_lp)
             # Cuts can tighten propagation too.
             lb0, ub0, feasible = propagate_bounds(
                 a, qp_min.constraint_lower, qp_min.constraint_upper,
@@ -291,8 +372,11 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                 else MPSolverStatus.NOT_SOLVED
             break
         # Best-bound batch selection.
+        is_simplex = isinstance(backend, SimplexNodeBackend)
+        pop_size = (params.simplex_batch_size if is_simplex
+                    else params.node_batch_size)
         batch: List[_Node] = []
-        while frontier and len(batch) < params.node_batch_size:
+        while frontier and len(batch) < pop_size:
             node = heapq.heappop(frontier)
             if gap_closed(node.bound):
                 continue
@@ -300,26 +384,23 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         if not batch:
             break
         num_nodes += len(batch)
-        # Pad to the full batch size by repeating the first node: keeps the
-        # jitted batched-LP program at ONE static shape (a fresh XLA
-        # compile per distinct batch size would dominate wall time).
-        n_real = len(batch)
-        while len(batch) < params.node_batch_size:
-            batch.append(batch[0])
+        num_batches += 1
         lbs = np.stack([nd.lb for nd in batch])
         ubs = np.stack([nd.ub for nd in batch])
+        m_cur = qp_min.num_constraints
         warm_x = (
             np.stack([
                 nd.warm_x if nd.warm_x is not None else np.zeros(n)
                 for nd in batch
             ])
-            if any(nd.warm_x is not None for nd in batch)
+            if not is_simplex and any(nd.warm_x is not None for nd in batch)
             else None
         )
         warm_y = (
             np.stack([
                 nd.warm_y if nd.warm_y is not None
-                else np.zeros(qp_min.num_constraints)
+                and nd.warm_y.shape == (m_cur,)
+                else np.zeros(m_cur)
                 for nd in batch
             ])
             if warm_x is not None
@@ -334,9 +415,15 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                 iteration_limit=lp_params.iteration_limit
                 * 4**max_retries_in_batch,
             )
-        res = solve_batch(qp_min, lbs, ubs, batch_lp_params,
-                          warm_start_x=warm_x, warm_start_y=warm_y)
-        for i, nd in enumerate(batch[:n_real]):
+        res = backend.solve(lbs, ubs, warm_x=warm_x, warm_y=warm_y,
+                            lp_params=batch_lp_params,
+                            deadline=start + params.time_limit_sec)
+        for i, nd in enumerate(batch):
+            if res.skipped[i]:
+                # not attempted (deadline hit mid-batch): keep the node
+                seq += 1
+                heapq.heappush(frontier, dataclasses.replace(nd, seq=seq))
+                continue
             x_lp = res.primal_solution[i]
             # res.dual_bound is a *valid* lower bound on the node LP (exact
             # Lagrangian dual value of the dual iterate) even when the LP
@@ -352,6 +439,37 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             try_incumbent(x_lp)
             if i == 0:  # best-bound node of the batch: full heuristics
                 run_heuristics(x_lp)
+                if num_batches % params.dive_interval == 1:
+                    run_dive(x_lp, nd.lb, nd.ub)
+                    if incumbent_x is not None:
+                        reopt = (backend.resolve_raw if isinstance(
+                            backend, SimplexNodeBackend) else None)
+                        for cand in ils_polish(qp_min, incumbent_x,
+                                               int_idx, ils_rng,
+                                               reopt=reopt):
+                            try_incumbent(cand)
+                if (params.rins_interval
+                        and num_batches % params.rins_interval == 2
+                        and incumbent_x is not None):
+                    run_rins(x_lp)
+                if (is_simplex and params.tree_cut_interval
+                        and num_batches % params.tree_cut_interval == 3
+                        and num_tree_cuts < params.max_tree_cuts):
+                    # Cut-and-branch: cuts separated at any LP point with
+                    # GLOBAL bounds stay globally valid; appending rows
+                    # keeps every frontier node's (lb, ub) meaningful.
+                    pool = generate_cuts(
+                        a, qp_min.constraint_lower, qp_min.constraint_upper,
+                        lb0, ub0, integrality, x_lp,
+                        max_cuts=min(40, params.max_tree_cuts
+                                     - num_tree_cuts))
+                    if pool is not None:
+                        qp_min = append_cuts(qp_min, pool)
+                        a = sp.csr_matrix(qp_min.constraint_matrix)
+                        num_tree_cuts += pool.num_cuts
+                        backend = choose_backend(
+                            qp_min, lp_params, params.node_batch_size,
+                            params.node_lp)
             frac = np.abs(x_lp[int_idx] - np.round(x_lp[int_idx])) \
                 if len(int_idx) else np.zeros(0)
             if frac.size == 0 or frac.max() <= params.integrality_tol:

@@ -33,6 +33,7 @@ rows and global bounds only, never from node bounds).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -195,6 +196,139 @@ def _cover_on_row(idx: np.ndarray, val: np.ndarray, rhs: float,
     return idx[cover], g, d
 
 
+def _find_vubs(a: sp.csr_matrix, con_lb, con_ub, var_lb, var_ub, is_int):
+    """Detect variable upper bounds ``f <= cap * y`` (continuous f, binary
+    y) from two-nonzero rows ``alpha f + beta y <= 0`` with alpha > 0,
+    beta < 0 (reference role: implied_bounds.h — VUB substitution is how
+    flow-cover-strength cuts arise from fixed-charge structure).
+
+    Returns (cap, yvar) arrays indexed by variable; yvar = -1 where no
+    VUB exists."""
+    n = a.shape[1]
+    cap = np.full(n, np.inf)
+    yvar = np.full(n, -1, dtype=np.int64)
+    indptr, indices, data = a.indptr, a.indices, a.data
+    nnz_per_row = np.diff(indptr)
+    binary = is_int & (var_lb >= 0) & (var_ub <= 1)
+    for i in np.nonzero(nnz_per_row == 2)[0]:
+        lo = indptr[i]
+        j1, j2 = indices[lo], indices[lo + 1]
+        v1, v2 = data[lo], data[lo + 1]
+        for (f, af), (y, ay) in (((j1, v1), (j2, v2)),
+                                 ((j2, v2), (j1, v1))):
+            if is_int[f] or not binary[y]:
+                continue
+            # direction a.x <= cu with cu == 0
+            if con_ub[i] == 0.0 and af > 0 and ay < 0:
+                c = -ay / af
+            # direction -a.x <= -cl with cl == 0
+            elif con_lb[i] == 0.0 and af < 0 and ay > 0:
+                c = -ay / af
+            else:
+                continue
+            if c < cap[f]:
+                cap[f] = c
+                yvar[f] = y
+    return cap, yvar
+
+
+def _vub_substitute(idx: np.ndarray, val: np.ndarray, is_int: np.ndarray,
+                    vub_cap: np.ndarray, vub_y: np.ndarray
+                    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """For a <=-row, replace continuous terms ``a_j f_j`` with ``a_j < 0``
+    by ``a_j cap_j y_j`` (valid: f_j <= cap_j y_j and a_j < 0 make the LHS
+    only smaller).  Returns the substituted (idx, val) with merged
+    duplicates, or None when no substitution applies or integer terms
+    would vanish."""
+    cont_neg = (~is_int[idx]) & (val < 0) & (vub_y[idx] >= 0)
+    if not np.any(cont_neg):
+        return None
+    new_idx: List[int] = []
+    new_val: List[float] = []
+    for j, v in zip(idx, val):
+        if not is_int[j] and v < 0 and vub_y[j] >= 0:
+            new_idx.append(int(vub_y[j]))
+            new_val.append(float(v * vub_cap[j]))
+        else:
+            new_idx.append(int(j))
+            new_val.append(float(v))
+    # merge duplicate columns (a y may already appear in the row)
+    order = np.argsort(new_idx, kind="stable")
+    ui: List[int] = []
+    uv: List[float] = []
+    for k in order:
+        if ui and ui[-1] == new_idx[k]:
+            uv[-1] += new_val[k]
+        else:
+            ui.append(new_idx[k])
+            uv.append(new_val[k])
+    uidx = np.array(ui, dtype=np.int64)
+    uval = np.array(uv)
+    keep = uval != 0.0
+    uidx, uval = uidx[keep], uval[keep]
+    if len(uidx) == 0 or not np.any(is_int[uidx]):
+        return None
+    return uidx, uval
+
+
+def _clique_cuts(a: sp.csr_matrix, con_ub: np.ndarray, var_lb, var_ub,
+                 is_int: np.ndarray, x_lp: np.ndarray,
+                 min_violation: float,
+                 max_cliques: int = 200
+                 ) -> List[Tuple[float, np.ndarray, np.ndarray, float]]:
+    """Clique cuts from pairwise set-packing rows (reference role:
+    sat/cuts.cc at-most-one strengthening + TransformIntoMaxCliques):
+    rows ``x_i + x_j <= 1`` over binaries define a conflict graph; each
+    violated edge is greedily extended to a maximal clique C and emitted
+    as ``sum_{j in C} x_j <= 1``."""
+    indptr, indices, data = a.indptr, a.indices, a.data
+    n = a.shape[1]
+    binary = is_int & (var_lb >= 0) & (var_ub <= 1)
+    nnz_per_row = np.diff(indptr)
+    pair_rows = np.nonzero((nnz_per_row == 2) & (con_ub == 1.0))[0]
+    edges: List[Tuple[int, int]] = []
+    for i in pair_rows:
+        lo = indptr[i]
+        j1, j2 = indices[lo], indices[lo + 1]
+        if (data[lo] == 1.0 and data[lo + 1] == 1.0
+                and binary[j1] and binary[j2]):
+            edges.append((int(j1), int(j2)))
+    if len(edges) < 3:
+        return []
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # candidates ordered by LP value: extend the most fractional edges
+    order = sorted(edges, key=lambda e: -(x_lp[e[0]] + x_lp[e[1]]))
+    out: List[Tuple[float, np.ndarray, np.ndarray, float]] = []
+    seen: set = set()
+    for u, v in order[: 4 * max_cliques]:
+        clique = [u, v]
+        common = adj[u] & adj[v]
+        for w in sorted(common, key=lambda j: -x_lp[j]):
+            if all(w in adj[c] for c in clique):
+                clique.append(w)
+                common &= adj[w]
+                if not common:
+                    break
+        if len(clique) < 3:
+            continue
+        key = tuple(sorted(clique))
+        if key in seen:
+            continue
+        seen.add(key)
+        cidx = np.array(key, dtype=np.int64)
+        viol = float(x_lp[cidx].sum()) - 1.0
+        norm = math.sqrt(len(cidx))
+        if viol / norm > min_violation:
+            out.append((viol / norm, cidx,
+                        np.full(len(cidx), 1.0 / norm), 1.0 / norm))
+        if len(out) >= max_cliques:
+            break
+    return out
+
+
 def generate_cuts(
     a: sp.csr_matrix,
     con_lb: np.ndarray,
@@ -216,33 +350,41 @@ def generate_cuts(
     is_int = np.asarray(integrality, dtype=bool)
     if not np.any(is_int):
         return None
+    vub_cap, vub_y = _find_vubs(a, con_lb, con_ub, var_lb, var_ub, is_int)
     found: List[Tuple[float, np.ndarray, np.ndarray, float]] = []
+    found.extend(_clique_cuts(a, con_ub, var_lb, var_ub, is_int, x_lp,
+                              min_violation))
     indptr, indices, data = a.indptr, a.indices, a.data
     for i in range(m):
         lo, hi = indptr[i], indptr[i + 1]
         if hi == lo:
             continue
         idx = indices[lo:hi]
-        if not np.any(is_int[idx]):
-            continue
         val = data[lo:hi]
+        row_has_int = bool(np.any(is_int[idx]))
         for row_val, row_rhs in (
             (val, con_ub[i]),
             (-val, -con_lb[i]),
         ):
             if not np.isfinite(row_rhs):
                 continue
-            for gen in (_cover_on_row, _mir_on_row):
-                out = gen(idx, row_val, float(row_rhs), var_lb, var_ub,
-                          is_int, x_lp, min_violation)
-                if out is None:
-                    continue
-                cidx, cval, crhs = out
-                norm = float(np.linalg.norm(cval))
-                viol = (float(cval @ x_lp[cidx]) - crhs) / max(norm, _EPS)
-                if viol > min_violation:
-                    found.append((viol, cidx, cval / max(norm, _EPS),
-                                  crhs / max(norm, _EPS)))
+            variants = [(idx, row_val)] if row_has_int else []
+            sub = _vub_substitute(idx, row_val, is_int, vub_cap, vub_y)
+            if sub is not None:
+                variants.append(sub)
+            for vidx, vval in variants:
+                for gen in (_cover_on_row, _mir_on_row):
+                    out = gen(vidx, vval, float(row_rhs), var_lb, var_ub,
+                              is_int, x_lp, min_violation)
+                    if out is None:
+                        continue
+                    cidx, cval, crhs = out
+                    norm = float(np.linalg.norm(cval))
+                    viol = (float(cval @ x_lp[cidx]) - crhs) / max(norm,
+                                                                   _EPS)
+                    if viol > min_violation:
+                        found.append((viol, cidx, cval / max(norm, _EPS),
+                                      crhs / max(norm, _EPS)))
     if not found:
         return None
     found.sort(key=lambda t: -t[0])

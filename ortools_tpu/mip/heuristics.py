@@ -40,6 +40,7 @@ def round_and_repair(
     thresholds: Iterable[float] = (0.5, 0.3, 0.7),
     rng: Optional[np.random.Generator] = None,
     feas_tol: float = 1e-6,
+    reopt=None,
 ) -> List[np.ndarray]:
     """Return integer-feasible CANDIDATES (possibly violating rows — the
     caller's checker decides).  qp_min must be in minimization form."""
@@ -91,7 +92,7 @@ def round_and_repair(
             x[best_j] += best_step
         # -- continuous re-optimization -----------------------------------
         if has_cont:
-            x = _reopt_continuous(qp_min, x, int_idx, cont_mask)
+            x = _reopt_continuous(qp_min, x, int_idx, cont_mask, reopt)
             if x is None:
                 continue
         viol, _ = _row_violations(a, cl, cu, x)
@@ -99,24 +100,248 @@ def round_and_repair(
                 np.abs(np.where(np.isfinite(cl), cl, 0)),
                 np.abs(np.where(np.isfinite(cu), cu, 0))))).all():
             x = _one_opt(qp_min, a, at, x, int_idx, feas_tol)
+            x = _swap_polish(qp_min, a, at, x, int_idx, feas_tol)
             out.append(x)
     return out
 
 
-def _reopt_continuous(qp_min, x, int_idx, cont_mask):
-    """Fix the integers, re-optimize the continuous part with glop."""
-    import dataclasses
+def _swap_polish(qp_min, a, at, x, int_idx, feas_tol, max_moves: int = 200):
+    """(1,k)-swap local search on binaries: set an improving variable j to
+    1 even when that violates rows, then greedily clear other binaries in
+    the violated rows to restore feasibility; commit iff the net objective
+    improves.  Reference role: the LS moves of feasibility_jump.h /
+    bop_ls — this is the move class that closes packing-type gaps
+    (independent set, multiknapsack) that pure rounding misses."""
+    cl, cu = qp_min.constraint_lower, qp_min.constraint_upper
+    lb, ub = qp_min.variable_lower, qp_min.variable_upper
+    c = qp_min.objective_vector
+    bin_idx = int_idx[(lb[int_idx] >= 0) & (ub[int_idx] <= 1)]
+    if len(bin_idx) == 0:
+        return x
+    is_bin = np.zeros(qp_min.num_variables, dtype=bool)
+    is_bin[bin_idx] = True
+    scale = 1.0 + np.maximum(
+        np.abs(np.where(np.isfinite(cl), cl, 0)),
+        np.abs(np.where(np.isfinite(cu), cu, 0)))
+    x = np.array(x, dtype=np.float64)
+    ax = a @ x
+    moves = 0
+    # try turning ON binaries with improving (negative) cost, clearing
+    # other set binaries in the rows the flip violates
+    improving = bin_idx[(c[bin_idx] < -1e-12) & (x[bin_idx] < 0.5)
+                        & (ub[bin_idx] >= 1)]
+    for j in improving[np.argsort(c[improving])]:
+        if moves >= max_moves:
+            break
+        if x[j] >= 0.5:
+            continue
+        lo_c, hi_c = at.indptr[j], at.indptr[j + 1]
+        rows_j = at.indices[lo_c:hi_c]
+        vals_j = at.data[lo_c:hi_c]
+        ax_j = ax[rows_j] + vals_j
+        over = np.maximum(ax_j - cu[rows_j], 0.0)
+        under = np.maximum(cl[rows_j] - ax_j, 0.0)
+        if np.any(under > feas_tol * scale[rows_j]):
+            continue  # this move class only repairs <=-side violations
+        removed: List[int] = []
+        obj_delta = c[j]
+        feasible = True
+        for ri, o in zip(rows_j, over):
+            if o <= feas_tol * scale[ri]:
+                continue
+            lo_r, hi_r = a.indptr[ri], a.indptr[ri + 1]
+            cols_r = a.indices[lo_r:hi_r]
+            vals_r = a.data[lo_r:hi_r]
+            cand = sorted(
+                (float(-c[k]), int(k), float(v))
+                for k, v in zip(cols_r, vals_r)
+                if k != j and v > 0 and x[k] >= 0.5 and is_bin[k]
+                and lb[k] <= 0 and k not in removed
+            )
+            need = o
+            for loss, k, v in cand:
+                if need <= feas_tol * scale[ri]:
+                    break
+                removed.append(k)
+                obj_delta -= c[k]
+                need -= v
+            if need > feas_tol * scale[ri]:
+                feasible = False
+                break
+        if not feasible or obj_delta >= -1e-12:
+            continue
+        x_try = x.copy()
+        x_try[j] = 1.0
+        for k in removed:
+            x_try[k] = 0.0
+        ax_try = a @ x_try
+        viol = np.maximum(cl - ax_try, 0) + np.maximum(ax_try - cu, 0)
+        if np.any(viol > feas_tol * scale):
+            continue
+        x, ax = x_try, ax_try
+        moves += 1
+    return x
 
-    from ortools_tpu.glop import simplex as glop_simplex
+
+def ils_polish(
+    qp_min: QuadraticProgram,
+    x_best: np.ndarray,
+    int_idx: np.ndarray,
+    rng: np.random.Generator,
+    rounds: int = 12,
+    drop_frac: float = 0.15,
+    reopt=None,
+    feas_tol: float = 1e-6,
+) -> List[np.ndarray]:
+    """Iterated local search around an incumbent: randomly clear a
+    fraction of the set binaries, greedily repair, then 1-opt + swap
+    polish.  Reference role: the perturbation/restart variants of the
+    feasibility-jump portfolio (cp_model_solver.cc:3560-3612) and bop_ls.
+    Returns improving candidates (caller verifies + accepts)."""
+    a = sp.csr_matrix(qp_min.constraint_matrix)
+    at = sp.csc_matrix(a)
+    cl, cu = qp_min.constraint_lower, qp_min.constraint_upper
+    lb, ub = qp_min.variable_lower, qp_min.variable_upper
+    c = qp_min.objective_vector
+    bin_idx = int_idx[(lb[int_idx] >= 0) & (ub[int_idx] <= 1)]
+    if len(bin_idx) == 0:
+        return []
+    cont_mask = np.ones(qp_min.num_variables, dtype=bool)
+    cont_mask[int_idx] = False
+    has_cont = bool(cont_mask.any())
+    scale = 1.0 + np.maximum(
+        np.abs(np.where(np.isfinite(cl), cl, 0)),
+        np.abs(np.where(np.isfinite(cu), cu, 0)))
+    out: List[np.ndarray] = []
+    best_obj = float(c @ x_best)
+    for _ in range(rounds):
+        x = np.array(x_best, dtype=np.float64)
+        ones = bin_idx[x[bin_idx] >= 0.5]
+        if len(ones) == 0:
+            break
+        k = max(1, int(len(ones) * drop_frac))
+        drop = rng.choice(ones, size=min(k, len(ones)), replace=False)
+        x[drop] = 0.0
+        # greedy repair of any rows the perturbation broke (covering rows)
+        for _ in range(100):
+            ax = a @ x
+            viol = np.maximum(cl - ax, 0.0) + np.maximum(ax - cu, 0.0)
+            bad = viol > feas_tol * scale
+            if not bad.any():
+                break
+            r = int(np.argmax(viol / scale))
+            lo_r, hi_r = a.indptr[r], a.indptr[r + 1]
+            cols = a.indices[lo_r:hi_r]
+            vals = a.data[lo_r:hi_r]
+            need = (cl[r] - ax[r]) if ax[r] < cl[r] else (cu[r] - ax[r])
+            best_j, best_score, best_step = -1, -math.inf, 0.0
+            for j, v in zip(cols, vals):
+                if cont_mask[j] or v == 0.0:
+                    continue
+                step = 1.0 if need * v > 0 else -1.0
+                xj_new = x[j] + step
+                if xj_new < lb[j] - 1e-9 or xj_new > ub[j] + 1e-9:
+                    continue
+                score = min(abs(v), abs(need)) / (1.0 + max(c[j] * step, 0.0))
+                if score > best_score:
+                    best_j, best_score, best_step = int(j), score, step
+            if best_j < 0:
+                break
+            x[best_j] += best_step
+        if has_cont:
+            x = _reopt_continuous(qp_min, x, int_idx, cont_mask, reopt)
+            if x is None:
+                continue
+        x = _one_opt(qp_min, a, at, x, int_idx, feas_tol)
+        x = _swap_polish(qp_min, a, at, x, int_idx, feas_tol)
+        ax = a @ x
+        viol = np.maximum(cl - ax, 0.0) + np.maximum(ax - cu, 0.0)
+        if np.any(viol > feas_tol * scale):
+            continue
+        obj = float(c @ x)
+        if obj < best_obj - 1e-9:
+            best_obj = obj
+            x_best = x
+            out.append(x)
+    return out
+
+
+def lp_dive(
+    backend,
+    a: sp.csr_matrix,
+    cl: np.ndarray,
+    cu: np.ndarray,
+    x_lp: np.ndarray,
+    lb: np.ndarray,
+    ub: np.ndarray,
+    int_idx: np.ndarray,
+    integrality: np.ndarray,
+    integrality_tol: float = 1e-5,
+    max_resolves: int = 40,
+) -> Optional[np.ndarray]:
+    """Fractional diving on a cheap-resolve node-LP backend.
+
+    Reference role: the diving primal heuristics of MIP portfolios (and
+    CP-SAT's ``QuickSolveWithHint`` LP-guided descent): repeatedly fix the
+    most-integral fractional variables to their rounded values, propagate,
+    and re-solve the LP, until the LP optimum is integral (an incumbent
+    candidate) or the dive dead-ends.  With warm dual-simplex re-solves
+    each descent step costs a handful of pivots.
+    """
+    from ortools_tpu.mip.propagation import propagate_bounds
+    from ortools_tpu.utils.status import MPSolverStatus
+
+    lb = np.array(lb, dtype=np.float64)
+    ub = np.array(ub, dtype=np.float64)
+    x = np.array(x_lp, dtype=np.float64)
+    for _ in range(max_resolves):
+        frac = np.abs(x[int_idx] - np.round(x[int_idx]))
+        fr = int_idx[frac > integrality_tol]
+        if len(fr) == 0:
+            # LP optimum with all integers integral: feasible by LP
+            # feasibility; the caller's checker confirms.
+            return x
+        # fix the most-integral ~20% (>=1) to their rounded values
+        d = np.abs(x[fr] - np.round(x[fr]))
+        k = max(1, len(fr) // 5)
+        chosen = fr[np.argsort(d)[:k]]
+        v = np.round(x[chosen])
+        v = np.clip(v, lb[chosen], ub[chosen])
+        lb[chosen] = v
+        ub[chosen] = v
+        lb, ub, ok = propagate_bounds(a, cl, cu, lb, ub, integrality,
+                                      max_rounds=2)
+        if not ok:
+            return None
+        st, x2, _y, _obj = backend.resolve_raw(lb, ub)
+        if st != MPSolverStatus.OPTIMAL:
+            return None
+        x = x2
+    return None
+
+
+def _reopt_continuous(qp_min, x, int_idx, cont_mask, reopt=None):
+    """Fix the integers, re-optimize the continuous part.  ``reopt`` is a
+    warm resolve callable ``(lb, ub) -> (status, x, y, obj)`` (the node-LP
+    backend's dual-simplex re-solve) — 20x cheaper than the cold-solve
+    fallback."""
+    from ortools_tpu.utils.status import MPSolverStatus
 
     lb2 = np.array(qp_min.variable_lower, dtype=np.float64)
     ub2 = np.array(qp_min.variable_upper, dtype=np.float64)
     lb2[int_idx] = x[int_idx]
     ub2[int_idx] = x[int_idx]
+    if reopt is not None:
+        st, x2, _y, _obj = reopt(lb2, ub2)
+        return x2 if st == MPSolverStatus.OPTIMAL else None
+
+    import dataclasses
+
+    from ortools_tpu.glop import simplex as glop_simplex
+
     sub = dataclasses.replace(qp_min, variable_lower=lb2, variable_upper=ub2,
                               integrality=None)
     res = glop_simplex.solve(sub, max_iterations=5000)
-    from ortools_tpu.utils.status import MPSolverStatus
     if res.status != MPSolverStatus.OPTIMAL:
         return None
     return res.primal_solution
