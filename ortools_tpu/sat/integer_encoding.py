@@ -47,6 +47,7 @@ FALSE_LIT = -1
 _SUPPORTED = frozenset([
     "bool_or", "bool_and", "at_most_one", "exactly_one", "bool_xor",
     "linear", "all_diff", "lin_max", "element", "table",
+    "interval", "no_overlap", "cumulative",
 ])
 
 
@@ -374,6 +375,12 @@ class Encoder:
             self._element(ct, gate)
         elif k == "table":
             self._table(ct, gate)
+        elif k == "interval":
+            self._interval(ct, gate)
+        elif k == "no_overlap":
+            self._no_overlap(ct, gate)
+        elif k == "cumulative":
+            self._cumulative(ct, gate)
         else:
             raise _Overflow  # out of fragment (checked earlier; safety)
 
@@ -415,11 +422,14 @@ class Encoder:
 
     def _linear(self, ct: ir.ConstraintIR, gate: List[int]) -> None:
         a = ct.args
+        self._linear_raw(a.vars, a.coeffs, a.domain, gate)
+
+    def _linear_raw(self, vars_: Sequence[int], coeffs: Sequence[int],
+                    dom: Domain, gate: List[int]) -> None:
         merged: Dict[int, int] = {}
-        for v, c in zip(a.vars, a.coeffs):
+        for v, c in zip(vars_, coeffs):
             merged[v] = merged.get(v, 0) + c
         terms = [(v, c) for v, c in merged.items() if c != 0]
-        dom = a.domain
         if not terms:
             if not dom.contains(0):
                 self.emit(list(gate))
@@ -560,6 +570,119 @@ class Encoder:
                     continue
                 rows = support.get((kcol, w), [])
                 self.emit(gate + ([] if eq == TRUE_LIT else [-eq]) + rows)
+
+    # -- scheduling fragment -------------------------------------------------
+    # Generalizes the ft10-prover order encoding (scheduling/jobshop.py,
+    # reference heritage sat/intervals.h + sat/disjunctive.h) to arbitrary
+    # CpModel interval / no_overlap / cumulative constraints, so general
+    # scheduling models ride the learning core instead of the Python
+    # propagation engine.
+
+    def _interval(self, ct: ir.ConstraintIR, gate: List[int]) -> None:
+        """start + size = end, size >= 0 (both gated on presence)."""
+        a = ct.args
+        vars_ = list(a.start.vars) + list(a.size.vars) + list(a.end.vars)
+        coeffs = (list(a.start.coeffs) + list(a.size.coeffs)
+                  + [-c for c in a.end.coeffs])
+        const = a.start.offset + a.size.offset - a.end.offset
+        self._linear_raw(vars_, coeffs, Domain(-const, -const), gate)
+        if a.size.vars:
+            self._linear_raw(list(a.size.vars), list(a.size.coeffs),
+                             Domain(-a.size.offset, None), gate)
+        elif a.size.offset < 0:
+            self.emit(list(gate))
+
+    def _presence_gate(self, iv_idx: int) -> List[int]:
+        iv = self.model.constraints[iv_idx]
+        return [-self.bool_lit(l) for l in iv.enforcement_literals]
+
+    def _before_le(self, iv_a, iv_b, gate: List[int]) -> None:
+        """end_a <= start_b under ``gate`` (matches the reference's
+        zero-size no_overlap semantics: point intervals may touch but not
+        sit strictly inside another interval)."""
+        ea, sb = iv_a.args.end, iv_b.args.start
+        vars_ = list(ea.vars) + list(sb.vars)
+        coeffs = list(ea.coeffs) + [-c for c in sb.coeffs]
+        const = ea.offset - sb.offset
+        self._linear_raw(vars_, coeffs, Domain(None, -const), gate)
+
+    def _no_overlap(self, ct: ir.ConstraintIR, gate: List[int]) -> None:
+        idxs = list(ct.args.intervals)
+        for i in range(len(idxs)):
+            for j in range(i + 1, len(idxs)):
+                iv_i = self.model.constraints[idxs[i]]
+                iv_j = self.model.constraints[idxs[j]]
+                pres = (self._presence_gate(idxs[i])
+                        + self._presence_gate(idxs[j]))
+                p = self.new_var()
+                self._before_le(iv_i, iv_j, gate + pres + [-p])
+                self._before_le(iv_j, iv_i, gate + pres + [p])
+
+    def _cumulative(self, ct: ir.ConstraintIR, gate: List[int]) -> None:
+        """Time-decomposition: at every candidate start time t,
+        sum_i demand_i * [i covers t] <= capacity.  Constant capacity,
+        demands and sizes; affine single-variable starts (else overflow
+        -> caller falls back to the propagation engine)."""
+        a = ct.args
+        if a.capacity.vars or gate:
+            raise _Overflow
+        cap = a.capacity.offset
+        tasks = []  # (aff_start, dur, demand, presence_gate)
+        t_points: set = set()
+        for iv_idx, dem in zip(a.intervals, a.demands):
+            if dem.vars:
+                raise _Overflow
+            d_dem = dem.offset
+            iv = self.model.constraints[iv_idx]
+            if iv.args.size.vars:
+                raise _Overflow
+            dur = iv.args.size.offset
+            if dur <= 0 or d_dem <= 0:
+                continue  # matches checker: only z>0 & demand>0 load
+            aff = self.affine(iv.args.start)
+            if aff is None:
+                raise _Overflow
+            lad = self.affine_ladder(aff)
+            tasks.append((aff, dur, d_dem, self._presence_gate(iv_idx)))
+            t_points.update(lad.vals)
+        if not tasks:
+            return
+        for t in sorted(t_points):
+            cap_t = cap  # remaining capacity at t after constant loads
+            terms: List[Tuple[int, int]] = []
+            for aff, dur, d_dem, pres in tasks:
+                lad = self.affine_ladder(aff)
+                le_t = lad.le_value(t)          # [s <= t]
+                le_before = lad.le_value(t - dur)  # [s <= t - d]
+                if le_t == FALSE_LIT or le_before == TRUE_LIT:
+                    continue  # cannot cover t
+                if le_t == TRUE_LIT and le_before == FALSE_LIT and not pres:
+                    # always covers t: constant load
+                    cap_t -= d_dem
+                    if cap_t < 0:
+                        self.infeasible = True
+                        return
+                    continue
+                y = self.new_var()
+                cl = list(pres)
+                if le_t != TRUE_LIT:
+                    cl.append(-le_t)
+                if le_before != FALSE_LIT:
+                    cl.append(le_before)
+                self.emit(cl + [y])
+                # synthetic 0/1 ladder for the indicator
+                v_idx = len(self.ladders)
+                self.ladders.append(_Ladder([0, 1], [-y]))
+                terms.append((v_idx, d_dem))
+            if not terms:
+                continue
+            if sum(d for _, d in terms) <= cap_t:
+                continue  # never violable at t
+            s = self.sum_ladder(terms, Domain(None, cap_t), True)
+            if self.infeasible:
+                return
+            if s is not None:
+                self.restrict_ladder(s, Domain(None, cap_t), [])
 
     # -- decoding -------------------------------------------------------------
     def decode(self, model_bools: np.ndarray) -> List[int]:

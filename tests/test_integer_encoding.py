@@ -221,3 +221,117 @@ def test_assumptions_through_integer_path():
     s = CpSolver()
     st = s.solve(m)
     assert st == SolveStatus.INFEASIBLE
+
+
+# ---- scheduling fragment (interval / no_overlap / cumulative) ------------
+# Reference parity: sat/intervals.h + sat/disjunctive.h + sat/cumulative.cc
+# semantics, realized as the eager order encoding.
+
+
+def test_jobshop_3x3_matches_engine():
+    def build():
+        m = CpModel()
+        # 3 jobs x 3 machines, fixed durations
+        jobs = [[(0, 3), (1, 2), (2, 2)],
+                [(0, 2), (2, 1), (1, 4)],
+                [(1, 4), (2, 3), (0, 1)]]
+        horizon = sum(d for job in jobs for _, d in job)
+        ends = []
+        by_machine = {}
+        for j, job in enumerate(jobs):
+            prev_end = None
+            for t, (mach, dur) in enumerate(job):
+                s = m.new_int_var(0, horizon, f"s{j}_{t}")
+                iv = m.new_fixed_size_interval_var(s, dur, f"iv{j}_{t}")
+                by_machine.setdefault(mach, []).append(iv)
+                if prev_end is not None:
+                    m.add(s >= prev_end)
+                prev_end = s + dur
+            ends.append(prev_end)
+        for ivs in by_machine.values():
+            m.add_no_overlap(ivs)
+        mk = m.new_int_var(0, horizon, "mk")
+        m.add_max_equality(mk, ends)
+        m.minimize(mk)
+        return m
+
+    (st1, s1), (st2, s2) = _solve_both(build())
+    assert st1 == SolveStatus.OPTIMAL and st2 == SolveStatus.OPTIMAL
+    assert s1.objective_value == s2.objective_value
+    # the CDCL path must actually have been used (fragment is encodable)
+    assert encode_model(build().ir) is not None
+
+
+def test_zero_size_interval_strictly_inside_is_infeasible():
+    # Reference semantics (cp_model.proto): a zero-size interval may touch
+    # the endpoints of another interval but not sit strictly inside it.
+    m = CpModel()
+    p = m.new_int_var(3, 3, "p")
+    point = m.new_fixed_size_interval_var(p, 0, "point")
+    big = m.new_fixed_size_interval_var(m.new_int_var(2, 2, "s"), 3, "big")
+    m.add_no_overlap([point, big])
+    s = CpSolver()
+    assert s.solve(m) == SolveStatus.INFEASIBLE
+
+    m2 = CpModel()
+    p2 = m2.new_int_var(2, 5, "p")  # endpoints 2 and 5 remain feasible
+    point2 = m2.new_fixed_size_interval_var(p2, 0, "point")
+    big2 = m2.new_fixed_size_interval_var(m2.new_int_var(2, 2, "s"), 3, "big")
+    m2.add_no_overlap([point2, big2])
+    s2 = CpSolver()
+    assert s2.solve(m2) == SolveStatus.OPTIMAL
+    assert s2.value(p2) in (2, 5)
+
+
+def test_optional_intervals_no_overlap():
+    m = CpModel()
+    lits = [m.new_bool_var(f"p{i}") for i in range(3)]
+    ivs = []
+    for i, lit in enumerate(lits):
+        s = m.new_int_var(0, 3, f"s{i}")
+        ivs.append(m.new_optional_fixed_size_interval_var(
+            s, 3, lit, f"iv{i}"))
+    m.add_no_overlap(ivs)
+    # horizon 0..6 fits at most 2 length-3 tasks
+    for i in range(3):
+        m.add(ivs[i].end_expr <= 6).only_enforce_if(lits[i])
+    m.maximize(sum(lits))
+    (st1, s1), (st2, s2) = _solve_both(m)
+    assert st1 == SolveStatus.OPTIMAL and st2 == SolveStatus.OPTIMAL
+    assert s1.objective_value == 2 == s2.objective_value
+
+
+def test_cumulative_matches_engine():
+    def build():
+        m = CpModel()
+        durs = [3, 2, 4, 2, 2]
+        dems = [2, 3, 1, 2, 2]
+        cap = 4
+        horizon = 10
+        ivs = []
+        ends = []
+        for i, (d, _) in enumerate(zip(durs, dems)):
+            s = m.new_int_var(0, horizon - d, f"s{i}")
+            ivs.append(m.new_fixed_size_interval_var(s, d, f"iv{i}"))
+            ends.append(s + d)
+        m.add_cumulative(ivs, dems, cap)
+        mk = m.new_int_var(0, horizon, "mk")
+        m.add_max_equality(mk, ends)
+        m.minimize(mk)
+        return m
+
+    (st1, s1), (st2, s2) = _solve_both(build())
+    assert st1 == SolveStatus.OPTIMAL and st2 == SolveStatus.OPTIMAL
+    assert s1.objective_value == s2.objective_value
+    assert encode_model(build().ir) is not None
+
+
+def test_cumulative_constant_overload_infeasible():
+    m = CpModel()
+    s0 = m.new_int_var(0, 0, "s0")
+    s1_ = m.new_int_var(0, 0, "s1")
+    ivs = [m.new_fixed_size_interval_var(s0, 5, "a"),
+           m.new_fixed_size_interval_var(s1_, 5, "b")]
+    m.add_cumulative(ivs, [3, 3], 4)  # both fixed at t=0, 6 > 4
+    s = CpSolver()
+    assert s.solve(m) == SolveStatus.INFEASIBLE
