@@ -149,10 +149,134 @@ def _lns_time_window(work, rng, frac: float, best: List[int]) -> set:
     return relax or _lns_random_variables(work, rng, frac)
 
 
-# generator rotation for the LNS fleet (reference cp_model_lns.h:93-766,
-# scoped to four structurally distinct neighborhoods)
+def _lns_decomposition(work, rng, frac: float) -> set:
+    """cp_model_lns.h DecompositionGraphNeighborhoodGenerator: free one
+    connected component of the variable/constraint graph (or a BFS slice
+    of it when the component is too large)."""
+    nvars = len(work.variables)
+    if nvars == 0:
+        return set()
+    parent = list(range(nvars))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for ct in work.constraints:
+        vs = _vars_of_constraint(work, ct)
+        for w in vs[1:]:
+            ra, rb = find(vs[0]), find(w)
+            if ra != rb:
+                parent[rb] = ra
+    comps: dict = {}
+    for v in range(nvars):
+        comps.setdefault(find(v), []).append(v)
+    comp = list(comps.values())[rng.randrange(len(comps))]
+    target = max(1, int(nvars * frac))
+    if len(comp) <= target:
+        return set(comp)
+    # slice the component: BFS from a random member, restricted to it
+    comp_set = set(comp)
+    var_to_cts: dict = {}
+    for ci, ct in enumerate(work.constraints):
+        for v in _vars_of_constraint(work, ct):
+            var_to_cts.setdefault(v, []).append(ci)
+    relax = {comp[rng.randrange(len(comp))]}
+    frontier = list(relax)
+    while frontier and len(relax) < target:
+        v = frontier.pop(0)
+        for ci in var_to_cts.get(v, []):
+            for w in _vars_of_constraint(work, work.constraints[ci]):
+                if w in comp_set and w not in relax:
+                    relax.add(w)
+                    frontier.append(w)
+                    if len(relax) >= target:
+                        return relax
+    return relax
+
+
+def _interval_indices(work) -> List[int]:
+    return [ci for ci, ct in enumerate(work.constraints)
+            if ct.kind == "interval"]
+
+
+def _lns_random_intervals(work, rng, frac: float) -> set:
+    """cp_model_lns.h SchedulingNeighborhoodGenerator (RandomIntervals):
+    free the variables of a random subset of interval constraints plus
+    the objective-linked makespan variables stay fixed."""
+    ivs = _interval_indices(work)
+    if not ivs:
+        return _lns_random_variables(work, rng, frac)
+    k = max(1, int(len(ivs) * frac))
+    chosen = rng.sample(ivs, min(k, len(ivs)))
+    relax: set = set()
+    for ci in chosen:
+        relax.update(_vars_of_constraint(work, work.constraints[ci]))
+    return relax
+
+
+def _lns_resource(work, rng, frac: float) -> set:
+    """cp_model_lns.h SchedulingResourceWindowsNeighborhoodGenerator: free
+    every interval of one random no_overlap / cumulative resource."""
+    resources = [ct for ct in work.constraints
+                 if ct.kind in ("no_overlap", "cumulative")]
+    if not resources:
+        return _lns_random_intervals(work, rng, frac)
+    res = resources[rng.randrange(len(resources))]
+    relax: set = set()
+    for ci in res.args.intervals:
+        relax.update(_vars_of_constraint(work, work.constraints[ci]))
+    return relax
+
+
+def _lns_routing_path(work, rng, frac: float, best: List[int]) -> set:
+    """cp_model_lns.h RoutingPathNeighborhoodGenerator: walk the incumbent
+    circuit from a random node and free the arc literals (and their
+    endpoints' other arcs) along a contiguous path segment."""
+    circuits = [ct for ct in work.constraints
+                if ct.kind in ("circuit", "routes")]
+    if not circuits:
+        return _lns_random_variables(work, rng, frac)
+    ct = circuits[rng.randrange(len(circuits))]
+    a = ct.args
+
+    def lit_val(lit: int) -> int:
+        v = lit if lit >= 0 else -lit - 1
+        if v >= len(best):
+            return 0
+        val = best[v]
+        return val if lit >= 0 else 1 - val
+
+    succ: dict = {}
+    arcs_from: dict = {}
+    for t, h, lit in zip(a.tails, a.heads, a.literals):
+        arcs_from.setdefault(t, []).append(lit)
+        if lit_val(lit):
+            succ[t] = h
+    if not succ:
+        return _lns_random_variables(work, rng, frac)
+    nodes = list(succ.keys())
+    cur = nodes[rng.randrange(len(nodes))]
+    path_len = max(2, int(len(nodes) * frac))
+    relax: set = set()
+    for _ in range(path_len):
+        for lit in arcs_from.get(cur, []):
+            relax.add(lit if lit >= 0 else -lit - 1)
+        if cur not in succ:
+            break
+        cur = succ[cur]
+    return relax or _lns_random_variables(work, rng, frac)
+
+
+# generator rotation for the LNS fleet (reference cp_model_lns.h:93-766):
+# random variables / random constraints / variable graph / scheduling
+# time window / decomposition / random intervals / resource windows /
+# routing path — one worker advances the rotation each slice.
 LNS_GENERATORS = ("random_vars", "random_constraints", "variable_graph",
-                  "time_window")
+                  "time_window", "decomposition", "random_intervals",
+                  "resource", "routing_path")
 
 
 class LnsWorker:
@@ -176,17 +300,22 @@ class LnsWorker:
     def _relax_set(self, best: List[int]) -> set:
         gen = LNS_GENERATORS[self._gen_idx]
         self._gen_idx = (self._gen_idx + 1) % len(LNS_GENERATORS)
+        f = LNS_RELAX_FRACTION
         if gen == "random_constraints":
-            return _lns_random_constraints(self.work, self._rng,
-                                           LNS_RELAX_FRACTION)
+            return _lns_random_constraints(self.work, self._rng, f)
         if gen == "variable_graph":
-            return _lns_variable_graph(self.work, self._rng,
-                                       LNS_RELAX_FRACTION)
+            return _lns_variable_graph(self.work, self._rng, f)
         if gen == "time_window":
-            return _lns_time_window(self.work, self._rng,
-                                    LNS_RELAX_FRACTION, best)
-        return _lns_random_variables(self.work, self._rng,
-                                     LNS_RELAX_FRACTION)
+            return _lns_time_window(self.work, self._rng, f, best)
+        if gen == "decomposition":
+            return _lns_decomposition(self.work, self._rng, f)
+        if gen == "random_intervals":
+            return _lns_random_intervals(self.work, self._rng, f)
+        if gen == "resource":
+            return _lns_resource(self.work, self._rng, f)
+        if gen == "routing_path":
+            return _lns_routing_path(self.work, self._rng, f, best)
+        return _lns_random_variables(self.work, self._rng, f)
 
     def slice(self, best: Optional[List[int]],
               bound_ct: Optional[ir.ConstraintIR],

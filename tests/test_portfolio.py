@@ -118,3 +118,73 @@ def test_lns_generators_cover_model():
         assert all(0 <= v < nvars for v in relax)
     relax = _lns_time_window(work, rng, 0.3, best)
     assert 0 < len(relax) <= nvars
+
+
+def test_new_lns_generators_cover_models():
+    """Round-2 fleet additions (reference cp_model_lns.h): decomposition,
+    random intervals, resource windows, routing path."""
+    import random
+    from ortools_tpu.sat import expand
+    from ortools_tpu.sat.portfolio import (
+        _lns_decomposition, _lns_random_intervals, _lns_resource,
+        _lns_routing_path)
+
+    rng = random.Random(0)
+
+    # generic model: decomposition must pick a component slice
+    m, _ = knapsack_model(seed=9)
+    work = expand.expand_model(m.ir)
+    nvars = len(work.variables)
+    relax = _lns_decomposition(work, rng, 0.3)
+    assert 0 < len(relax) <= nvars
+    assert all(0 <= v < nvars for v in relax)
+
+    # scheduling model: interval + resource generators target intervals
+    ms = CpModel()
+    ivs = []
+    for i in range(6):
+        s = ms.new_int_var(0, 20, f"s{i}")
+        ivs.append(ms.new_fixed_size_interval_var(s, 3, f"iv{i}"))
+    ms.add_no_overlap(ivs)
+    works = expand.expand_model(ms.ir)
+    n_s = len(works.variables)
+    for gen in (_lns_random_intervals, _lns_resource):
+        relax = gen(works, rng, 0.4)
+        assert 0 < len(relax) <= n_s
+
+    # routing model: circuit arcs along the incumbent path
+    mr = CpModel()
+    n = 5
+    arcs = {}
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                arcs[i, j] = mr.new_bool_var(f"a{i}_{j}")
+    mr.add_circuit([(i, j, lit) for (i, j), lit in arcs.items()])
+    workr = expand.expand_model(mr.ir)
+    # incumbent: cycle 0->1->2->3->4->0
+    best = [0] * len(workr.variables)
+    for k in range(n):
+        lit = arcs[k, (k + 1) % n]
+        best[lit.index] = 1
+    relax = _lns_routing_path(workr, rng, 0.5, best)
+    assert 0 < len(relax) <= len(workr.variables)
+
+
+def test_portfolio_with_full_lns_rotation():
+    """A solve with many workers exercises every generator in rotation."""
+    m = CpModel()
+    ivs, es = [], []
+    for i in range(5):
+        s = m.new_int_var(0, 30, f"s{i}")
+        ivs.append(m.new_fixed_size_interval_var(s, 3, f"iv{i}"))
+        es.append(s + 3)
+    m.add_no_overlap(ivs)
+    mk = m.new_int_var(0, 30, "mk")
+    m.add_max_equality(mk, es)
+    m.minimize(mk)
+    s = CpSolver()
+    s.parameters.num_workers = 10  # > tree configs => LNS workers spawn
+    s.parameters.max_time_in_seconds = 20
+    assert s.solve(m) == OPTIMAL
+    assert s.objective_value == 15
