@@ -739,7 +739,8 @@ def solve_integer_cdcl(model: ir.CpModelIR, deadline: float,
                        should_stop=None,
                        conflict_chunk: int = 20_000,
                        max_domain: int = 1024,
-                       budget_literals: int = 4_000_000):
+                       budget_literals: int = 4_000_000,
+                       known_sum_lower_bound: Optional[int] = None):
     """Solve a general integer CP model on the CDCL core.
 
     Returns None when the model is out of the encodable fragment, else
@@ -807,6 +808,10 @@ def solve_integer_cdcl(model: ir.CpModelIR, deadline: float,
     best = values
     best_v = internal_obj(values)
     lb = obj_ladder.vals[0]
+    if known_sum_lower_bound is not None:
+        # externally proven bound (e.g. the root LP relaxation,
+        # sat/lp_propagator.py) shrinks the binary descent range
+        lb = max(lb, int(known_sum_lower_bound))
     while lb < best_v:
         if time.perf_counter() > deadline or \
                 (should_stop is not None and should_stop()):

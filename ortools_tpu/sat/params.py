@@ -33,8 +33,10 @@ class SatParameters:
     # feasibility jump (local search) settings
     use_feasibility_jump: bool = True
     feasibility_jump_max_moves: int = 200_000
-    # linear relaxation bounding inside optimization
-    use_lp_relaxation: bool = False
+    # root LP relaxation propagation inside optimization: objective
+    # bound + cut rounds + reduced-cost strengthening
+    # (reference linear_programming_constraint.h; sat/lp_propagator.py)
+    use_lp_relaxation: bool = True
     # core-guided (OLL) objective descent on the CDCL core for clause-like
     # boolean models (reference optimization.cc / "core" worker)
     use_core_guided: bool = True

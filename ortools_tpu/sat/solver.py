@@ -373,6 +373,33 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     def internal_obj(values: List[int]) -> int:
         return sense * _objective_value(obj, values)
 
+    # Root LP relaxation propagation (reference
+    # linear_programming_constraint.h:138 run at level zero +
+    # linear_relaxation.cc): exact glop duals give an objective bound,
+    # an infeasibility proof, and reduced-cost strengthening; cut rounds
+    # tighten the bound (sat/lp_propagator.py).
+    lp_info = None
+    lp_bound: Optional[int] = None  # lower bound on internal_obj (ceil'd)
+    if params.use_lp_relaxation:
+        from ortools_tpu.sat.lp_propagator import (
+            reduced_cost_tightenings,
+            root_lp_relaxation,
+        )
+
+        lp_info = root_lp_relaxation(work, obj, sense, deadline=deadline)
+        if lp_info is not None:
+            if lp_info.infeasible:
+                return resp(
+                    SolveStatus.INFEASIBLE,
+                    bound=-math.inf if obj.maximize else math.inf,
+                    core=model.assumptions,
+                )
+            lp_bound = lp_info.int_bound
+
+    def orig_bound(internal_b: float) -> float:
+        """internal-sense lower bound -> original-sense objective bound."""
+        return float(sense * internal_b)
+
     # Core-guided descent on the CDCL core for clause-like boolean models
     # (reference optimization.cc, the "core" portfolio configuration):
     # proves the optimum bottom-up from UNSAT cores, no tree search.
@@ -400,8 +427,11 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
                     conflicts=ncf, core=model.assumptions,
                 )
             elif st == -1 and hint_solution is None:
+                b = max(float(bound),
+                        float(lp_bound) if lp_bound is not None
+                        else -math.inf)
                 return resp(SolveStatus.UNKNOWN, conflicts=ncf,
-                            bound=float(sense * bound))
+                            bound=orig_bound(b))
             # deadline with a hint in hand, or verification surprise:
             # fall through to the engine
 
@@ -413,11 +443,25 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
             and params.use_integer_cdcl):
         from ortools_tpu.sat.integer_encoding import solve_integer_cdcl
 
+        # the CDCL objective ladder works on sense*sum (no offset); seed
+        # it with the LP bound so the binary descent starts tighter
+        lp_sum_lb = (lp_bound - sense * obj.offset
+                     if lp_bound is not None else None)
         ienc = solve_integer_cdcl(
             work, deadline=deadline, should_stop=should_stop,
-            budget_literals=params.integer_cdcl_budget)
+            budget_literals=params.integer_cdcl_budget,
+            known_sum_lower_bound=lp_sum_lb)
         if ienc is not None:
             st, values, bound, ncf = ienc
+
+            def full_bound(ladder_b: float) -> float:
+                """ladder-units bound -> internal-sense bound (w/ offset),
+                combined with the LP bound."""
+                b = ladder_b + sense * obj.offset
+                if lp_bound is not None:
+                    b = max(b, float(lp_bound))
+                return b
+
             if st == 1 and values is not None:
                 values = values[:n_orig]
                 if solution_is_feasible(model, values):
@@ -438,11 +482,17 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
                     true_obj = float(_objective_value(obj, values))
                     if callback is not None:
                         callback._on_solution(values, true_obj)
+                    if (lp_bound is not None
+                            and internal_obj(values) <= lp_bound):
+                        # incumbent meets the LP bound: proven optimal
+                        return resp(SolveStatus.OPTIMAL, values, true_obj,
+                                    true_obj, conflicts=ncf)
                     return resp(SolveStatus.FEASIBLE, values, true_obj,
-                                float(sense * bound), conflicts=ncf)
+                                orig_bound(full_bound(bound)),
+                                conflicts=ncf)
             elif st == -1 and hint_solution is None:
                 return resp(SolveStatus.UNKNOWN, conflicts=ncf,
-                            bound=float(sense * bound))
+                            bound=orig_bound(full_bound(bound)))
             # verification surprise / deadline with hint: engine fallback
 
     if hint_solution is not None:
@@ -454,6 +504,9 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
 
     limit_hit = False
     while True:
+        if (best_obj is not None and lp_bound is not None
+                and best_obj <= lp_bound):
+            break  # incumbent meets the LP relaxation bound: optimal
         bound_cts = []
         if best_obj is not None:
             # objective < best  (internal minimization)
@@ -464,6 +517,19 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
                               Domain(INT_MIN,
                                      best_obj - sense * obj.offset - 1)),
             ))
+            if lp_info is not None:
+                # reduced-cost strengthening under the incumbent cutoff
+                # (linear_programming_constraint.cc); sound because the
+                # sub-search only looks for strictly better solutions
+                for v, nlo, nhi in reduced_cost_tightenings(
+                        lp_info, best_obj - 1):
+                    bound_cts.append(ir.ConstraintIR(
+                        "linear",
+                        ir.LinearArgs(
+                            [v], [1],
+                            Domain(nlo if nlo is not None else INT_MIN,
+                                   nhi if nhi is not None else INT_MAX)),
+                    ))
         work_iter = dataclasses.replace(
             work, constraints=list(work.constraints) + bound_cts
         )
@@ -495,7 +561,9 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
         if improved[0] is not None:
             best_solution = improved[0]
             best_obj = internal_obj(best_solution)
-            gap.update(float(best_obj), -math.inf)
+            gap.update(float(best_obj),
+                       float(lp_bound) if lp_bound is not None
+                       else -math.inf)
             if callback is not None:
                 callback._on_solution(
                     best_solution, float(_objective_value(obj, best_solution))
@@ -512,7 +580,9 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     if best_solution is None:
         if limit_hit:
             return resp(SolveStatus.UNKNOWN, branches=num_branches,
-                        conflicts=num_conflicts)
+                        conflicts=num_conflicts,
+                        bound=(orig_bound(lp_bound)
+                               if lp_bound is not None else math.nan))
         return resp(
             SolveStatus.INFEASIBLE,
             bound=-math.inf if obj.maximize else math.inf,
@@ -522,7 +592,8 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     true_obj = float(_objective_value(obj, best_solution))
     if limit_hit:
         return resp(SolveStatus.FEASIBLE, best_solution, true_obj,
-                    -math.inf if obj.maximize else math.inf,
+                    orig_bound(lp_bound) if lp_bound is not None
+                    else (-math.inf if obj.maximize else math.inf),
                     num_branches, num_conflicts)
     return resp(SolveStatus.OPTIMAL, best_solution, true_obj, true_obj,
                 num_branches, num_conflicts)

@@ -1,0 +1,149 @@
+"""Root LP-relaxation propagator (sat/lp_propagator.py).
+
+Verifies: extraction is a valid relaxation (bound vs scipy HiGHS on the
+same rows), infeasibility proofs, reduced-cost strengthening soundness,
+and the solve-path integration (optimal values unchanged with the
+propagator on, LP bound early-stops the descent).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from scipy.optimize import Bounds, LinearConstraint, linprog, milp
+
+from ortools_tpu.sat import CpModel, CpSolver, INFEASIBLE, OPTIMAL
+from ortools_tpu.sat import model_ir as ir
+from ortools_tpu.sat.expand import expand_model
+from ortools_tpu.sat.lp_propagator import (
+    extract_relaxation,
+    reduced_cost_tightenings,
+    root_lp_relaxation,
+)
+
+
+def knapsack_model(n=14, seed=0):
+    rng = np.random.default_rng(seed)
+    m = CpModel()
+    xs = [m.new_bool_var(f"x{i}") for i in range(n)]
+    w = rng.integers(1, 20, n)
+    v = rng.integers(1, 30, n)
+    cap = int(w.sum() * 0.4)
+    m.add(sum(int(wi) * x for wi, x in zip(w, xs)) <= cap)
+    m.maximize(sum(int(vi) * x for vi, x in zip(v, xs)))
+    return m, (w, v, cap)
+
+
+def test_extraction_matches_scipy_lp_bound():
+    m, (w, v, cap) = knapsack_model()
+    work = expand_model(m.ir)
+    ext = extract_relaxation(work)
+    assert ext is not None and ext != "infeasible"
+    a, rl, ru, vl, vu, covered = ext
+    assert covered >= 1
+    # internal sense: minimize -v.x  (maximization model)
+    info = root_lp_relaxation(work, m.ir.objective, sense=-1, cut_rounds=0)
+    assert info is not None and not info.infeasible
+    res = linprog(-v.astype(float),
+                  A_ub=a.toarray(), b_ub=ru,
+                  bounds=list(zip(vl, vu)), method="highs")
+    assert res.status == 0
+    assert info.lp_objective == pytest.approx(res.fun, abs=1e-6)
+
+
+def test_bound_is_valid_and_cuts_tighten():
+    m, (w, v, cap) = knapsack_model(seed=3)
+    work = expand_model(m.ir)
+    plain = root_lp_relaxation(work, m.ir.objective, sense=-1, cut_rounds=0)
+    cut = root_lp_relaxation(work, m.ir.objective, sense=-1, cut_rounds=3)
+    # integer optimum via scipy milp
+    res = milp(-v.astype(float),
+               constraints=LinearConstraint(
+                   w.reshape(1, -1).astype(float), -np.inf, float(cap)),
+               bounds=Bounds(np.zeros(len(v)), np.ones(len(v))),
+               integrality=np.ones(len(v)))
+    opt_internal = res.fun  # min -v.x over integers
+    # relaxation bound never exceeds the integer optimum
+    assert plain.lp_objective <= opt_internal + 1e-9
+    assert cut.int_bound <= math.ceil(opt_internal - 1e-6) + 0
+    # cuts only ever tighten
+    assert cut.lp_objective >= plain.lp_objective - 1e-9
+
+
+def test_lp_detects_infeasible_linear_system():
+    m = CpModel()
+    x = m.new_int_var(0, 5, "x")
+    y = m.new_int_var(0, 5, "y")
+    m.add(x + y >= 12)  # impossible in the box
+    m.minimize(x)
+    s = CpSolver()
+    assert s.solve(m) == INFEASIBLE
+
+
+def test_reduced_cost_tightenings_preserve_optimum():
+    m, (w, v, cap) = knapsack_model(seed=7)
+    work = expand_model(m.ir)
+    info = root_lp_relaxation(work, m.ir.objective, sense=-1)
+    res = milp(-v.astype(float),
+               constraints=LinearConstraint(
+                   w.reshape(1, -1).astype(float), -np.inf, float(cap)),
+               bounds=Bounds(np.zeros(len(v)), np.ones(len(v))),
+               integrality=np.ones(len(v)))
+    opt_internal = int(round(res.fun))
+    x_opt = np.round(res.x).astype(int)
+    # cutoff one unit better than optimal: the optimum itself must
+    # survive every tightening (it is the only solution <= cutoff... none
+    # are, but tightenings at cutoff=opt must keep x_opt feasible)
+    for var, nlo, nhi in reduced_cost_tightenings(info, opt_internal):
+        if nlo is not None:
+            assert x_opt[var] >= nlo
+        if nhi is not None:
+            assert x_opt[var] <= nhi
+
+
+def test_solve_with_lp_relaxation_matches_without():
+    for seed in (0, 3, 11):
+        m1, _ = knapsack_model(seed=seed)
+        s_on = CpSolver()
+        s_on.parameters.use_lp_relaxation = True
+        assert s_on.solve(m1) == OPTIMAL
+        m2, _ = knapsack_model(seed=seed)
+        s_off = CpSolver()
+        s_off.parameters.use_lp_relaxation = False
+        assert s_off.solve(m2) == OPTIMAL
+        assert s_on.objective_value == s_off.objective_value
+
+
+def test_lp_relaxation_with_objective_offset():
+    m = CpModel()
+    xs = [m.new_bool_var(f"x{i}") for i in range(6)]
+    m.add(sum(xs) >= 2)
+    # offset through an affine objective
+    m.minimize(sum((i + 1) * x for i, x in zip(range(6), xs)) + 10)
+    s = CpSolver()
+    s.parameters.use_lp_relaxation = True
+    assert s.solve(m) == OPTIMAL
+    # cheapest two variables: 1 + 2 + 10
+    assert s.objective_value == 13
+    assert s.best_objective_bound == 13
+
+
+def test_lin_max_rows_relax_correctly():
+    """lin_max contributes target >= expr rows (hull relaxation)."""
+    m = CpModel()
+    a = m.new_int_var(0, 10, "a")
+    b = m.new_int_var(0, 10, "b")
+    t = m.new_int_var(0, 20, "t")
+    m.add_max_equality(t, [a + 2, b + 5])
+    m.add(a + b >= 6)
+    m.minimize(t)
+    work = expand_model(m.ir)
+    info = root_lp_relaxation(work, m.ir.objective, sense=1)
+    assert info is not None and not info.infeasible
+    # LP: minimize t s.t. t >= a+2, t >= b+5, a+b >= 6, boxes.
+    # Balancing both arms: a = b+3, a+b = 6 -> b = 1.5, t = 6.5.
+    assert info.lp_objective == pytest.approx(6.5, abs=1e-6)
+    # integer optimum: a=4, b=2 -> t = max(6, 7) = 7
+    s = CpSolver()
+    assert s.solve(m) == OPTIMAL
+    assert s.objective_value == 7
