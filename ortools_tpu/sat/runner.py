@@ -7,8 +7,10 @@ model from a file:
         [--num_workers N] [--all_solutions]
 
 Models are the JSON serialization of sat/serialization.py (the framework's
-CpModelProto-dump equivalent; write one with
-``model_to_json(model.ir)``).
+CpModelProto-dump equivalent; write one with ``model_to_json(model.ir)``)
+— or, matching the reference runner's direct-input formats, a DIMACS
+``.cnf``, weighted max-SAT ``.wcnf``, or pseudo-Boolean ``.opb`` file
+(sat/sat_io.py; reference sat_cnf_reader.h / opb_reader.h).
 """
 
 from __future__ import annotations
@@ -26,12 +28,11 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     from ortools_tpu.sat.params import SatParameters
-    from ortools_tpu.sat.serialization import model_from_json
+    from ortools_tpu.sat.sat_io import read_problem_file
     from ortools_tpu.sat.solver import solve_model
     from ortools_tpu.utils.status import SolveStatus
 
-    with open(args.model) as f:
-        model = model_from_json(f.read())
+    model = read_problem_file(args.model)
     params = SatParameters(num_workers=args.num_workers)
     if args.time_limit is not None:
         params.max_time_in_seconds = args.time_limit
