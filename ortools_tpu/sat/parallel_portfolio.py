@@ -80,16 +80,77 @@ def _worker_main(conn, work_bytes: bytes, cfg, deadline_wall: float,
         return
 
 
+class SharedTree:
+    """Parent-side open-leaf set of ONE shared search tree (reference
+    ``work_assignment.h:139`` SharedTreeManager + ProtoTrail): a leaf is
+    a disjoint subtree described by unit domain constraints along a
+    branching prefix.  Splitting replaces a leaf by its two engine-rule
+    branch children (which partition the propagated domain, so the
+    leaves always cover the root); closing every leaf proves root
+    exhaustion."""
+
+    def __init__(self, work: ir.CpModelIR) -> None:
+        self.work = work
+        self.leaves: dict = {0: []}  # leaf id -> list[ConstraintIR]
+        self._next = 1
+
+    def split(self, leaf_id: int) -> List[int]:
+        """Replace a leaf by its branch children.  Returns the new ids:
+        ``[]`` = the leaf was closed by root propagation, ``[leaf_id]``
+        = fully fixed, cannot split (a worker must still check it)."""
+        from ortools_tpu.sat.engine import Engine
+
+        cts = self.leaves[leaf_id]
+        model = dataclasses.replace(
+            self.work, constraints=list(self.work.constraints) + cts)
+        eng = Engine(model)
+        doms = eng.initial_domains()
+        if not eng.root_propagate(doms):
+            del self.leaves[leaf_id]
+            return []
+        v = eng._pick_variable(doms)
+        if v is None:
+            return [leaf_id]
+        left, right = eng._branch_domains(doms[v], v)
+        del self.leaves[leaf_id]
+        out: List[int] = []
+        for d in (left, right):
+            if d.is_empty():
+                continue
+            nid = self._next
+            self._next += 1
+            self.leaves[nid] = cts + [
+                ir.ConstraintIR("linear", ir.LinearArgs([v], [1], d))]
+            out.append(nid)
+        return out
+
+    def grow(self, target: int, max_splits: int = 64) -> None:
+        """BFS-split shallow leaves until >= target leaves exist."""
+        splits = 0
+        unsplittable: set = set()
+        while len(self.leaves) < target and splits < max_splits:
+            cands = [l for l in self.leaves if l not in unsplittable]
+            if not cands:
+                break
+            leaf = min(cands, key=lambda l: len(self.leaves[l]))
+            if self.split(leaf) == [leaf]:
+                unsplittable.add(leaf)
+            splits += 1
+
+
 class ParallelPortfolio:
     """Same .run() interface as InterleavedPortfolio, but each tree worker
     is a forked process advancing concurrently; LNS workers run in the
-    parent between collection rounds."""
+    parent between collection rounds.  With ``shared_tree=True`` the
+    workers split one search tree (SharedTree) instead of diversifying
+    over the full tree."""
 
     def __init__(self, work: ir.CpModelIR, num_workers: int,
                  deadline: float, max_branches: int,
-                 num_lns: int = 0) -> None:
+                 num_lns: int = 0, shared_tree: bool = False) -> None:
         self.work = work
         self.n_tree = max(1, num_workers - num_lns)
+        self.shared_tree = shared_tree
         self.lns_workers = [
             LnsWorker(work, deadline, seed=100 + k) for k in range(num_lns)
         ]
@@ -138,15 +199,19 @@ class ParallelPortfolio:
             = None) -> PortfolioOutcome:
         self._spawn()
         try:
+            if self.shared_tree:
+                return self._run_shared_tree(on_candidate, bound_ct_builder,
+                                             stop_on_first, best_provider)
             return self._run(on_candidate, bound_ct_builder, stop_on_first,
                              best_provider)
         finally:
             self._shutdown()
 
     def _send_slice(self, wi: int, reset: bool,
-                    bound_ct: Optional[ir.ConstraintIR]) -> None:
-        extra = (pickle.dumps([bound_ct]) if (reset and bound_ct is not None)
-                 else (pickle.dumps([]) if reset else None))
+                    extra_cts: Optional[List[ir.ConstraintIR]]) -> None:
+        extra = (pickle.dumps([ct for ct in (extra_cts or [])
+                               if ct is not None])
+                 if reset else None)
         self._conns[wi].send(("slice", extra, reset))
 
     def _run(self, on_candidate, bound_ct_builder, stop_on_first,
@@ -154,7 +219,7 @@ class ParallelPortfolio:
         n = self.n_tree
         bound_ct = bound_ct_builder()
         for wi in range(n):
-            self._send_slice(wi, True, bound_ct)
+            self._send_slice(wi, True, [bound_ct])
         pending = set(range(n))
         stale = set()  # workers that must reset at their next dispatch
         counted = [0] * n  # branches already folded into totals
@@ -231,7 +296,151 @@ class ParallelPortfolio:
                 stale.discard(wi)
                 if reset:
                     counted[wi] = 0
-                self._send_slice(wi, reset, bound_ct)
+                self._send_slice(wi, reset, [bound_ct])
+                pending.add(wi)
+            if not pending and not any(p.is_alive() for p in self._procs):
+                return PortfolioOutcome("limit", self.num_branches,
+                                        self.num_conflicts)
+
+    # -- shared-tree mode ----------------------------------------------------
+    def _run_shared_tree(self, on_candidate, bound_ct_builder, stop_on_first,
+                         best_provider) -> PortfolioOutcome:
+        """Work-splitting mode (work_assignment.h SharedTreeWorker): each
+        tree worker owns one open leaf; a worker finishing its leaf takes
+        another, or steal-splits a busy worker's leaf.  Optimality =
+        every leaf closed.  Soundness: leaves always partition the root,
+        closure under an older (looser) bound still closes the leaf, and
+        a steal-split only ever duplicates work (the victim keeps
+        searching the parent leaf until its next reset)."""
+        n = self.n_tree
+        tree = SharedTree(self.work)
+        tree.grow(2 * n)
+        bound_ct = bound_ct_builder()
+        assigned: dict = {}  # wi -> leaf id, or None = roving full-tree
+
+        def leaf_extra(lid: Optional[int]) -> List[ir.ConstraintIR]:
+            cts = list(tree.leaves[lid]) if lid is not None else []
+            if bound_ct is not None:
+                cts.append(bound_ct)
+            return cts
+
+        open_ids = sorted(tree.leaves)
+        for wi in range(n):
+            lid = open_ids[wi] if wi < len(open_ids) else None
+            assigned[wi] = lid
+            self._send_slice(wi, True, leaf_extra(lid))
+        pending = set(range(n))
+        stale: set = set()
+        counted = [0] * n
+
+        while True:
+            if time.perf_counter() > self.deadline or \
+                    self.num_branches >= self.max_branches:
+                return PortfolioOutcome("limit", self.num_branches,
+                                        self.num_conflicts)
+            if not tree.leaves:
+                # every leaf closed: the root is exhausted
+                kind = "optimal" if bound_ct is not None else "infeasible"
+                return PortfolioOutcome(kind, self.num_branches,
+                                        self.num_conflicts)
+            ready = mp.connection.wait(
+                [self._conns[i] for i in pending], timeout=1.0)
+            improved_any = False
+            for conn in ready:
+                wi = self._conns.index(conn)
+                try:
+                    _, outcome, sol, nb, nc = conn.recv()
+                except EOFError:
+                    pending.discard(wi)
+                    continue
+                self.num_branches += nb - counted[wi]
+                self.num_conflicts += nc
+                counted[wi] = nb
+                pending.discard(wi)
+                lid = assigned.get(wi)
+                if sol is not None:
+                    if on_candidate(sol):
+                        improved_any = True
+                    if stop_on_first:
+                        return PortfolioOutcome(
+                            "stopped", self.num_branches, self.num_conflicts)
+                elif outcome in ("done", "root_infeasible"):
+                    if lid is None:
+                        # a rover exhausted the FULL tree under a valid
+                        # (possibly older = looser) bound: global proof
+                        kind = ("optimal" if bound_ct is not None
+                                else "infeasible")
+                        return PortfolioOutcome(kind, self.num_branches,
+                                                self.num_conflicts)
+                    tree.leaves.pop(lid, None)
+                    assigned[wi] = None
+                    stale.add(wi)  # must be re-seeded with a new leaf
+                elif outcome == "limit":
+                    return PortfolioOutcome("limit", self.num_branches,
+                                            self.num_conflicts)
+            if improved_any:
+                bound_ct = bound_ct_builder()
+                stale.update(range(n))
+            # LNS in the parent while children work
+            if self.lns_workers and best_provider is not None \
+                    and best_provider() is not None:
+                found: List[Optional[List[int]]] = [None]
+
+                def cb(values):
+                    found[0] = list(values)
+                    return False
+
+                for lw in self.lns_workers:
+                    lw.slice(best_provider(), bound_ct_builder(), cb)
+                    self.num_branches += lw.num_branches
+                    self.num_conflicts += lw.num_conflicts
+                    lw.num_branches = lw.num_conflicts = 0
+                    if found[0] is not None:
+                        if on_candidate(found[0]):
+                            bound_ct = bound_ct_builder()
+                            stale.update(range(n))
+                        found[0] = None
+            # redispatch finished workers; reassign/steal-split as needed
+            for wi in list(range(n)):
+                if wi in pending or not self._procs[wi].is_alive():
+                    continue
+                lid = assigned.get(wi)
+                if lid is not None and lid not in tree.leaves:
+                    lid = None  # its leaf was closed or split away
+                    assigned[wi] = None
+                if lid is None and tree.leaves:
+                    taken = {l for w, l in assigned.items()
+                             if w != wi and l is not None}
+                    free = [l for l in sorted(tree.leaves)
+                            if l not in taken]
+                    if free:
+                        lid = free[0]
+                    else:
+                        # steal-split a busy worker's leaf: victim keeps
+                        # searching the (superset) parent until its next
+                        # reset — duplicated work only, never unsound
+                        victim = next((w for w, l in assigned.items()
+                                       if w != wi and l is not None), None)
+                        if victim is not None:
+                            children = tree.split(assigned[victim])
+                            if len(children) == 2:
+                                assigned[victim] = children[0]
+                                stale.add(victim)
+                                lid = children[1]
+                            elif len(children) == 1:
+                                lid = None  # unsplittable: rove instead
+                            else:
+                                # leaf closed by propagation
+                                assigned[victim] = None
+                                stale.add(victim)
+                                lid = None
+                    assigned[wi] = lid
+                    stale.add(wi)
+                reset = wi in stale
+                stale.discard(wi)
+                if reset:
+                    counted[wi] = 0
+                self._send_slice(wi, reset, leaf_extra(assigned.get(wi)))
                 pending.add(wi)
             if not pending and not any(p.is_alive() for p in self._procs):
                 return PortfolioOutcome("limit", self.num_branches,

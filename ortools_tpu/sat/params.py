@@ -50,3 +50,7 @@ class SatParameters:
     cp_model_presolve: bool = True
     # stop after first solution (feasibility problems)
     stop_after_first_solution: bool = False
+    # shared-tree work splitting for the process portfolio (reference
+    # shared_tree_num_workers / work_assignment.h SharedTreeManager);
+    # applies when num_workers > 1 and interleave_search=False
+    use_shared_tree_search: bool = False

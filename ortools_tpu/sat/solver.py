@@ -72,7 +72,7 @@ def _solve_portfolio(model, work, obj, params, callback, deadline,
 
         pf = ParallelPortfolio(
             work, params.num_workers, deadline, params.max_branches,
-            num_lns=num_lns,
+            num_lns=num_lns, shared_tree=params.use_shared_tree_search,
         )
     state = {
         "best": hint_solution,

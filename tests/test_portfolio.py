@@ -188,3 +188,59 @@ def test_portfolio_with_full_lns_rotation():
     s.parameters.max_time_in_seconds = 20
     assert s.solve(m) == OPTIMAL
     assert s.objective_value == 15
+
+
+def test_shared_tree_leaves_partition_root():
+    """SharedTree.grow produces leaves that partition the root search
+    space: over all assignments, exactly one leaf accepts each."""
+    from itertools import product
+
+    from ortools_tpu.sat import expand
+    from ortools_tpu.sat.checker import solution_is_feasible
+    from ortools_tpu.sat.parallel_portfolio import SharedTree
+    import ortools_tpu.sat.model_ir as ir
+
+    m = CpModel()
+    xs = [m.new_int_var(0, 2, f"x{i}") for i in range(3)]
+    m.add(xs[0] + xs[1] + xs[2] <= 4)
+    work = expand.expand_model(m.ir)
+    tree = SharedTree(work)
+    tree.grow(5)
+    assert len(tree.leaves) >= 4
+    import dataclasses as dc
+    for vals in product(range(3), repeat=3):
+        if sum(vals) > 4:
+            continue  # infeasible at the root: leaves need not cover it
+        hits = 0
+        for cts in tree.leaves.values():
+            leaf_model = dc.replace(
+                work, constraints=list(work.constraints) + cts)
+            if solution_is_feasible(leaf_model, list(vals)):
+                hits += 1
+        assert hits == 1, (vals, hits)
+
+
+def test_shared_tree_portfolio_optimizes_and_proves():
+    m, _ = knapsack_model(seed=5)
+    s = CpSolver()
+    s.parameters.num_workers = 4
+    s.parameters.interleave_search = False
+    s.parameters.use_shared_tree_search = True
+    assert s.solve(m) == OPTIMAL
+    m2, _ = knapsack_model(seed=5)
+    s2 = CpSolver()
+    assert s2.solve(m2) == OPTIMAL
+    assert s.objective_value == s2.objective_value
+
+
+def test_shared_tree_portfolio_infeasible():
+    m = CpModel()
+    xs = [m.new_bool_var(f"b{i}") for i in range(8)]
+    # odd/even parity contradiction, hard enough to reach the portfolio
+    m.add(sum(xs) >= 5)
+    m.add(sum(xs) <= 4)
+    s = CpSolver()
+    s.parameters.num_workers = 3
+    s.parameters.interleave_search = False
+    s.parameters.use_shared_tree_search = True
+    assert s.solve(m) == INFEASIBLE
