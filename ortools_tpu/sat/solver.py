@@ -52,10 +52,17 @@ def _objective_value(obj: ir.ObjectiveIR, values: List[int]) -> int:
     )
 
 
+class _ProvedOptimal(Exception):
+    """Raised inside a portfolio candidate callback when the incumbent
+    meets the root LP relaxation bound — the search can stop."""
+
+
 def _solve_portfolio(model, work, obj, params, callback, deadline,
-                     hint_solution, n_orig, resp):
+                     hint_solution, n_orig, resp, lp_bound=None):
     """Portfolio (num_workers > 1): deterministic interleaved by default,
-    forked worker processes when interleave_search=False."""
+    forked worker processes when interleave_search=False.  ``lp_bound``
+    is the root LP relaxation's proven lower bound on sense*objective
+    (sat/lp_propagator.py)."""
     from ortools_tpu.sat.portfolio import InterleavedPortfolio
     from ortools_tpu.utils.domain import Domain, INT_MIN
 
@@ -121,11 +128,24 @@ def _solve_portfolio(model, work, obj, params, callback, deadline,
                 callback._on_solution(
                     values, float(_objective_value(obj, values))
                 )
+            if lp_bound is not None and v <= lp_bound:
+                raise _ProvedOptimal  # incumbent meets the LP bound
             return True
         return False
 
-    out = pf.run(on_candidate, bound_ct, stop_on_first=obj is None,
-                 best_provider=lambda: state["best"])
+    from ortools_tpu.sat.portfolio import PortfolioOutcome
+
+    if (lp_bound is not None and state["best_obj"] is not None
+            and state["best_obj"] <= lp_bound):
+        # the hint already meets the LP bound: nothing to search
+        out = PortfolioOutcome("optimal", 0, 0)
+    else:
+        try:
+            out = pf.run(on_candidate, bound_ct, stop_on_first=obj is None,
+                         best_provider=lambda: state["best"])
+        except _ProvedOptimal:
+            out = PortfolioOutcome("optimal", pf.num_branches,
+                                   pf.num_conflicts)
     best = state["best"]
     if obj is None:
         if best is not None:
@@ -143,13 +163,16 @@ def _solve_portfolio(model, work, obj, params, callback, deadline,
                         branches=pf.num_branches, conflicts=pf.num_conflicts,
                         core=model.assumptions)
         return resp(SolveStatus.UNKNOWN, branches=pf.num_branches,
-                    conflicts=pf.num_conflicts)
+                    conflicts=pf.num_conflicts,
+                    bound=(float(sense * lp_bound) if lp_bound is not None
+                           else math.nan))
     true_obj = float(_objective_value(obj, best))
     if out.outcome in ("optimal", "infeasible"):
         return resp(SolveStatus.OPTIMAL, best, true_obj, true_obj,
                     pf.num_branches, pf.num_conflicts)
     return resp(SolveStatus.FEASIBLE, best, true_obj,
-                -float("inf") if obj.maximize else float("inf"),
+                float(sense * lp_bound) if lp_bound is not None
+                else (-float("inf") if obj.maximize else float("inf")),
                 pf.num_branches, pf.num_conflicts)
 
 
@@ -316,9 +339,32 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
                                 core=model.assumptions)
                 # UNKNOWN: fall through to the propagation engine
 
+    # Root LP relaxation propagation (reference
+    # linear_programming_constraint.h:138 run at level zero +
+    # linear_relaxation.cc): exact glop duals give an objective bound,
+    # an infeasibility proof, and reduced-cost strengthening; cut rounds
+    # tighten the bound (sat/lp_propagator.py).
+    lp_info = None
+    lp_bound: Optional[int] = None  # lower bound on sense*objective (ceil'd)
+    if obj is not None and params.use_lp_relaxation:
+        from ortools_tpu.sat.lp_propagator import root_lp_relaxation
+
+        lp_info = root_lp_relaxation(work, obj,
+                                     -1 if obj.maximize else 1,
+                                     deadline=deadline)
+        if lp_info is not None:
+            if lp_info.infeasible:
+                return resp(
+                    SolveStatus.INFEASIBLE,
+                    bound=-math.inf if obj.maximize else math.inf,
+                    core=model.assumptions,
+                )
+            lp_bound = lp_info.int_bound
+
     if params.num_workers > 1 and not params.enumerate_all_solutions:
         return _solve_portfolio(model, work, obj, params, callback,
-                                deadline, hint_solution, n_orig, resp)
+                                deadline, hint_solution, n_orig, resp,
+                                lp_bound=lp_bound)
 
     if obj is None:
         solutions_found = 0
@@ -373,28 +419,8 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     def internal_obj(values: List[int]) -> int:
         return sense * _objective_value(obj, values)
 
-    # Root LP relaxation propagation (reference
-    # linear_programming_constraint.h:138 run at level zero +
-    # linear_relaxation.cc): exact glop duals give an objective bound,
-    # an infeasibility proof, and reduced-cost strengthening; cut rounds
-    # tighten the bound (sat/lp_propagator.py).
-    lp_info = None
-    lp_bound: Optional[int] = None  # lower bound on internal_obj (ceil'd)
     if params.use_lp_relaxation:
-        from ortools_tpu.sat.lp_propagator import (
-            reduced_cost_tightenings,
-            root_lp_relaxation,
-        )
-
-        lp_info = root_lp_relaxation(work, obj, sense, deadline=deadline)
-        if lp_info is not None:
-            if lp_info.infeasible:
-                return resp(
-                    SolveStatus.INFEASIBLE,
-                    bound=-math.inf if obj.maximize else math.inf,
-                    core=model.assumptions,
-                )
-            lp_bound = lp_info.int_bound
+        from ortools_tpu.sat.lp_propagator import reduced_cost_tightenings
 
     def orig_bound(internal_b: float) -> float:
         """internal-sense lower bound -> original-sense objective bound."""
