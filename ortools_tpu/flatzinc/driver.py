@@ -305,7 +305,7 @@ def _parse_constraint(fz: _FzModel, text: str) -> None:
         mdl.add(expr(0) != expr(1))
     elif name in ("int_le", "bool_le"):
         mdl.add(expr(0) <= expr(1))
-    elif name == "int_lt":
+    elif name in ("int_lt", "bool_lt"):
         mdl.add(expr(0) <= expr(1) - 1)
     elif name in ("int_eq_reif", "bool_eq_reif"):
         b = lit(2)
@@ -319,7 +319,7 @@ def _parse_constraint(fz: _FzModel, text: str) -> None:
         b = lit(2)
         mdl.add(expr(0) <= expr(1)).only_enforce_if(b)
         mdl.add(expr(0) >= expr(1) + 1).only_enforce_if(_neg(b))
-    elif name == "int_lt_reif":
+    elif name in ("int_lt_reif", "bool_lt_reif"):
         b = lit(2)
         mdl.add(expr(0) <= expr(1) - 1).only_enforce_if(b)
         mdl.add(expr(0) >= expr(1)).only_enforce_if(_neg(b))
@@ -349,6 +349,95 @@ def _parse_constraint(fz: _FzModel, text: str) -> None:
         mdl.add_element(idx, arr, expr(2))
     elif name == "all_different_int":
         mdl.add_all_different([E(v) for v in fz.var_list(args[0])])
+    elif name in ("fzn_cumulative", "cumulative"):
+        # cumulative(s, d, r, b): renewable-resource scheduling
+        starts = [E(v) for v in fz.var_list(args[0])]
+        durs = [E(v) for v in fz.var_list(args[1])]
+        reqs = [E(v) for v in fz.var_list(args[2])]
+        ivs = [mdl.new_interval_var(s, d, s + d)
+               for s, d in zip(starts, durs)]
+        mdl.add_cumulative(ivs, reqs, expr(3))
+    elif name in ("fzn_diffn", "diffn"):
+        # diffn(x, y, dx, dy): non-overlapping rectangles
+        xs = [E(v) for v in fz.var_list(args[0])]
+        ys = [E(v) for v in fz.var_list(args[1])]
+        dxs = [E(v) for v in fz.var_list(args[2])]
+        dys = [E(v) for v in fz.var_list(args[3])]
+        xiv = [mdl.new_interval_var(x, dx, x + dx)
+               for x, dx in zip(xs, dxs)]
+        yiv = [mdl.new_interval_var(y, dy, y + dy)
+               for y, dy in zip(ys, dys)]
+        mdl.add_no_overlap_2d(xiv, yiv)
+    elif name in ("fzn_circuit", "circuit"):
+        # circuit(x): 1-based successor array forms one Hamiltonian cycle
+        succ = [E(v) for v in fz.var_list(args[0])]
+        n = len(succ)
+        arcs = []
+        for i, s in enumerate(succ):
+            if n > 1:
+                mdl.add(s != i + 1)  # MiniZinc circuit forbids self-loops
+            for j in range(1, n + 1):
+                if j == i + 1 and n > 1:
+                    continue
+                b = mdl.new_bool_var(f"_circ{i}_{j}")
+                mdl.add(s == j).only_enforce_if(b)
+                mdl.add(s != j).only_enforce_if(_neg(b))
+                arcs.append((i, j - 1, b))
+        mdl.add_circuit(arcs)
+    elif name in ("fzn_inverse", "inverse"):
+        # inverse(f, g): g[f[i]] = i with 1-based values -> shift to 0-based
+        f_vars = [E(v) - 1 for v in fz.var_list(args[0])]
+        g_vars = [E(v) - 1 for v in fz.var_list(args[1])]
+        f0, g0 = [], []
+        for k, e in enumerate(f_vars):
+            v = mdl.new_int_var(0, len(g_vars) - 1, f"_inv_f{k}")
+            mdl.add(v == e)
+            f0.append(v)
+        for k, e in enumerate(g_vars):
+            v = mdl.new_int_var(0, len(f_vars) - 1, f"_inv_g{k}")
+            mdl.add(v == e)
+            g0.append(v)
+        mdl.add_inverse(f0, g0)
+    elif name in ("fzn_global_cardinality", "global_cardinality",
+                  "fzn_global_cardinality_closed",
+                  "global_cardinality_closed"):
+        xs = [E(v) for v in fz.var_list(args[0])]
+        cover = fz.int_list(args[1])
+        counts = [E(v) for v in fz.var_list(args[2])]
+        for ci, (val, cnt) in enumerate(zip(cover, counts)):
+            bs = []
+            for k, x in enumerate(xs):
+                b = mdl.new_bool_var(f"_gcc{ci}_{k}")
+                mdl.add(x == val).only_enforce_if(b)
+                mdl.add(x != val).only_enforce_if(_neg(b))
+                bs.append(b)
+            mdl.add(sum(bs) == cnt)
+        if name.endswith("closed"):
+            dom = Domain.from_values(cover)
+            for x in xs:
+                mdl.add_linear_expression_in_domain(x, dom)
+    elif name in ("fzn_regular", "regular"):
+        # regular(x, Q, S, d, q0, F): DFA over 1..S symbols; next-state 0
+        # is the fail state (omit those transitions)
+        xs = [E(v) for v in fz.var_list(args[0])]
+        n_states = int(V(args[1]))
+        n_syms = int(V(args[2]))
+        d_flat = fz.int_list(args[3])
+        q0 = int(V(args[4]))
+        f_tok = args[5].strip()
+        rm = re.fullmatch(r"(-?\d+)\s*\.\.\s*(-?\d+)", f_tok)
+        if rm:
+            finals = list(range(int(rm.group(1)), int(rm.group(2)) + 1))
+        else:
+            finals = [int(x) for x in _split_top(f_tok[1:-1])] \
+                if len(f_tok) > 2 else []
+        triples = []
+        for st in range(1, n_states + 1):
+            for sym in range(1, n_syms + 1):
+                nxt = d_flat[(st - 1) * n_syms + (sym - 1)]
+                if nxt != 0:
+                    triples.append((st, sym, nxt))
+        mdl.add_automaton(xs, q0, finals, triples)
     elif name == "bool_clause":
         pos = [fz.as_lit(v) for v in fz.var_list(args[0])]
         neg = [_neg(fz.as_lit(v)) for v in fz.var_list(args[1])]

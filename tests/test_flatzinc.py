@@ -200,3 +200,127 @@ solve satisfy;
     out = solve_fzn_text(text).text
     val = int(out.splitlines()[0].split("=")[1].strip().rstrip(";"))
     assert val <= 4 and not (3 <= val <= 5)
+
+
+def _values(r):
+    import re as _re
+
+    out = {}
+    for ln in r.text.splitlines():
+        if " = " not in ln:
+            continue
+        k, v = ln.replace(";", "").split(" = ", 1)
+        m = _re.match(r"array1d\(\s*(-?\d+)\.\.-?\d+,\s*\[(.*)\]\s*\)", v)
+        if m:
+            base = int(m.group(1))
+            for off, tok in enumerate(m.group(2).split(",")):
+                out[f"{k}[{base + off}]"] = int(tok.strip())
+        elif v.lstrip("-").isdigit():
+            out[k] = int(v)
+    return out
+
+
+def test_cumulative_builtin():
+    fzn = """
+var 0..10: s1 :: output_var;
+var 0..10: s2 :: output_var;
+var 0..10: s3 :: output_var;
+constraint fzn_cumulative([s1, s2, s3], [3, 3, 3], [2, 2, 2], 3);
+solve minimize s3;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status == SolveStatus.OPTIMAL
+    v = _values(r)
+    # capacity 3 with demands 2: no two tasks overlap; spans must be
+    # pairwise disjoint, so some task starts at >= 6... s3 minimized = 0
+    starts = sorted([v["s1"], v["s2"], v["s3"]])
+    assert starts[1] >= starts[0] + 3 and starts[2] >= starts[1] + 3
+
+
+def test_diffn_builtin():
+    fzn = """
+var 0..2: x1 :: output_var;
+var 0..2: y1 :: output_var;
+var 0..2: x2 :: output_var;
+var 0..2: y2 :: output_var;
+constraint fzn_diffn([x1, x2], [y1, y2], [2, 2], [2, 2]);
+constraint int_le(x1, 0);
+constraint int_le(x2, 0);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    v = _values(r)
+    # both 2x2 boxes pinned to x=0: they must separate vertically
+    assert abs(v["y1"] - v["y2"]) >= 2
+
+
+def test_circuit_builtin():
+    fzn = """
+array [1..4] of var 1..4: s :: output_array([1..4]);
+constraint fzn_circuit(s);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    v = _values(r)
+    succ = [v[f"s[{i}]"] for i in range(1, 5)]
+    # follow the successors: one cycle covering all 4 nodes
+    seen, cur = set(), 1
+    for _ in range(4):
+        assert cur not in seen
+        seen.add(cur)
+        cur = succ[cur - 1]
+    assert cur == 1 and len(seen) == 4
+
+
+def test_inverse_builtin():
+    fzn = """
+array [1..3] of var 1..3: f :: output_array([1..3]);
+array [1..3] of var 1..3: g :: output_array([1..3]);
+constraint fzn_inverse(f, g);
+constraint int_eq(f[1], 2);
+constraint int_eq(f[2], 3);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    v = _values(r)
+    f = [v[f"f[{i}]"] for i in range(1, 4)]
+    g = [v[f"g[{i}]"] for i in range(1, 4)]
+    for i in range(1, 4):
+        assert g[f[i - 1] - 1] == i
+
+
+def test_global_cardinality_builtin():
+    fzn = """
+array [1..4] of var 1..3: xs :: output_array([1..4]);
+var 0..4: c1 :: output_var;
+var 0..4: c2 :: output_var;
+constraint fzn_global_cardinality(xs, [1, 2], [c1, c2]);
+constraint int_eq(c1, 2);
+constraint int_eq(c2, 1);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    v = _values(r)
+    xs = [v[f"xs[{i}]"] for i in range(1, 5)]
+    assert xs.count(1) == 2 and xs.count(2) == 1
+
+
+def test_regular_builtin():
+    # DFA over {1,2}: accept strings matching 1*2* (state 1 start, both
+    # final); d[1][1]=1, d[1][2]=2, d[2][1]=0 (fail), d[2][2]=2
+    fzn = """
+array [1..4] of var 1..2: xs :: output_array([1..4]);
+constraint fzn_regular(xs, 2, 2, [1, 2, 0, 2], 1, 1..2);
+constraint int_eq(xs[2], 2);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    v = _values(r)
+    xs = [v[f"xs[{i}]"] for i in range(1, 5)]
+    # xs[2]=2 forces all later symbols to be 2; xs[1] free
+    assert xs[1] == 2 and xs[2] == 2 and xs[3] == 2
