@@ -187,13 +187,59 @@ def _cover_on_row(idx: np.ndarray, val: np.ndarray, rhs: float,
     cover = np.array(keep, dtype=int)
     if len(cover) == 0:
         return None
-    viol = (float(np.sum(xprime[cover])) - (len(cover) - 1)) / np.sqrt(len(cover))
+    rhs_cut = float(len(cover) - 1)
+
+    # Sequential lifting of out-of-cover variables (reference cuts.cc
+    # lifted cover inequalities).  For candidate j (descending weight),
+    # alpha_j = (|C|-1) - z_j with z_j the max cut-LHS achievable among
+    # cover + previously-lifted items under budget b - a_j.  We lower-
+    # bound alpha_j through the fractional-knapsack UPPER bound on z_j
+    # (an integer z* <= frac optimum, so floor(frac + eps) >= z*), which
+    # keeps the cut valid while costing O(k log k) per candidate.
+    cover_set = set(cover.tolist())
+    items_w = [float(a[i]) for i in cover]
+    items_p = [1.0] * len(cover)
+    wsorted = np.sort(a[cover])
+    fit_all_but_one = float(np.sum(wsorted[:-1]))
+    outside = [j for j in range(len(idx))
+               if j not in cover_set and a[j] > _EPS
+               and a[j] > b - fit_all_but_one + 1e-9]
+    outside.sort(key=lambda j: -a[j])
+    lifted: List[Tuple[int, float]] = []
+    for j in outside[:20]:
+        budget = b - float(a[j])
+        if budget < -1e-9:
+            # x_j = 1 already violates the row: any coefficient is valid
+            alpha = rhs_cut
+        else:
+            order2 = sorted(range(len(items_w)),
+                            key=lambda t: -items_p[t] / items_w[t])
+            rem, frac = budget, 0.0
+            for t in order2:
+                take = min(1.0, rem / items_w[t])
+                frac += items_p[t] * take
+                rem -= items_w[t] * take
+                if rem <= 1e-12:
+                    break
+            alpha = rhs_cut - math.floor(frac + 1e-6)
+        if alpha > 0.5:
+            lifted.append((j, float(alpha)))
+            items_w.append(float(a[j]))
+            items_p.append(float(alpha))
+    sel = np.concatenate([cover,
+                          np.array([j for j, _ in lifted], dtype=int)]) \
+        if lifted else cover
+    coef = np.concatenate([np.ones(len(cover)),
+                           np.array([al for _, al in lifted])]) \
+        if lifted else np.ones(len(cover))
+    viol = (float(coef @ xprime[sel]) - rhs_cut) / np.sqrt(
+        float(coef @ coef))
     if viol <= min_violation:
         return None
-    # sum_{C} x'_j <= |C|-1  ->  original space
-    g = np.where(neg[cover], -1.0, 1.0)
-    d = float(len(cover) - 1) - float(np.sum(neg[cover]))
-    return idx[cover], g, d
+    # sum coef_j x'_j <= |C|-1  ->  original space (x' = 1-x on neg)
+    g = np.where(neg[sel], -coef, coef)
+    d = rhs_cut - float(np.sum(coef[neg[sel]]))
+    return idx[sel], g, d
 
 
 def _find_vubs(a: sp.csr_matrix, con_lb, con_ub, var_lb, var_ub, is_int):

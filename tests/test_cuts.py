@@ -141,3 +141,47 @@ def test_append_cuts_and_root_bound_improves():
     x_int = mres.solution
     assert np.all(qp2.constraint_matrix @ x_int
                   <= qp2.constraint_upper + 1e-6)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_lifted_cover_validity_exhaustive(seed):
+    """Lifted cover cuts keep every binary-feasible point (brute force)."""
+    rng = np.random.default_rng(100 + seed)
+    n = 8
+    w = rng.integers(2, 25, n).astype(float)
+    cap = float(int(w.sum() * rng.uniform(0.3, 0.6)))
+    a = sp.csr_matrix(w.reshape(1, -1))
+    cl = np.array([-np.inf]); cu = np.array([cap])
+    lb = np.zeros(n); ub = np.ones(n)
+    # a fractional LP point near the boundary to trigger separation
+    c = -rng.uniform(1, 10, n)
+    from scipy.optimize import linprog
+    r = linprog(c, A_ub=w.reshape(1, -1), b_ub=[cap],
+                bounds=[(0, 1)] * n, method="highs")
+    pool = generate_cuts(a, cl, cu, lb, ub, np.ones(n, dtype=bool), r.x)
+    if pool is None:
+        return
+    pts = _enumerate_integer_points(lb, ub)
+    feas = pts[w @ pts.T <= cap + 1e-9]
+    g = pool.rows.toarray()
+    assert np.all(feas @ g.T <= pool.rhs + 1e-6), "a cut removed a feasible point"
+
+
+def test_lifting_strengthens_cover():
+    """A heavy out-of-cover item gets a positive lifted coefficient."""
+    from ortools_tpu.mip.cuts import _cover_on_row
+
+    # weights: cover candidates 5,5,5 (cap 12) and a heavy item 11
+    idx = np.arange(4)
+    val = np.array([5.0, 5.0, 5.0, 11.0])
+    lb = np.zeros(4); ub = np.ones(4)
+    is_int = np.ones(4, dtype=bool)
+    # LP point: x = (0.8, 0.8, 0.8, 0) violates the cover x1+x2+x3 <= 2
+    x_lp = np.array([0.8, 0.8, 0.8, 0.0])
+    out = _cover_on_row(idx, val, 12.0, lb, ub, is_int, x_lp, 1e-4)
+    assert out is not None
+    cidx, g, d = out
+    coeff = dict(zip(cidx.tolist(), g.tolist()))
+    # x4=1 leaves budget 1: nothing else fits -> alpha_4 = 2
+    assert coeff.get(3, 0.0) >= 2.0 - 1e-9
+    assert d == pytest.approx(2.0)
