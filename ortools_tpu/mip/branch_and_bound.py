@@ -81,6 +81,14 @@ class MipParams:
     rins_interval: int = 24
     rins_max_nodes: int = 400
     rins_time_limit_sec: float = 5.0
+    # Local branching (Fischetti-Lodi; reference cp_model_lns.h
+    # LocalBranchingLpBasedNeighborhoodGenerator): solve the sub-MIP
+    # restricted to the Hamming ball of radius k around the incumbent's
+    # binaries.  0 disables.
+    local_branching_interval: int = 36
+    local_branching_k: int = 12
+    local_branching_max_nodes: int = 400
+    local_branching_time_limit_sec: float = 5.0
     # Root cutting planes (mip/cuts.py).
     cut_rounds: int = 5
     max_cuts_per_round: int = 100
@@ -247,6 +255,8 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             incumbent_obj = obj
             incumbent_x = x_r
 
+    heur_seen: set = set()
+
     def run_heuristics(x_lp: np.ndarray) -> None:
         """LP-guided rounding + repair + 1-opt (mip/heuristics.py); every
         candidate goes through the same checker as any incumbent."""
@@ -254,7 +264,8 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             return
         reopt = (backend.resolve_raw
                  if isinstance(backend, SimplexNodeBackend) else None)
-        for cand in round_and_repair(qp_min, x_lp, int_idx, reopt=reopt):
+        for cand in round_and_repair(qp_min, x_lp, int_idx, reopt=reopt,
+                                     seen=heur_seen):
             try_incumbent(cand)
 
     def run_rins(x_lp: np.ndarray) -> None:
@@ -284,10 +295,62 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             max_nodes=params.rins_max_nodes,
             time_limit_sec=min(params.rins_time_limit_sec, remaining),
             cut_rounds=0, rins_interval=0, tree_cut_interval=0,
+            local_branching_interval=0,
             verbosity=0,
         )
         sub_qp = dataclasses.replace(qp_min, variable_lower=lbr,
                                      variable_upper=ubr)
+        r = solve(sub_qp, sub_params)
+        if r.status in (MPSolverStatus.OPTIMAL, MPSolverStatus.FEASIBLE):
+            try_incumbent(r.solution)
+
+    lb_seen: set = set()
+
+    def run_local_branching() -> None:
+        """Local branching (Fischetti-Lodi 2003): add the Hamming-ball
+        row sum_{x*=0} x_j + sum_{x*=1} (1 - x_j) <= k around the
+        incumbent's binaries and solve the sub-MIP briefly.  Any solution
+        of the restriction is feasible for the original problem."""
+        if incumbent_x is None or not len(int_idx):
+            return
+        remaining = params.time_limit_sec - (time.perf_counter() - start)
+        if remaining < 1.0:
+            return
+        lbv, ubv = qp_min.variable_lower, qp_min.variable_upper
+        bin_idx = int_idx[(lbv[int_idx] >= -1e-9)
+                          & (ubv[int_idx] <= 1.0 + 1e-9)]
+        if len(bin_idx) < 10:
+            return
+        fp = (incumbent_obj, incumbent_x[bin_idx].tobytes())
+        if fp in lb_seen:
+            return
+        lb_seen.add(fp)
+        ones = incumbent_x[bin_idx] >= 0.5
+        coeffs = np.where(ones, -1.0, 1.0)
+        rhs = float(params.local_branching_k) - float(ones.sum())
+        row = sp.csr_matrix(
+            (coeffs, (np.zeros(len(bin_idx), dtype=int), bin_idx)),
+            shape=(1, qp_min.num_variables))
+        sub_qp = dataclasses.replace(
+            qp_min,
+            constraint_matrix=sp.vstack(
+                [sp.csr_matrix(qp_min.constraint_matrix), row],
+                format="csr"),
+            constraint_lower=np.concatenate(
+                [qp_min.constraint_lower, [-np.inf]]),
+            constraint_upper=np.concatenate(
+                [qp_min.constraint_upper, [rhs]]),
+            constraint_names=None,
+        )
+        sub_params = dataclasses.replace(
+            params,
+            max_nodes=params.local_branching_max_nodes,
+            time_limit_sec=min(params.local_branching_time_limit_sec,
+                               remaining),
+            cut_rounds=0, rins_interval=0, tree_cut_interval=0,
+            local_branching_interval=0,
+            verbosity=0,
+        )
         r = solve(sub_qp, sub_params)
         if r.status in (MPSolverStatus.OPTIMAL, MPSolverStatus.FEASIBLE):
             try_incumbent(r.solution)
@@ -452,6 +515,11 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                         and num_batches % params.rins_interval == 2
                         and incumbent_x is not None):
                     run_rins(x_lp)
+                if (params.local_branching_interval
+                        and num_batches % params.local_branching_interval
+                        == 4
+                        and incumbent_x is not None):
+                    run_local_branching()
                 if (is_simplex and params.tree_cut_interval
                         and num_batches % params.tree_cut_interval == 3
                         and num_tree_cuts < params.max_tree_cuts):

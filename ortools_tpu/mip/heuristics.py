@@ -41,6 +41,7 @@ def round_and_repair(
     rng: Optional[np.random.Generator] = None,
     feas_tol: float = 1e-6,
     reopt=None,
+    seen: Optional[set] = None,
 ) -> List[np.ndarray]:
     """Return integer-feasible CANDIDATES (possibly violating rows — the
     caller's checker decides).  qp_min must be in minimization form."""
@@ -99,6 +100,13 @@ def round_and_repair(
         if (viol <= feas_tol * (1.0 + np.maximum(
                 np.abs(np.where(np.isfinite(cl), cl, 0)),
                 np.abs(np.where(np.isfinite(cu), cu, 0))))).all():
+            if seen is not None:
+                # don't re-polish a candidate already offered: the node
+                # LPs revisit near-identical fractional points every batch
+                key = x.tobytes()
+                if key in seen:
+                    continue
+                seen.add(key)
             x = _one_opt(qp_min, a, at, x, int_idx, feas_tol)
             x = _swap_polish(qp_min, a, at, x, int_idx, feas_tol)
             out.append(x)
@@ -144,30 +152,32 @@ def _swap_polish(qp_min, a, at, x, int_idx, feas_tol, max_moves: int = 200):
         if np.any(under > feas_tol * scale[rows_j]):
             continue  # this move class only repairs <=-side violations
         removed: List[int] = []
+        removed_mask = np.zeros(qp_min.num_variables, dtype=bool)
         obj_delta = c[j]
         feasible = True
         for ri, o in zip(rows_j, over):
-            if o <= feas_tol * scale[ri]:
+            tol_r = feas_tol * scale[ri]
+            if o <= tol_r:
                 continue
             lo_r, hi_r = a.indptr[ri], a.indptr[ri + 1]
             cols_r = a.indices[lo_r:hi_r]
             vals_r = a.data[lo_r:hi_r]
-            cand = sorted(
-                (float(-c[k]), int(k), float(v))
-                for k, v in zip(cols_r, vals_r)
-                if k != j and v > 0 and x[k] >= 0.5 and is_bin[k]
-                and lb[k] <= 0 and k not in removed
-            )
-            need = o
-            for loss, k, v in cand:
-                if need <= feas_tol * scale[ri]:
-                    break
-                removed.append(k)
-                obj_delta -= c[k]
-                need -= v
-            if need > feas_tol * scale[ri]:
+            m = ((cols_r != j) & (vals_r > 0) & (x[cols_r] >= 0.5)
+                 & is_bin[cols_r] & (lb[cols_r] <= 0)
+                 & ~removed_mask[cols_r])
+            kk = cols_r[m]
+            vv = vals_r[m]
+            # clear smallest-loss binaries first until the row fits
+            order = np.argsort(-c[kk], kind="stable")
+            csum = np.cumsum(vv[order])
+            t = int(np.searchsorted(csum, o - tol_r, side="left")) + 1
+            if t > len(order):
                 feasible = False
                 break
+            chosen = kk[order[:t]]
+            removed_mask[chosen] = True
+            removed.extend(int(k) for k in chosen)
+            obj_delta -= float(c[chosen].sum())
         if not feasible or obj_delta >= -1e-12:
             continue
         x_try = x.copy()
