@@ -378,6 +378,8 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                              params.node_lp)
     if len(int_idx) and params.cut_rounds > 0:
         for _ in range(params.cut_rounds + 1):
+            if time.perf_counter() - start > 0.5 * params.time_limit_sec:
+                break  # leave at least half the budget to the tree
             res0 = backend.solve(lb0[None], ub0[None])
             num_nodes += 1
             if res0.primal_infeasible[0]:

@@ -375,6 +375,87 @@ def _clique_cuts(a: sp.csr_matrix, con_ub: np.ndarray, var_lb, var_ub,
     return out
 
 
+def _odd_cycle_cuts(a: sp.csr_matrix, con_ub: np.ndarray, var_lb, var_ub,
+                    is_int: np.ndarray, x_lp: np.ndarray,
+                    min_violation: float, max_cuts: int = 100,
+                    max_seeds: int = 30
+                    ) -> List[Tuple[float, np.ndarray, np.ndarray, float]]:
+    """Odd-cycle cuts on the conflict graph (reference zero_half_cuts.cc
+    role on packing structures): an odd cycle C of pairwise conflicts
+    gives ``sum_{v in C} x_v <= (|C|-1)/2``.  Separation: weight each
+    conflict edge (u,v) by ``max(0, 1 - x_u - x_v)``; an odd cycle is
+    violated iff its weight is < 1.  Minimum-weight odd closed walks are
+    shortest paths (u,parity 0) -> (u,parity 1) in the bipartite double
+    cover (Dijkstra from the most fractional seeds)."""
+    import heapq
+
+    indptr, indices, data = a.indptr, a.indices, a.data
+    binary = is_int & (var_lb >= 0) & (var_ub <= 1)
+    nnz_per_row = np.diff(indptr)
+    pair_rows = np.nonzero((nnz_per_row == 2) & (con_ub == 1.0))[0]
+    adj: dict = {}
+    for i in pair_rows:
+        lo = indptr[i]
+        j1, j2 = int(indices[lo]), int(indices[lo + 1])
+        if (data[lo] == 1.0 and data[lo + 1] == 1.0
+                and binary[j1] and binary[j2]):
+            w = max(0.0, 1.0 - float(x_lp[j1]) - float(x_lp[j2]))
+            adj.setdefault(j1, []).append((j2, w))
+            adj.setdefault(j2, []).append((j1, w))
+    if len(adj) < 3:
+        return []
+    seeds = sorted(adj, key=lambda v: abs(float(x_lp[v]) - 0.5))
+    out: List[Tuple[float, np.ndarray, np.ndarray, float]] = []
+    seen: set = set()
+    inf = math.inf
+    for s in seeds[:max_seeds]:
+        dist = {(s, 0): 0.0}
+        prev: dict = {}
+        pq = [(0.0, s, 0)]
+        target = (s, 1)
+        while pq:
+            d, u, p = heapq.heappop(pq)
+            if d > dist.get((u, p), inf) + 1e-15:
+                continue
+            if (u, p) == target:
+                break
+            for v, w in adj[u]:
+                key = (v, 1 - p)
+                nd = d + w
+                if nd < dist.get(key, inf) - 1e-15:
+                    dist[key] = nd
+                    prev[key] = (u, p)
+                    heapq.heappush(pq, (nd, v, 1 - p))
+        if dist.get(target, inf) >= 1.0 - 1e-9:
+            continue
+        walk: List[int] = []
+        cur = target
+        while cur != (s, 0):
+            walk.append(cur[0])
+            cur = prev.get(cur)
+            if cur is None:
+                break
+        if cur is None:
+            continue
+        cyc = walk  # closed odd walk: s ... s, with the final s implicit
+        if len(cyc) % 2 == 0 or len(set(cyc)) != len(cyc):
+            continue  # keep only simple odd cycles
+        key2 = tuple(sorted(cyc))
+        if key2 in seen:
+            continue
+        seen.add(key2)
+        cidx = np.array(sorted(cyc), dtype=np.int64)
+        rhs = (len(cyc) - 1) / 2.0
+        norm = math.sqrt(float(len(cyc)))
+        viol = (float(x_lp[cidx].sum()) - rhs) / norm
+        if viol > min_violation:
+            out.append((viol, cidx, np.full(len(cidx), 1.0 / norm),
+                        rhs / norm))
+        if len(out) >= max_cuts:
+            break
+    return out
+
+
 def generate_cuts(
     a: sp.csr_matrix,
     con_lb: np.ndarray,
@@ -400,6 +481,8 @@ def generate_cuts(
     found: List[Tuple[float, np.ndarray, np.ndarray, float]] = []
     found.extend(_clique_cuts(a, con_ub, var_lb, var_ub, is_int, x_lp,
                               min_violation))
+    found.extend(_odd_cycle_cuts(a, con_ub, var_lb, var_ub, is_int, x_lp,
+                                 min_violation))
     indptr, indices, data = a.indptr, a.indices, a.data
     for i in range(m):
         lo, hi = indptr[i], indptr[i + 1]

@@ -185,3 +185,69 @@ def test_lifting_strengthens_cover():
     # x4=1 leaves budget 1: nothing else fits -> alpha_4 = 2
     assert coeff.get(3, 0.0) >= 2.0 - 1e-9
     assert d == pytest.approx(2.0)
+
+
+def test_odd_cycle_cut_on_5_cycle():
+    """x = 0.5 on a 5-cycle conflict graph is cut by sum x <= 2."""
+    from ortools_tpu.mip.cuts import _odd_cycle_cuts
+
+    n = 5
+    rows, cols, vals = [], [], []
+    for r, (u, v) in enumerate([(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]):
+        rows += [r, r]; cols += [u, v]; vals += [1.0, 1.0]
+    a = sp.csr_matrix((vals, (rows, cols)), shape=(5, n))
+    cu = np.ones(5)
+    x = np.full(n, 0.5)
+    cuts = _odd_cycle_cuts(a, cu, np.zeros(n), np.ones(n),
+                           np.ones(n, dtype=bool), x, 1e-4)
+    assert cuts, "no odd-cycle cut found at the half-integral point"
+    viol, cidx, cval, rhs = cuts[0]
+    # normalized sum_{C} x <= (|C|-1)/2 with |C| = 5
+    assert len(cidx) == 5
+    assert float(cval @ x[cidx]) > rhs + 1e-5
+    # validity: every stable set of the 5-cycle satisfies it
+    import itertools
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)]
+    for bits in itertools.product([0, 1], repeat=n):
+        if any(bits[u] + bits[v] > 1 for u, v in edges):
+            continue
+        assert float(cval @ np.asarray(bits, float)[cidx]) <= rhs + 1e-9
+
+
+def test_odd_cycle_improves_edge_packing_root():
+    """Root LP bound tightens with odd-cycle cuts on a small packing."""
+    rng = np.random.default_rng(3)
+    n_nodes, n_edges = 9, 14
+    edges = set()
+    while len(edges) < n_edges:
+        u, v = rng.integers(0, n_nodes, 2)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    edges = sorted(edges)
+    rows, cols, vals = [], [], []
+    for r, (u, v) in enumerate(edges):
+        rows += [r, r]; cols += [int(u), int(v)]; vals += [1.0, 1.0]
+    a = sp.csr_matrix((vals, (rows, cols)), shape=(len(edges), n_nodes))
+    cl = np.full(len(edges), -np.inf); cu = np.ones(len(edges))
+    lb = np.zeros(n_nodes); ub = np.ones(n_nodes)
+    c = -np.ones(n_nodes)  # max stable set
+    r0 = linprog(c, A_ub=a.toarray(), b_ub=cu, bounds=[(0, 1)] * n_nodes,
+                 method="highs")
+    pool = generate_cuts(a, cl, cu, lb, ub, np.ones(n_nodes, dtype=bool),
+                         r0.x)
+    if pool is None:
+        return  # LP integral already
+    qp = QuadraticProgram(
+        objective_vector=c, constraint_matrix=a, constraint_lower=cl,
+        constraint_upper=cu, variable_lower=lb, variable_upper=ub)
+    cut_qp = append_cuts(qp, pool)
+    r1 = linprog(c, A_ub=sp.csr_matrix(cut_qp.constraint_matrix).toarray(),
+                 b_ub=cut_qp.constraint_upper,
+                 bounds=[(0, 1)] * n_nodes, method="highs")
+    assert r1.fun >= r0.fun - 1e-9  # bound never loosens
+    # validity: optimal integer solution survives
+    from scipy.optimize import milp, LinearConstraint, Bounds
+    mi = milp(c, constraints=LinearConstraint(a, cl, cu),
+              bounds=Bounds(lb, ub), integrality=np.ones(n_nodes))
+    g = pool.rows.toarray()
+    assert np.all(g @ mi.x <= pool.rhs + 1e-6)
