@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -182,8 +183,8 @@ class RevisedSimplex:
         return True
 
     # -- primal simplex ----------------------------------------------------
-    def primal_solve(self, max_iterations: int = 50_000, tol: float = 1e-9
-                     ) -> MPSolverStatus:
+    def primal_solve(self, max_iterations: int = 50_000, tol: float = 1e-9,
+                     deadline: float = math.inf) -> MPSolverStatus:
         """Two-phase primal simplex from the current basis."""
         if self.m == 0:
             return MPSolverStatus.OPTIMAL
@@ -196,6 +197,9 @@ class RevisedSimplex:
             while True:
                 if self.iters >= max_iterations:
                     return MPSolverStatus.ABNORMAL
+                if (self.iters & 127) == 0 and math.isfinite(deadline) \
+                        and time.perf_counter() > deadline:
+                    return MPSolverStatus.NOT_SOLVED
                 if self._xb is None:
                     self._xb = self._compute_xb()
                 xb = self._xb
@@ -326,8 +330,8 @@ class RevisedSimplex:
         return MPSolverStatus.OPTIMAL
 
     # -- dual simplex --------------------------------------------------------
-    def dual_solve(self, max_iterations: int = 50_000, tol: float = 1e-9
-                   ) -> MPSolverStatus:
+    def dual_solve(self, max_iterations: int = 50_000, tol: float = 1e-9,
+                   deadline: float = math.inf) -> MPSolverStatus:
         """Dual simplex from the current (dual-feasible) basis.
 
         Reference: glop/revised_simplex.cc:3058 DualMinimize.  Requires the
@@ -342,7 +346,10 @@ class RevisedSimplex:
             return MPSolverStatus.ABNORMAL
         self._xb = None
         d: Optional[np.ndarray] = None  # incremental reduced costs
-        for _ in range(max_iterations):
+        for it in range(max_iterations):
+            if (it & 127) == 0 and math.isfinite(deadline) \
+                    and time.perf_counter() > deadline:
+                return MPSolverStatus.NOT_SOLVED
             if self._xb is None:
                 self._xb = self._compute_xb()
                 d = None
@@ -425,14 +432,18 @@ class RevisedSimplex:
         return MPSolverStatus.ABNORMAL
 
     def resolve(self, var_lb: np.ndarray, var_ub: np.ndarray,
-                max_iterations: int = 50_000) -> MPSolverStatus:
+                max_iterations: int = 50_000,
+                deadline: float = math.inf) -> MPSolverStatus:
         """Warm re-solve after bound changes: dual simplex first (the
         basis stays dual feasible under bound changes), primal fallback."""
         self.set_variable_bounds(var_lb, var_ub)
-        st = self.dual_solve(max_iterations=max_iterations)
-        if st in (MPSolverStatus.OPTIMAL, MPSolverStatus.INFEASIBLE):
+        st = self.dual_solve(max_iterations=max_iterations,
+                             deadline=deadline)
+        if st in (MPSolverStatus.OPTIMAL, MPSolverStatus.INFEASIBLE,
+                  MPSolverStatus.NOT_SOLVED):
             return st
-        return self.primal_solve(max_iterations=max_iterations)
+        return self.primal_solve(max_iterations=max_iterations,
+                                 deadline=deadline)
 
     # -- solution assembly --------------------------------------------------
     def result(self, status: MPSolverStatus) -> SimplexResult:

@@ -39,7 +39,12 @@ import numpy as np
 import scipy.sparse as sp
 
 from ortools_tpu.mip.cuts import append_cuts, generate_cuts
-from ortools_tpu.mip.heuristics import ils_polish, lp_dive, round_and_repair
+from ortools_tpu.mip.heuristics import (
+    greedy_cover,
+    ils_polish,
+    lp_dive,
+    round_and_repair,
+)
 from ortools_tpu.mip.node_lp import SimplexNodeBackend, choose_backend
 from ortools_tpu.mip.propagation import propagate_bounds
 from ortools_tpu.models.lp import QuadraticProgram
@@ -376,6 +381,13 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
     num_cuts = 0
     backend = choose_backend(qp_min, lp_params, params.node_batch_size,
                              params.node_lp)
+    # Greedy covering incumbent (reference set_cover.h greedy) for
+    # >=-structured binary models: a strong first incumbent lets root
+    # cuts and pruning bite from the start.
+    if len(int_idx):
+        gc = greedy_cover(qp_min, int_idx)
+        if gc is not None:
+            try_incumbent(gc)
     if len(int_idx) and params.cut_rounds > 0:
         for _ in range(params.cut_rounds + 1):
             if time.perf_counter() - start > 0.5 * params.time_limit_sec:

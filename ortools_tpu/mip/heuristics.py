@@ -357,6 +357,73 @@ def _reopt_continuous(qp_min, x, int_idx, cont_mask, reopt=None):
     return res.primal_solution
 
 
+def greedy_cover(qp_min: QuadraticProgram, int_idx: np.ndarray,
+                 feas_tol: float = 1e-6) -> Optional[np.ndarray]:
+    """Greedy covering incumbent for >=-structured binary minimization
+    (reference role: set_cover.h GreedySolutionGenerator, run here as a
+    root primal heuristic of the MIP).  Applicable when every
+    finite-bounded row is lower-bounded only (cu = +inf), A >= 0, all
+    integers are binaries and costs are >= 0: start at the lower bounds
+    and repeatedly set the binary with the largest shortfall reduction
+    per unit cost.  Ends with a reverse-delete pass dropping redundant
+    columns.  Returns the candidate or None when out of scope."""
+    a = sp.csr_matrix(qp_min.constraint_matrix)
+    cl, cu = qp_min.constraint_lower, qp_min.constraint_upper
+    lb, ub = qp_min.variable_lower, qp_min.variable_upper
+    c = qp_min.objective_vector
+    n = qp_min.num_variables
+    if len(int_idx) != n or np.any(lb[int_idx] < 0) \
+            or np.any(ub[int_idx] > 1):
+        return None
+    if np.any(np.isfinite(cu)) or np.any(c < -1e-12) or a.nnz == 0 \
+            or np.any(a.data < 0):
+        return None
+    at = sp.csc_matrix(a)
+    x = np.array(lb, dtype=np.float64)
+    ax = a @ x
+    shortfall = np.maximum(cl - ax, 0.0)
+    free = x < 0.5
+    for _ in range(n):
+        tot = float(shortfall.sum())
+        if tot <= feas_tol * max(1.0, float(np.abs(cl[np.isfinite(cl)])
+                                            .max(initial=1.0))):
+            break
+        # gain_j = sum_i min(a_ij, shortfall_i) for rows still short
+        best_j, best_ratio = -1, 0.0
+        short_rows = shortfall > 0
+        for j in np.nonzero(free)[0]:
+            lo, hi = at.indptr[j], at.indptr[j + 1]
+            rows_j = at.indices[lo:hi]
+            vals_j = at.data[lo:hi]
+            m = short_rows[rows_j]
+            if not m.any():
+                continue
+            gain = float(np.minimum(vals_j[m], shortfall[rows_j[m]]).sum())
+            ratio = gain / (1.0 + max(float(c[j]), 0.0))
+            if ratio > best_ratio:
+                best_j, best_ratio = int(j), ratio
+        if best_j < 0:
+            return None  # cannot cover: leave it to the exact search
+        x[best_j] = 1.0
+        free[best_j] = False
+        lo, hi = at.indptr[best_j], at.indptr[best_j + 1]
+        ax[at.indices[lo:hi]] += at.data[lo:hi]
+        shortfall = np.maximum(cl - ax, 0.0)
+    else:
+        return None
+    # reverse-delete: drop set columns whose removal keeps all rows covered
+    order = np.argsort(-c)  # most expensive first
+    for j in order:
+        if x[j] < 0.5 or lb[j] > 0.5 or c[j] <= 1e-12:
+            continue
+        lo, hi = at.indptr[j], at.indptr[j + 1]
+        rows_j = at.indices[lo:hi]
+        if np.all(ax[rows_j] - at.data[lo:hi] >= cl[rows_j] - feas_tol):
+            x[j] = 0.0
+            ax[rows_j] -= at.data[lo:hi]
+    return x
+
+
 def _one_opt(qp_min, a, at, x, int_idx, feas_tol):
     """Vectorized 1-opt: flip/step any single integer variable that
     improves the objective and keeps all rows feasible."""

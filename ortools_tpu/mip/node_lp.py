@@ -103,7 +103,8 @@ class SimplexNodeBackend:
         self.m = qp_min.num_constraints
         self.n = qp_min.num_variables
 
-    def resolve_raw(self, lb: np.ndarray, ub: np.ndarray
+    def resolve_raw(self, lb: np.ndarray, ub: np.ndarray,
+                    deadline: float = math.inf
                     ) -> Tuple[MPSolverStatus, Optional[np.ndarray],
                                Optional[np.ndarray], float]:
         """Re-solve with new variable bounds.  Returns
@@ -113,16 +114,21 @@ class SimplexNodeBackend:
         sx = self._sx
         if self._cold:
             sx.set_variable_bounds(lb, ub)
-            st = sx.primal_solve(max_iterations=self.max_iterations)
+            st = sx.primal_solve(max_iterations=self.max_iterations,
+                                 deadline=deadline)
             self._cold = False
         else:
-            st = sx.resolve(lb, ub, max_iterations=self.max_iterations)
+            st = sx.resolve(lb, ub, max_iterations=self.max_iterations,
+                            deadline=deadline)
         if st == MPSolverStatus.ABNORMAL:
             # numerically stuck basis: rebuild from scratch once
             self._sx = sx = RevisedSimplex(self.qp)
             sx.set_variable_bounds(lb, ub)
-            st = sx.primal_solve(max_iterations=self.max_iterations)
+            st = sx.primal_solve(max_iterations=self.max_iterations,
+                                 deadline=deadline)
         if st != MPSolverStatus.OPTIMAL:
+            # NOT_SOLVED (deadline) / UNBOUNDED / ABNORMAL: the caller
+            # keeps the parent bound — never prune on an unproven status
             return st, None, None, math.nan
         r = sx.result(st)
         return st, r.primal_solution, r.dual_solution, r.objective_value
@@ -140,7 +146,8 @@ class SimplexNodeBackend:
             if time.perf_counter() > deadline:
                 skipped[i] = True
                 continue
-            st, x, y, obj = self.resolve_raw(lbs[i], ubs[i])
+            st, x, y, obj = self.resolve_raw(lbs[i], ubs[i],
+                                             deadline=deadline)
             if st == MPSolverStatus.OPTIMAL:
                 xs[i], ys[i], bound[i], opt[i] = x, y, obj, True
             elif st == MPSolverStatus.INFEASIBLE:

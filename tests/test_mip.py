@@ -237,3 +237,26 @@ def test_dual_bound_is_valid_lower_bound():
                       PdhgParams(iteration_limit=40,
                                  termination_check_frequency=40))
     assert res.dual_bound[0] <= ref.fun + 1e-6
+
+
+def test_greedy_cover_heuristic():
+    """Greedy covering incumbent: feasible, reverse-deleted, and in-scope
+    detection (returns None on non-covering structures)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ortools_tpu.mip.heuristics import greedy_cover
+    from ortools_tpu.models.lp import QuadraticProgram
+    from ortools_tpu.models.mip_generators import multi_knapsack, set_cover
+
+    qp = set_cover(60, 25, seed=3).as_minimization()
+    int_idx = np.nonzero(np.asarray(qp.integrality, dtype=bool))[0]
+    x = greedy_cover(qp, int_idx)
+    assert x is not None
+    a = sp.csr_matrix(qp.constraint_matrix)
+    assert np.all(a @ x >= qp.constraint_lower - 1e-6)
+    assert set(np.unique(x)) <= {0.0, 1.0}
+    # knapsack (<= rows) is out of scope
+    qk = multi_knapsack(20, 3, seed=1).as_minimization()
+    ik = np.nonzero(np.asarray(qk.integrality, dtype=bool))[0]
+    assert greedy_cover(qk, ik) is None
