@@ -416,6 +416,62 @@ def _parse_constraint(fz: _FzModel, text: str) -> None:
             dom = Domain.from_values(cover)
             for x in xs:
                 mdl.add_linear_expression_in_domain(x, dom)
+    elif name in ("fzn_nvalue", "nvalue"):
+        # nvalue(n, xs): n = number of distinct values taken by xs
+        tgt = expr(0)
+        xs = [E(v) for v in fz.var_list(args[1])]
+        values: set = set()
+        for x in xs:
+            values.update(_expr_values(fz.model, x))
+            if len(values) > 256:
+                raise FlatZincError("nvalue domain too wide (> 256 values)")
+        ys = []
+        for v in sorted(values):
+            # y_v <=> some x_k takes value v
+            y = mdl.new_bool_var(f"_nv{v}")
+            es = []
+            for k, x in enumerate(xs):
+                e = mdl.new_bool_var(f"_nv{v}_{k}")
+                mdl.add(x == v).only_enforce_if(e)
+                mdl.add(x != v).only_enforce_if(_neg(e))
+                mdl.add_implication(e, y)
+                es.append(e)
+            mdl.add_bool_or(es).only_enforce_if(y)
+            ys.append(y)
+        mdl.add(sum(ys) == tgt)
+    elif name in ("fzn_lex_less_int", "fzn_lex_lesseq_int", "lex_less",
+                  "lex_lesseq", "fzn_lex_less_bool",
+                  "fzn_lex_lesseq_bool"):
+        xs = [E(v) for v in fz.var_list(args[0])]
+        ys = [E(v) for v in fz.var_list(args[1])]
+        k = min(len(xs), len(ys))
+        # r_i = "the length-i prefixes are equal"; r_0 = true.
+        # x <=lex y  <=>  for all i < k: r_i -> x_i <= y_i,
+        # plus r_k forbidden when |x| > |y| (longer extension is bigger)
+        # or when strict and |x| == |y| (full equality not allowed).
+        r_prev = None  # None = constant true (r_0)
+        for i in range(k):
+            ct = mdl.add(xs[i] <= ys[i])
+            if r_prev is not None:
+                ct.only_enforce_if(r_prev)
+            e = mdl.new_bool_var(f"_lexeq{i}")
+            mdl.add(xs[i] == ys[i]).only_enforce_if(e)
+            mdl.add(xs[i] != ys[i]).only_enforce_if(_neg(e))
+            if r_prev is None:
+                r = e
+            else:
+                r = mdl.new_bool_var(f"_lexr{i}")
+                mdl.add_implication(r, r_prev)
+                mdl.add_implication(r, e)
+                mdl.add_bool_or([_neg(r_prev), _neg(e), r])
+            r_prev = r
+        strict = "lesseq" not in name
+        forbid_full_eq = (len(xs) > len(ys)
+                          or (strict and len(xs) == len(ys)))
+        if forbid_full_eq:
+            if r_prev is None:
+                raise FlatZincError("lex_less on empty arrays is false")
+            mdl.add_bool_or([_neg(r_prev)])
     elif name in ("fzn_regular", "regular"):
         # regular(x, Q, S, d, q0, F): DFA over 1..S symbols; next-state 0
         # is the fail state (omit those transitions)
@@ -576,6 +632,31 @@ def _neg(lit):
     if isinstance(lit, bool):
         return not lit
     return lit.negated()
+
+
+def _expr_values(mdl, e) -> set:
+    """Candidate value set of a linear expression over the model's
+    current variable domains (hull per variable, exact for the common
+    affine-of-one-variable case)."""
+    coeffs = dict(e._coeffs)
+    off = int(e._offset)
+    if not coeffs:
+        return {off}
+    if len(coeffs) == 1:
+        (v, c), = coeffs.items()
+        d = mdl.ir.variables[v].domain
+        if d.max() - d.min() > 100_000:
+            raise FlatZincError("nvalue variable domain too wide")
+        return {c * x + off
+                for x in range(d.min(), d.max() + 1) if d.contains(x)}
+    lo = hi = off
+    for v, c in coeffs.items():
+        d = mdl.ir.variables[v].domain
+        lo += min(c * d.min(), c * d.max())
+        hi += max(c * d.min(), c * d.max())
+    if hi - lo > 100_000:
+        raise FlatZincError("nvalue expression range too wide")
+    return set(range(lo, hi + 1))
 
 
 def _scaled_const(x: float) -> int:

@@ -324,3 +324,55 @@ solve satisfy;
     xs = [v[f"xs[{i}]"] for i in range(1, 5)]
     # xs[2]=2 forces all later symbols to be 2; xs[1] free
     assert xs[1] == 2 and xs[2] == 2 and xs[3] == 2
+
+
+def test_nvalue_builtin():
+    fzn = """
+array [1..4] of var 1..3: xs :: output_array([1..4]);
+var 1..4: n :: output_var;
+constraint fzn_nvalue(n, xs);
+constraint int_eq(n, 1);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    v = _values(r)
+    xs = [v[f"xs[{i}]"] for i in range(1, 5)]
+    assert len(set(xs)) == 1
+
+    fzn3 = fzn.replace("int_eq(n, 1)", "int_eq(n, 3)")
+    r = solve_fzn_text(fzn3)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    v = _values(r)
+    xs = [v[f"xs[{i}]"] for i in range(1, 5)]
+    assert len(set(xs)) == 3
+
+
+def test_lex_builtin():
+    fzn = """
+array [1..3] of var 0..2: a :: output_array([1..3]);
+array [1..3] of var 0..2: b :: output_array([1..3]);
+constraint fzn_lex_less_int(a, b);
+constraint int_eq(a[1], b[1]);
+constraint int_eq(a[2], b[2]);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    v = _values(r)
+    a = [v[f"a[{i}]"] for i in range(1, 4)]
+    b = [v[f"b[{i}]"] for i in range(1, 4)]
+    assert a[:2] == b[:2] and a[2] < b[2]
+
+    # lesseq admits full equality; strict on equal arrays is UNSAT
+    uns = """
+array [1..2] of var 0..0: a;
+array [1..2] of var 0..0: b;
+constraint fzn_lex_less_int(a, b);
+solve satisfy;
+"""
+    r = solve_fzn_text(uns)
+    assert r.status == SolveStatus.INFEASIBLE
+    ok = uns.replace("lex_less_int", "lex_lesseq_int")
+    r = solve_fzn_text(ok)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
