@@ -40,6 +40,9 @@ class SatParameters:
     # core-guided (OLL) objective descent on the CDCL core for clause-like
     # boolean models (reference optimization.cc / "core" worker)
     use_core_guided: bool = True
+    # which core algorithm: "oll" (totalizer descent) or "max_hs"
+    # (implicit hitting set via the MIP layer; reference max_hs.h)
+    core_algorithm: str = "oll"
     # eager order-encoding of general integer models onto the CDCL core
     # (reference integer.h literal encoding + cp_model_loader.cc, done
     # eagerly; sat/integer_encoding.py)

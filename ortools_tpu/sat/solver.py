@@ -432,10 +432,14 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     if (params.num_workers <= 1 and not params.enumerate_all_solutions
             and not params.stop_after_first_solution
             and params.use_core_guided):
-        from ortools_tpu.sat.core_guided import minimize_core_guided
+        if params.core_algorithm == "max_hs":
+            from ortools_tpu.sat.max_hs import minimize_max_hs as _core_min
+        else:
+            from ortools_tpu.sat.core_guided import (
+                minimize_core_guided as _core_min,
+            )
 
-        cg = minimize_core_guided(work, deadline=deadline,
-                                  should_stop=should_stop)
+        cg = _core_min(work, deadline=deadline, should_stop=should_stop)
         if cg is not None:
             st, values, bound, ncf = cg
             if st == 1:
