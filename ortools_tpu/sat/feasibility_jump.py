@@ -12,9 +12,10 @@ activity maintenance (the reference's O(Δ) update, constraint_violation.h:57);
 the same arrays are the substrate for a jax/batched-seed version.
 
 The model must be *linear-representable*: bool_or/bool_and/at_most_one/
-exactly_one and linear constraints (enforcement literals via big-M rows).
-``extract_linear_system`` returns None otherwise and the caller falls back
-to the DFS engine.
+exactly_one and linear constraints; enforcement literals are folded into
+big-M rows (exact when the literals hold, vacuous otherwise — every FJ
+output is re-verified by the caller).  ``extract_linear_system`` returns
+None otherwise and the caller falls back to the DFS engine.
 """
 
 from __future__ import annotations
@@ -58,13 +59,51 @@ def extract_linear_system(model: ir.CpModelIR) -> Optional[LinearSystem]:
     lbs: List[float] = []
     ubs: List[float] = []
 
+    def append_row(coeffs: Dict[int, float], lo: float, hi: float,
+                   enf: List[int]) -> None:
+        """Append the row, big-M folding enforcement literals
+        (constraint_violation.h big-M handling).  With litval_l =
+        c_l x_l + o_l and deficiency D = sum_l (1 - litval_l) >= 0, the
+        enforced row relaxes to  a.x <= hi + M_hi D  and
+        a.x >= lo - M_lo D  with the hull-excess big-Ms — exact when all
+        literals hold, vacuous otherwise."""
+        if lo <= -(2.0**40):
+            lo = -np.inf
+        if hi >= 2.0**40:
+            hi = np.inf
+        if not enf:
+            rows.append(coeffs)
+            lbs.append(lo)
+            ubs.append(hi)
+            return
+        amin = amax = 0.0
+        for v, c in coeffs.items():
+            l, u = var_lb[v], var_ub[v]
+            amin += min(c * l, c * u)
+            amax += max(c * l, c * u)
+        terms = [_lit_expr(lit) for lit in enf]
+        k_enf = len(terms)
+        sum_off = float(sum(o for _, _, o in terms))
+        if np.isfinite(hi):
+            m_hi = max(0.0, amax - hi)
+            folded = dict(coeffs)
+            for v, c, _ in terms:
+                folded[v] = folded.get(v, 0.0) + m_hi * c
+            rows.append(folded)
+            lbs.append(-np.inf)
+            ubs.append(hi + m_hi * (k_enf - sum_off))
+        if np.isfinite(lo):
+            m_lo = max(0.0, lo - amin)
+            folded = dict(coeffs)
+            for v, c, _ in terms:
+                folded[v] = folded.get(v, 0.0) - m_lo * c
+            rows.append(folded)
+            lbs.append(lo - m_lo * (k_enf - sum_off))
+            ubs.append(np.inf)
+
     for ct in model.constraints:
         a = ct.args
         k = ct.kind
-        if ct.enforcement_literals:
-            # enforced (reified) rows need big-M folding; leave those
-            # models to the DFS engine for now
-            return None
         if k in ("bool_or", "at_most_one", "exactly_one", "bool_and"):
             coeffs: Dict[int, float] = {}
             offset = 0
@@ -88,9 +127,8 @@ def extract_linear_system(model: ir.CpModelIR) -> Optional[LinearSystem]:
             hi = float(dom.max()) if not dom.is_empty() else 0.0
         else:
             return None
-        rows.append(coeffs)
-        lbs.append(lo)
-        ubs.append(hi)
+        append_row(coeffs, float(lo), float(hi),
+                   list(ct.enforcement_literals))
 
     if not rows:
         return None

@@ -31,12 +31,23 @@ def test_extract_rejects_nonlinear():
     assert extract_linear_system(m.ir) is None
 
 
-def test_extract_rejects_enforced():
+def test_extract_folds_enforced_rows():
+    """Enforced rows no longer bail: they fold to big-M relaxations
+    that are exact when the literal holds and vacuous when it doesn't."""
+    import numpy as np
+
     m = CpModel()
     b = m.new_bool_var("b")
     x = m.new_int_var(0, 5, "x")
     m.add(x >= 3).only_enforce_if(b)
-    assert extract_linear_system(m.ir) is None
+    sys = extract_linear_system(m.ir)
+    assert sys is not None and sys.a.shape[0] == 1
+    # b=1 requires x>=3; b=0 makes the row vacuous
+    for b_val, x_val, ok in ((1, 3, True), (1, 0, False), (0, 0, True)):
+        ax = sys.a @ np.array([float(b_val), float(x_val)])
+        sat = bool(np.all(ax >= sys.row_lb - 1e-9)
+                   and np.all(ax <= sys.row_ub + 1e-9))
+        assert sat == ok, (b_val, x_val)
 
 
 def test_jump_solves_inequality_system():
@@ -99,3 +110,40 @@ def test_fj_budget_returns_none_on_infeasible():
     system = extract_linear_system(m.ir)
     assert system is not None
     assert feasibility_jump(system, max_moves=3000) is None
+
+
+def test_extraction_folds_enforcement_literals():
+    """Enforced linear rows fold to big-M rows instead of bailing."""
+    import numpy as np
+
+    from ortools_tpu.sat import CpModel
+    from ortools_tpu.sat.feasibility_jump import (
+        extract_linear_system,
+        feasibility_jump,
+    )
+
+    m = CpModel()
+    b = m.new_bool_var("b")
+    x = m.new_int_var(0, 10, "x")
+    m.add(x >= 7).only_enforce_if(b)
+    m.add(x <= 2).only_enforce_if(~b)
+    sys = extract_linear_system(m.ir)
+    assert sys is not None
+    # each one-sided enforced row folds to one row
+    assert sys.a.shape[0] == 2
+    # semantics at concrete points: b=1,x=7 ok; b=1,x=0 violates row 0
+    ax = sys.a @ np.array([1.0, 7.0])
+    assert np.all(ax >= sys.row_lb - 1e-9) and np.all(
+        ax <= sys.row_ub + 1e-9)
+    ax_bad = sys.a @ np.array([1.0, 0.0])
+    bad = (ax_bad < sys.row_lb - 1e-9) | (ax_bad > sys.row_ub + 1e-9)
+    assert bad.any()
+    # b=0, x=0: the enforced >=7 row must be vacuous
+    ax0 = sys.a @ np.array([0.0, 0.0])
+    assert np.all(ax0 >= sys.row_lb - 1e-9) and np.all(
+        ax0 <= sys.row_ub + 1e-9)
+    # FJ can actually solve it
+    fj = feasibility_jump(sys, seed=3)
+    if fj is not None:
+        from ortools_tpu.sat.checker import solution_is_feasible
+        assert solution_is_feasible(m.ir, [int(v) for v in fj])
