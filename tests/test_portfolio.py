@@ -244,3 +244,30 @@ def test_shared_tree_portfolio_infeasible():
     s.parameters.interleave_search = False
     s.parameters.use_shared_tree_search = True
     assert s.solve(m) == INFEASIBLE
+
+
+def test_shared_tree_on_scheduling_model():
+    """Shared-tree splitting on a no_overlap model: leaf closure proves
+    the optimum found by the single-worker solver."""
+    def build():
+        m = CpModel()
+        ivs, es = [], []
+        for i, d in enumerate((4, 3, 5)):
+            s = m.new_int_var(0, 20, f"s{i}")
+            ivs.append(m.new_fixed_size_interval_var(s, d, f"iv{i}"))
+            es.append(s + d)
+        m.add_no_overlap(ivs)
+        mk = m.new_int_var(0, 20, "mk")
+        m.add_max_equality(mk, es)
+        m.minimize(mk)
+        return m
+
+    s1 = CpSolver()
+    assert s1.solve(build()) == OPTIMAL
+    s2 = CpSolver()
+    s2.parameters.num_workers = 4
+    s2.parameters.interleave_search = False
+    s2.parameters.use_shared_tree_search = True
+    s2.parameters.max_time_in_seconds = 60
+    assert s2.solve(build()) == OPTIMAL
+    assert s2.objective_value == s1.objective_value == 12
