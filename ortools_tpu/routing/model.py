@@ -129,6 +129,28 @@ class Assignment:
         return [list(r) for r in self._routes]
 
 
+class ResourceGroup:
+    """Reference routing.h ResourceGroup: resources with per-dimension
+    start/end cumul windows; one resource per active vehicle."""
+
+    def __init__(self, model: "RoutingModel") -> None:
+        self._model = model
+        self.resources: List[tuple] = []
+
+    def add_resource(self, dimension_name: str,
+                     start_window: Sequence[int],
+                     end_window: Sequence[int]) -> int:
+        """Add a resource imposing ``start_window``/``end_window`` (lo,
+        hi) on the named dimension's start/end cumul of the vehicle that
+        claims it.  Returns the resource index."""
+        self.resources.append((str(dimension_name),
+                               (int(start_window[0]), int(start_window[1])),
+                               (int(end_window[0]), int(end_window[1]))))
+        return len(self.resources) - 1
+
+    AddResource = add_resource
+
+
 class RoutingModel:
     def __init__(self, manager: RoutingIndexManager) -> None:
         self.manager = manager
@@ -139,6 +161,7 @@ class RoutingModel:
         self._dimensions: Dict[str, _Dimension] = {}
         self._disjunctions: List[Tuple[List[int], int]] = []
         self._pd_pairs: List[Tuple[int, int]] = []
+        self._resource_groups: List[ResourceGroup] = []
         self._fixed_vehicle_cost = [0] * manager.num_vehicles
         self._closed = False
         self._initial_routes: Optional[List[List[int]]] = None
@@ -237,6 +260,74 @@ class RoutingModel:
                 return False
         return True
 
+    # -- resource groups ---------------------------------------------------
+    def add_resource_group(self) -> "ResourceGroup":
+        """Resource group (reference routing.h ResourceGroup): each
+        vehicle with a non-empty route must claim exactly one resource of
+        the group (a resource serves at most one vehicle); a claimed
+        resource imposes start/end cumul windows on a dimension."""
+        g = ResourceGroup(self)
+        self._resource_groups.append(g)
+        return g
+
+    AddResourceGroup = add_resource_group
+
+    def _resource_route_ok(self, route, vehicle, dims, resource) -> bool:
+        """Is the route feasible with the resource's start/end windows
+        temporarily imposed on the vehicle's start/end cumuls?"""
+        dim_name, (slo, shi), (elo, ehi) = resource
+        d = self._dimensions[dim_name]
+        mgr = self.manager
+        si, ei = mgr.vehicle_start(vehicle), mgr.vehicle_end(vehicle)
+        start_lb = d.cumul_lb.get(si, 0)
+        if max(start_lb, slo) > shi:
+            return False
+        saved = [(si, d.cumul_lb.get(si), d.cumul_ub.get(si)),
+                 (ei, d.cumul_lb.get(ei), d.cumul_ub.get(ei))]
+        d.cumul_lb[si] = max(slo, d.cumul_lb.get(si, slo))
+        d.cumul_ub[si] = min(shi, d.cumul_ub.get(si, shi))
+        d.cumul_lb[ei] = max(elo, d.cumul_lb.get(ei, elo))
+        d.cumul_ub[ei] = min(ehi, d.cumul_ub.get(ei, ehi))
+        try:
+            return self._route_feasible(route, vehicle, dims)
+        finally:
+            for key, lo0, hi0 in saved:
+                if lo0 is None:
+                    d.cumul_lb.pop(key, None)
+                else:
+                    d.cumul_lb[key] = lo0
+                if hi0 is None:
+                    d.cumul_ub.pop(key, None)
+                else:
+                    d.cumul_ub[key] = hi0
+
+    def _resources_ok(self, routes, dims) -> bool:
+        """Every group admits an injective vehicle -> resource assignment
+        (bipartite matching by Kuhn's algorithm; groups are small)."""
+        for g in self._resource_groups:
+            active = [v for v, r in enumerate(routes) if r]
+            if len(active) > len(g.resources):
+                return False
+            ok = {v: [ri for ri, res in enumerate(g.resources)
+                      if self._resource_route_ok(routes[v], v, dims, res)]
+                  for v in active}
+            match: Dict[int, int] = {}  # resource -> vehicle
+
+            def try_assign(v, seen) -> bool:
+                for ri in ok[v]:
+                    if ri in seen:
+                        continue
+                    seen.add(ri)
+                    if ri not in match or try_assign(match[ri], seen):
+                        match[ri] = v
+                        return True
+                return False
+
+            for v in active:
+                if not try_assign(v, set()):
+                    return False
+        return True
+
     # -- index helpers ---------------------------------------------------
     def start(self, vehicle: int) -> int:
         return self.manager.vehicle_start(vehicle)
@@ -322,7 +413,8 @@ class RoutingModel:
             for v, r in enumerate(routes0):
                 if not self._route_feasible(r, v, dims):
                     return None
-            if not self._pd_ok(routes0):
+            if not self._pd_ok(routes0) or \
+                    not self._resources_ok(routes0, dims):
                 return None
             result = (routes0, dropped0)
         elif self._pd_pairs:
@@ -337,6 +429,9 @@ class RoutingModel:
         if best is None:
             return None
         routes, dropped = best
+        if not self._resources_ok(routes, dims):
+            # the search never reached a resource-consistent assignment
+            return None
         # to internal-index routes
         internal = []
         for v, r in enumerate(routes):
@@ -597,7 +692,8 @@ class RoutingModel:
                                 continue
                             trial = [list(x) for x in cur]
                             trial[v] = cand
-                            if not self._pd_ok(trial):
+                            if not self._pd_ok(trial) or \
+                                    not self._resources_ok(trial, dims):
                                 continue
                             if self._objective(trial, [], cost, optional) < \
                                self._objective(cur, [], cost, optional):
@@ -629,7 +725,8 @@ class RoutingModel:
                                     continue
                                 if not self._route_feasible(r2, v2, dims):
                                     continue
-                            if not self._pd_ok(trial):
+                            if not self._pd_ok(trial) or \
+                                    not self._resources_ok(trial, dims):
                                 continue
                             old = self._objective(cur, [], cost, optional)
                             new = self._objective(trial, [], cost, optional)

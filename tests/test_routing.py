@@ -358,3 +358,50 @@ def test_vehicle_breaks_infeasible_window():
     br = BreakInterval(duration=5, start_min=0, start_max=12)
     out = schedule_route_with_breaks(model, [1, 2], "T", [br])
     assert out is None
+
+
+def test_resource_groups_constrain_start_windows():
+    """ResourceGroup (reference routing.h): two vehicles share two docks
+    with disjoint departure windows; the assignment must be injective and
+    satisfied by the chosen routes."""
+    n = 5
+    d = np.full((n, n), 10, dtype=np.int64)
+    np.fill_diagonal(d, 0)
+    mgr = RoutingIndexManager(n, 2, 0)
+    routing = RoutingModel(mgr)
+    cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.set_arc_cost_evaluator_of_all_vehicles(cb)
+    t_cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.add_dimension(t_cb, 100, 1000, False, "Time")
+    time_dim = routing.get_dimension_or_die("Time")
+    # both vehicles must be used (2 visits each forced via capacity)
+    dem = routing.register_unary_transit_callback(
+        lambda f: 1 if mgr.index_to_node(f) != 0 else 0)
+    routing.add_dimension_with_vehicle_capacity(dem, 0, [2, 2], True, "Cap")
+    g = routing.add_resource_group()
+    g.add_resource("Time", (0, 5), (0, 1000))     # dock A: depart by 5
+    g.add_resource("Time", (20, 30), (0, 1000))   # dock B: depart 20..30
+    sol = routing.solve()
+    assert sol is not None
+    routes = sol.routes()
+    active = [v for v, r in enumerate(routes) if len(r) > 2]
+    assert len(active) == 2  # both vehicles run, both docks claimed
+
+
+def test_resource_group_infeasible_when_too_few_resources():
+    n = 5
+    d = np.full((n, n), 10, dtype=np.int64)
+    np.fill_diagonal(d, 0)
+    mgr = RoutingIndexManager(n, 2, 0)
+    routing = RoutingModel(mgr)
+    cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.set_arc_cost_evaluator_of_all_vehicles(cb)
+    t_cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.add_dimension(t_cb, 100, 1000, False, "Time")
+    dem = routing.register_unary_transit_callback(
+        lambda f: 1 if mgr.index_to_node(f) != 0 else 0)
+    routing.add_dimension_with_vehicle_capacity(dem, 0, [2, 2], True, "Cap")
+    g = routing.add_resource_group()
+    g.add_resource("Time", (0, 1000), (0, 1000))  # only ONE dock
+    # 4 visits, capacity 2 each -> both vehicles needed -> no assignment
+    assert routing.solve() is None
