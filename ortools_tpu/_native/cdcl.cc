@@ -167,6 +167,13 @@ class Solver {
   }
 
   void EnableProof() { proof_enabled_ = true; }
+
+  // Seed the saved phase of a variable (hint-guided value ordering;
+  // reference sat/sat_decision.h SetAssignmentPreference).  phase_
+  // stores 1 = pick the negative literal at a decision.
+  void SetPhase(int v, bool positive) {
+    if (v >= 0 && v < (int)phase_.size()) phase_[v] = positive ? 0 : 1;
+  }
   const std::vector<i32>& Proof() const { return proof_; }
 
   uint8_t ModelValue(int v) const { return model_[v]; }
@@ -671,6 +678,14 @@ i32 cdcl_get_core(void* s, i32* out) {
     out[i] = (l & 1u) ? -(i32)((l >> 1) + 1) : (i32)((l >> 1) + 1);
   }
   return (i32)core.size();
+}
+
+// vals[v] in {-1 = keep default, 0 = prefer false, 1 = prefer true}.
+void cdcl_set_phases(void* s, const int8_t* vals, i32 n) {
+  Solver* sol = static_cast<Solver*>(s);
+  i32 cap = sol->NumVars() < n ? sol->NumVars() : n;
+  for (i32 v = 0; v < cap; ++v)
+    if (vals[v] >= 0) sol->SetPhase(v, vals[v] != 0);
 }
 
 void cdcl_enable_proof(void* s) { static_cast<Solver*>(s)->EnableProof(); }

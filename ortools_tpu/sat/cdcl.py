@@ -50,6 +50,9 @@ def _lib() -> ctypes.CDLL:
         lib.cdcl_get_core.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)
         ]
+        lib.cdcl_set_phases.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int8), ctypes.c_int32
+        ]
         lib.cdcl_enable_proof.argtypes = [ctypes.c_void_p]
         lib.cdcl_proof_size.restype = ctypes.c_int64
         lib.cdcl_proof_size.argtypes = [ctypes.c_void_p]
@@ -142,6 +145,13 @@ class CdclSolver:
                 ok = self.add_clause([-s_prev, -l]) and ok
             s_prev = s
         return ok
+
+    def set_phases(self, values: Sequence[int]) -> None:
+        """Seed the saved phases (hint-guided value ordering; reference
+        sat_decision.h SetAssignmentPreference): values[v] = 1 prefer
+        true, 0 prefer false, -1 keep the default."""
+        arr = (ctypes.c_int8 * len(values))(*[int(v) for v in values])
+        self._lib.cdcl_set_phases(self._handle, arr, len(values))
 
     # -- solving ----------------------------------------------------------
     def solve(self, assumptions: Sequence[int] = (),

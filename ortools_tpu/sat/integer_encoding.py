@@ -781,6 +781,25 @@ def solve_integer_cdcl(model: ir.CpModelIR, deadline: float,
     if not solver.add_clauses_flat(enc.flat_clauses()):
         return 0, None, math.inf, solver.num_conflicts
 
+    # Hint-guided phase seeding (reference sat_decision.h
+    # SetAssignmentPreference): make every ladder literal's saved phase
+    # agree with the hinted value so decisions walk toward the hint.
+    if model.solution_hint:
+        phases = np.full(solver.num_vars, -1, dtype=np.int8)
+        for v, h in model.solution_hint:
+            if v >= len(enc.ladders):
+                continue
+            lad = enc.ladders[v]
+            if lad is None:
+                continue
+            for t, lit in enumerate(lad.lits):
+                var = abs(int(lit)) - 1
+                if var <= 0:  # var 0 is the reserved TRUE constant
+                    continue
+                want = 1 if h <= lad.vals[t] else 0
+                phases[var] = want if lit > 0 else 1 - want
+        solver.set_phases(phases)
+
     def timed_solve(assumptions: Sequence[int]) -> int:
         while True:
             st = solver.solve(list(assumptions),

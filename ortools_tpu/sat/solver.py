@@ -320,8 +320,10 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
         elif params.use_integer_cdcl and not model.solution_hint:
             # General integer models through the eager order encoding
             # (reference integer.h literal encoding, done eagerly).
-            # Skipped under hints: decision-problem hints steer which
-            # solution is returned, and the CDCL core has no phase seeding.
+            # Hinted decision problems stay on the DFS engine, whose
+            # value_hints follow the hint exactly; the CDCL core's phase
+            # seeding (SetAssignmentPreference) only steers heuristically
+            # and is used on the optimization path below.
             from ortools_tpu.sat.integer_encoding import solve_integer_cdcl
 
             ienc = solve_integer_cdcl(

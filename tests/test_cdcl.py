@@ -202,3 +202,41 @@ def test_pure_sat_unsat_and_core():
     s = CpSolver()
     st = s.solve(m)
     assert s.status_name(st) == "INFEASIBLE"
+
+
+def test_set_phases_steers_free_solution():
+    """Phase seeding (SetAssignmentPreference): on an unconstrained model
+    the first SAT answer follows the seeded phases."""
+    import numpy as np
+
+    from ortools_tpu.sat.cdcl import CdclSolver, SAT
+
+    s = CdclSolver(num_vars=6)
+    # tautology clauses so every var appears
+    for v in range(1, 7):
+        s.add_clause([v, -v])
+    target = [1, 0, 1, 1, 0, 0]
+    s.set_phases(np.array(target, dtype=np.int8))
+    assert s.solve() == SAT
+    m = s.model()
+    assert [int(x) for x in m[:6]] == target
+
+
+def test_hint_phase_seeding_in_integer_cdcl():
+    """Phase seeding from hints: solve_integer_cdcl on a hinted model
+    still returns a valid (optimal) answer with the seeding exercised."""
+    import math
+
+    from ortools_tpu.sat import CpModel
+    from ortools_tpu.sat.integer_encoding import solve_integer_cdcl
+
+    m = CpModel()
+    xs = [m.new_int_var(0, 6, f"x{i}") for i in range(4)]
+    m.add(sum(xs) == 12)
+    m.minimize(xs[0])
+    for x, h in zip(xs, (0, 6, 6, 0)):
+        m.add_hint(x, h)
+    out = solve_integer_cdcl(m.ir, deadline=math.inf)
+    assert out is not None
+    st, values, bound, _ = out
+    assert st == 1 and values[0] == 0 and sum(values[:4]) == 12
