@@ -560,6 +560,39 @@ def _parse_constraint(fz: _FzModel, text: str) -> None:
             mdl.add(e != val).only_enforce_if(b.negated())
             bs.append(b)
         mdl.add(LinearExpr.sum([E(b) for b in bs]) == cnt)
+    elif name in ("fzn_all_different_except_0", "all_different_except_0",
+                  "alldifferent_except_0"):
+        # pairwise: equal values forbidden unless both are 0
+        exprs = [E(v) for v in fz.var_list(args[0])]
+        for i in range(len(exprs)):
+            for j in range(i + 1, len(exprs)):
+                bi = mdl.new_bool_var(f"_ade{i}_{j}a")
+                bj = mdl.new_bool_var(f"_ade{i}_{j}b")
+                mdl.add(exprs[i] == 0).only_enforce_if(bi)
+                mdl.add(exprs[i] != 0).only_enforce_if(_neg(bi))
+                mdl.add(exprs[j] == 0).only_enforce_if(bj)
+                mdl.add(exprs[j] != 0).only_enforce_if(_neg(bj))
+                mdl.add(exprs[i] != exprs[j]).only_enforce_if(
+                    [_neg(bi), _neg(bj)])
+    elif name in ("fzn_among", "among"):
+        # among(n, xs, S): n = #{i : xs[i] in S}
+        cnt = expr(0)
+        arr = [E(v) for v in fz.var_list(args[1])]
+        set_tok = args[2].strip()
+        rm = re.fullmatch(r"(-?\d+)\s*\.\.\s*(-?\d+)", set_tok)
+        if rm:
+            dom = Domain(int(rm.group(1)), int(rm.group(2)))
+        else:
+            dom = Domain.from_values([int(x) for x in
+                                      _split_top(set_tok[1:-1])])
+        bs = []
+        for e in arr:
+            b = mdl.new_bool_var("")
+            mdl.add_linear_expression_in_domain(e, dom).only_enforce_if(b)
+            mdl.add_linear_expression_in_domain(
+                e, dom.complement()).only_enforce_if(_neg(b))
+            bs.append(b)
+        mdl.add(LinearExpr.sum([E(b) for b in bs]) == cnt)
     elif name == "bool_xor":
         if len(args) == 3:
             r = lit(2)

@@ -376,3 +376,33 @@ solve satisfy;
     ok = uns.replace("lex_less_int", "lex_lesseq_int")
     r = solve_fzn_text(ok)
     assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+
+
+def test_all_different_except_0_builtin():
+    fzn = """
+array [1..4] of var 0..2: xs :: output_array([1..4]);
+constraint fzn_all_different_except_0(xs);
+solve maximize xs[1];
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status == SolveStatus.OPTIMAL
+    v = _values(r)
+    xs = [v[f"xs[{i}]"] for i in range(1, 5)]
+    nz = [x for x in xs if x != 0]
+    assert len(nz) == len(set(nz))  # non-zeros pairwise distinct
+    assert xs[0] == 2
+
+
+def test_among_builtin():
+    fzn = """
+array [1..5] of var 1..4: xs :: output_array([1..5]);
+var 0..5: n :: output_var;
+constraint fzn_among(n, xs, 2..3);
+constraint int_eq(n, 2);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    v = _values(r)
+    xs = [v[f"xs[{i}]"] for i in range(1, 6)]
+    assert sum(1 for x in xs if 2 <= x <= 3) == 2
