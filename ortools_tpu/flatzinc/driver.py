@@ -60,12 +60,29 @@ def _split_top(s: str, sep: str = ",") -> List[str]:
 FLOAT_SCALE = 10**6  # fixed-point scale for float variables
 
 
+@dataclasses.dataclass
+class _SetVar:
+    """A finite set variable as a characteristic boolean vector over its
+    declared universe (the reference encodes set vars the same way,
+    flatzinc/cp_model_fz_solver.cc set handling)."""
+    name: str
+    values: List[int]          # sorted universe
+    bools: List  # BoolVar per universe value ("value is a member")
+
+    def bool_for(self, v: int):
+        try:
+            return self.bools[self.values.index(v)]
+        except ValueError:
+            return None  # value outside the universe: membership is false
+
+
 class _FzModel:
     def __init__(self) -> None:
         self.model = CpModel()
         self.vars: Dict[str, IntVar] = {}
         self.pars: Dict[str, Union[int, List[int]]] = {}
         self.arrays: Dict[str, List] = {}  # name -> list of IntVar/int
+        self.set_vars: Dict[str, _SetVar] = {}
         self.output_items: List[Tuple[str, object]] = []
         self.objective = None
         self.sense = "satisfy"
@@ -76,6 +93,13 @@ class _FzModel:
 
     def is_float(self, item) -> bool:
         return isinstance(item, IntVar) and item.index in self.float_var_ids
+
+    def set_var(self, tok: str) -> "_SetVar":
+        tok = tok.strip()
+        sv = self.set_vars.get(tok)
+        if sv is None:
+            raise FlatZincError(f"not a set variable: {tok!r}")
+        return sv
 
     # ---- value/expression resolution ----------------------------------
     def value(self, tok: str):
@@ -199,6 +223,24 @@ def _parse_decl(fz: _FzModel, body: str, anns: List[str],
     vm = re.match(r"var\s+(.*?):\s*(\w+)(?:\s*=\s*(.*))?$", body, re.S)
     if vm:
         dom_s, name, init = vm.groups()
+        sm = re.fullmatch(r"set\s+of\s+(.*)", dom_s.strip(), re.S)
+        if sm:
+            universe = sorted(_parse_domain(sm.group(1).strip()))
+            if len(universe) > 4096:
+                raise FlatZincError(f"set universe too large for {name!r}")
+            bools = [mdl.new_bool_var(f"{name}__has_{v}") for v in universe]
+            sv = _SetVar(name, list(universe), bools)
+            fz.set_vars[name] = sv
+            if init is not None:
+                fixed = set(_parse_set_const(fz, init.strip()))
+                for v, b in zip(sv.values, sv.bools):
+                    mdl.add_bool_or([b] if v in fixed else [_neg(b)])
+                if not fixed.issubset(universe):
+                    raise FlatZincError(
+                        f"set init outside universe for {name!r}")
+            if any(a.startswith("output_var") for a in anns):
+                fz.output_items.append((name, sv))
+            return
         if init is not None:
             val = fz.value(init.strip())
             if isinstance(val, IntVar):
@@ -511,7 +553,7 @@ def _parse_constraint(fz: _FzModel, text: str) -> None:
             mdl.add_implication(x, b)
     elif name == "bool2int":
         mdl.add(expr(0) == expr(1))
-    elif name == "set_in":
+    elif name == "set_in" and args[1].strip() not in fz.set_vars:
         dom_tok = args[1].strip()
         rm = re.fullmatch(r"(-?\d+)\s*\.\.\s*(-?\d+)", dom_tok)
         if rm:
@@ -526,7 +568,7 @@ def _parse_constraint(fz: _FzModel, text: str) -> None:
         k = len(exprs)
         tuples = [tuple(flat[i:i + k]) for i in range(0, len(flat), k)]
         mdl.add_allowed_assignments(exprs, tuples)
-    elif name == "set_in_reif":
+    elif name == "set_in_reif" and args[1].strip() not in fz.set_vars:
         b = lit(2)
         dom_tok = args[1].strip()
         rm = re.fullmatch(r"(-?\d+)\s*\.\.\s*(-?\d+)", dom_tok)
@@ -657,8 +699,209 @@ def _parse_constraint(fz: _FzModel, text: str) -> None:
             mdl.add(e0 <= e1 - 1)
     elif name == "float_plus":
         mdl.add(expr(0) + expr(1) == expr(2))
+    elif name == "float_times":
+        # z == x*y over reals; in fixed point Z/S = (X/S)(Y/S) => S*Z = X*Y.
+        # Exactness is the fixed-point contract (like every float builtin
+        # here): products that do not land on the 10^-6 grid are rejected
+        # by the solver as infeasible equalities, never silently rounded.
+        t_lo, t_hi = _prod_bounds(fz, args[0], args[1])
+        t = mdl.new_int_var(t_lo, t_hi, "")
+        mdl.add_multiplication_equality(t, [expr(0), expr(1)])
+        mdl.add(expr(2) * FLOAT_SCALE == t)
+    elif name == "float_div":
+        # z == x/y  <=>  z*y == x (y != 0); fixed point: Z*Y == S*X.
+        t_lo, t_hi = _prod_bounds(fz, args[2], args[1])
+        t = mdl.new_int_var(t_lo, t_hi, "")
+        mdl.add_multiplication_equality(t, [expr(2), expr(1)])
+        mdl.add(expr(0) * FLOAT_SCALE == t)
+        mdl.add(expr(1) != 0)
+    elif name == "float_abs":
+        mdl.add_abs_equality(expr(1), expr(0))
+    elif name == "float_min":
+        mdl.add_min_equality(expr(2), [expr(0), expr(1)])
+    elif name == "float_max":
+        mdl.add_max_equality(expr(2), [expr(0), expr(1)])
+    # ---- set-variable builtins (characteristic-vector encoding) ---------
+    elif name == "set_card":
+        sv = fz.set_var(args[0])
+        mdl.add(LinearExpr.sum([E(b) for b in sv.bools]) == expr(1))
+    elif name in ("set_in_var", "set_in") and args[1].strip() in fz.set_vars:
+        # x in S for a *variable* S: x confined to the universe, and
+        # taking value v implies v's membership bool.
+        sv = fz.set_var(args[1])
+        x = expr(0)
+        mdl.add_linear_expression_in_domain(
+            x, Domain.from_values(sv.values))
+        for v, b in zip(sv.values, sv.bools):
+            e = mdl.new_bool_var("")
+            mdl.add(x == v).only_enforce_if(e)
+            mdl.add(x != v).only_enforce_if(_neg(e))
+            mdl.add_implication(e, b)
+    elif name == "set_in_reif" and args[1].strip() in fz.set_vars:
+        sv = fz.set_var(args[1])
+        x, r = expr(0), lit(2)
+        ms = []
+        for v, b in zip(sv.values, sv.bools):
+            e = mdl.new_bool_var("")
+            mdl.add(x == v).only_enforce_if(e)
+            mdl.add(x != v).only_enforce_if(_neg(e))
+            m2 = mdl.new_bool_var("")
+            mdl.add_implication(m2, e)
+            mdl.add_implication(m2, b)
+            mdl.add_bool_or([_neg(e), _neg(b), m2])
+            ms.append(m2)
+        if ms:
+            for m2 in ms:
+                mdl.add_implication(m2, r)
+            mdl.add_bool_or(ms).only_enforce_if(r)
+        else:
+            mdl.add_bool_or([_neg(r)])
+    elif name in ("set_eq", "set_ne", "set_subset", "set_superset"):
+        sa, sb = fz.set_var(args[0]), fz.set_var(args[1])
+        union = sorted(set(sa.values) | set(sb.values))
+        if name == "set_ne":
+            ds = []
+            for v in union:
+                ba, bb = sa.bool_for(v), sb.bool_for(v)
+                d = mdl.new_bool_var("")
+                _xor_link(mdl, ba, bb, d)
+                ds.append(d)
+            mdl.add_bool_or(ds)
+        else:
+            for v in union:
+                ba, bb = sa.bool_for(v), sb.bool_for(v)
+                if name == "set_eq":
+                    _members_equal(mdl, ba, bb)
+                elif name == "set_subset":
+                    _member_implies(mdl, ba, bb)
+                else:  # superset
+                    _member_implies(mdl, bb, ba)
+    elif name in ("set_union", "set_intersect", "set_diff", "set_symdiff"):
+        sa, sb, sc = (fz.set_var(args[0]), fz.set_var(args[1]),
+                      fz.set_var(args[2]))
+        union = sorted(set(sa.values) | set(sb.values) | set(sc.values))
+        for v in union:
+            ba, bb, bc = sa.bool_for(v), sb.bool_for(v), sc.bool_for(v)
+            if name == "set_union":
+                _ternary_or(mdl, ba, bb, bc)
+            elif name == "set_intersect":
+                _ternary_and(mdl, ba, bb, bc)
+            elif name == "set_diff":
+                _ternary_and(mdl, ba, _neg_or_none(mdl, bb), bc)
+            else:  # symdiff
+                d = mdl.new_bool_var("")
+                _xor_link(mdl, ba, bb, d)
+                _members_equal(mdl, d, bc)
     else:
         raise FlatZincError(f"unsupported FlatZinc predicate: {name}")
+
+
+def _prod_bounds(fz: _FzModel, tok_a: str, tok_b: str) -> Tuple[int, int]:
+    """Interval bounds for the product of two fixed-point operands."""
+    def rng(tok):
+        v = fz.value(tok)
+        if isinstance(v, IntVar):
+            d = fz.model.ir.variables[v.index].domain
+            return d.min(), d.max()
+        iv = _scaled_const(float(v)) if isinstance(v, float) else int(v)
+        return iv, iv
+    alo, ahi = rng(tok_a)
+    blo, bhi = rng(tok_b)
+    cands = [alo * blo, alo * bhi, ahi * blo, ahi * bhi]
+    return min(cands), max(cands)
+
+
+def _members_equal(mdl, ba, bb) -> None:
+    """ba == bb where either side may be None (constant false)."""
+    if ba is None and bb is None:
+        return
+    if ba is None:
+        mdl.add_bool_or([_neg(bb)])
+    elif bb is None:
+        mdl.add_bool_or([_neg(ba)])
+    else:
+        mdl.add_implication(ba, bb)
+        mdl.add_implication(bb, ba)
+
+
+def _member_implies(mdl, ba, bb) -> None:
+    """ba -> bb with None = constant false."""
+    if ba is None:
+        return
+    if bb is None:
+        mdl.add_bool_or([_neg(ba)])
+    else:
+        mdl.add_implication(ba, bb)
+
+
+def _neg_or_none(mdl, b):
+    """Negation of a membership bool where None means constant false;
+    the result is a literal that is constant TRUE when b is None."""
+    if b is None:
+        t = mdl.new_bool_var("")
+        mdl.add_bool_or([t])
+        return t
+    return _neg(b)
+
+
+def _ternary_or(mdl, ba, bb, bc) -> None:
+    """bc == (ba or bb), None = false."""
+    ins = [b for b in (ba, bb) if b is not None]
+    if bc is None:
+        for b in ins:
+            mdl.add_bool_or([_neg(b)])
+        return
+    if not ins:
+        mdl.add_bool_or([_neg(bc)])
+        return
+    for b in ins:
+        mdl.add_implication(b, bc)
+    mdl.add_bool_or(ins).only_enforce_if(bc)
+
+
+def _ternary_and(mdl, ba, bb, bc) -> None:
+    """bc == (ba and bb), None = false."""
+    if ba is None or bb is None:
+        if bc is not None:
+            mdl.add_bool_or([_neg(bc)])
+        return
+    if bc is None:
+        mdl.add_bool_or([_neg(ba), _neg(bb)])
+        return
+    mdl.add_implication(bc, ba)
+    mdl.add_implication(bc, bb)
+    mdl.add_bool_or([_neg(ba), _neg(bb), bc])
+
+
+def _xor_link(mdl, ba, bb, d) -> None:
+    """d == (ba xor bb), None = constant false."""
+    if ba is None and bb is None:
+        mdl.add_bool_or([_neg(d)])
+        return
+    if ba is None:
+        _members_equal(mdl, d, bb)
+        return
+    if bb is None:
+        _members_equal(mdl, d, ba)
+        return
+    mdl.add_bool_or([_neg(ba), _neg(bb), _neg(d)])
+    mdl.add_bool_or([ba, bb, _neg(d)])
+    mdl.add_bool_or([ba, _neg(bb), d])
+    mdl.add_bool_or([_neg(ba), bb, d])
+
+
+def _parse_set_const(fz: _FzModel, tok: str) -> List[int]:
+    tok = tok.strip()
+    rm = re.fullmatch(r"(-?\d+)\s*\.\.\s*(-?\d+)", tok)
+    if rm:
+        return list(range(int(rm.group(1)), int(rm.group(2)) + 1))
+    if tok.startswith("{"):
+        inner = tok[1:-1].strip()
+        return [int(x) for x in _split_top(inner)] if inner else []
+    v = fz.pars.get(tok)
+    if isinstance(v, list):
+        return [int(x) for x in v]
+    raise FlatZincError(f"cannot parse set constant: {tok!r}")
 
 
 def _neg(lit):
@@ -728,7 +971,11 @@ def _format_output(fz: _FzModel, solver: CpSolver) -> str:
 
     lines = []
     for name, item in fz.output_items:
-        if isinstance(item, list):
+        if isinstance(item, _SetVar):
+            members = [str(v) for v, b in zip(item.values, item.bools)
+                       if solver.boolean_value(b)]
+            lines.append(f"{name} = {{{', '.join(members)}}};")
+        elif isinstance(item, list):
             vals = ", ".join(fmt(v) for v in item)
             lines.append(
                 f"{name} = array1d(1..{len(item)}, [{vals}]);"

@@ -406,3 +406,114 @@ solve satisfy;
     v = _values(r)
     xs = [v[f"xs[{i}]"] for i in range(1, 6)]
     assert sum(1 for x in xs if 2 <= x <= 3) == 2
+
+
+def test_set_variables_card_union():
+    fzn = """
+var set of 1..5: s :: output_var;
+var set of 1..5: t :: output_var;
+var set of 1..5: u :: output_var;
+var 0..5: cs;
+constraint set_card(s, cs);
+constraint int_eq(cs, 2);
+constraint set_in(1, s);
+constraint set_in(3, s);
+constraint set_eq(t, s);
+constraint set_union(s, t, u);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    vals = dict(ln.replace(";", "").split(" = ")
+                for ln in r.text.splitlines() if " = " in ln)
+    assert vals["s"] == "{1, 3}"
+    assert vals["t"] == "{1, 3}"
+    assert vals["u"] == "{1, 3}"
+
+
+def test_set_variables_subset_diff_symdiff():
+    fzn = """
+var set of 1..4: a :: output_var;
+var set of 1..4: b :: output_var;
+var set of 1..4: d :: output_var;
+var set of 1..4: x :: output_var;
+var 0..4: ca;
+var 0..4: cb;
+constraint set_card(a, ca);
+constraint set_card(b, cb);
+constraint int_eq(ca, 3);
+constraint int_eq(cb, 2);
+constraint set_subset(b, a);
+constraint set_diff(a, b, d);
+constraint set_symdiff(a, b, x);
+constraint set_in(1, b);
+constraint set_in(2, b);
+constraint set_in(4, a);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    vals = dict(ln.replace(";", "").split(" = ")
+                for ln in r.text.splitlines() if " = " in ln)
+    assert vals["b"] == "{1, 2}"
+    assert vals["a"] == "{1, 2, 4}"
+    assert vals["d"] == "{4}"
+    assert vals["x"] == "{4}"
+
+
+def test_set_var_membership_reified():
+    fzn = """
+var set of 1..3: s;
+var 1..3: x :: output_var;
+var bool: r;
+constraint set_card(s, 1);
+constraint set_in(2, s);
+constraint set_in_reif(x, s, r);
+constraint bool_clause([r], []);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    val = int(r.text.splitlines()[0].split("=")[1].strip().rstrip(";"))
+    assert val == 2
+
+
+def test_float_times_div():
+    fzn = """
+var 0.5..4.0: x :: output_var;
+var 0.5..4.0: y :: output_var;
+var 0.25..16.0: z :: output_var;
+var 0.5..4.0: q :: output_var;
+constraint float_eq(x, 1.5);
+constraint float_eq(y, 2.0);
+constraint float_times(x, y, z);
+constraint float_div(z, y, q);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    vals = dict(ln.replace(";", "").split(" = ")
+                for ln in r.text.splitlines() if " = " in ln)
+    assert abs(float(vals["z"]) - 3.0) < 1e-9
+    assert abs(float(vals["q"]) - 1.5) < 1e-9
+
+
+def test_float_abs_min_max():
+    fzn = """
+var -2.0..2.0: x :: output_var;
+var 0.0..2.0: a :: output_var;
+var -2.0..2.0: mn :: output_var;
+var -2.0..2.0: mx :: output_var;
+constraint float_eq(x, -1.25);
+constraint float_abs(x, a);
+constraint float_min(x, a, mn);
+constraint float_max(x, a, mx);
+solve satisfy;
+"""
+    r = solve_fzn_text(fzn)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    vals = dict(ln.replace(";", "").split(" = ")
+                for ln in r.text.splitlines() if " = " in ln)
+    assert abs(float(vals["a"]) - 1.25) < 1e-9
+    assert abs(float(vals["mn"]) + 1.25) < 1e-9
+    assert abs(float(vals["mx"]) - 1.25) < 1e-9
