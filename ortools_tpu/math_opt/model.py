@@ -154,14 +154,31 @@ def solve(model: Model, solver_type: SolverType = SolverType.GLOP,
 
 @dataclasses.dataclass
 class ModelUpdate:
-    """A batch of model mutations (reference model_update.proto scoped to
-    the supported update classes: variable-bound changes and objective
-    coefficient changes)."""
+    """A batch of model mutations (reference model_update.proto): variable
+    and constraint bound changes, objective coefficient changes, new
+    variables/constraints, and variable/constraint deletions.
+
+    Deletions keep every existing index stable (the reference keeps ids
+    stable too): a deleted constraint becomes a vacuous row (no terms,
+    free bounds) and a deleted variable is removed from every row and the
+    objective and fixed to 0 — semantically identical to removal for any
+    model that no longer references it."""
 
     variable_lower: Dict[int, float] = dataclasses.field(default_factory=dict)
     variable_upper: Dict[int, float] = dataclasses.field(default_factory=dict)
     objective_coeffs: Dict[int, float] = dataclasses.field(
         default_factory=dict)
+    constraint_lower: Dict[int, float] = dataclasses.field(
+        default_factory=dict)
+    constraint_upper: Dict[int, float] = dataclasses.field(
+        default_factory=dict)
+    # (constraint index, variable index) -> new coefficient
+    matrix_coeffs: Dict[tuple, float] = dataclasses.field(
+        default_factory=dict)
+    new_variables: list = dataclasses.field(default_factory=list)
+    new_constraints: list = dataclasses.field(default_factory=list)
+    deleted_variable_ids: set = dataclasses.field(default_factory=set)
+    deleted_constraint_ids: set = dataclasses.field(default_factory=set)
 
     def set_variable_lb(self, var: Variable, lb: float) -> "ModelUpdate":
         self.variable_lower[var.index] = float(lb)
@@ -176,9 +193,50 @@ class ModelUpdate:
         self.objective_coeffs[var.index] = float(coeff)
         return self
 
+    def set_constraint_lb(self, ct, lb: float) -> "ModelUpdate":
+        self.constraint_lower[_ct_index(ct)] = float(lb)
+        return self
+
+    def set_constraint_ub(self, ct, ub: float) -> "ModelUpdate":
+        self.constraint_upper[_ct_index(ct)] = float(ub)
+        return self
+
+    def set_coefficient(self, ct, var: Variable, coeff: float
+                        ) -> "ModelUpdate":
+        self.matrix_coeffs[(_ct_index(ct), var.index)] = float(coeff)
+        return self
+
+    def add_variable(self, lb: float = -math.inf, ub: float = math.inf,
+                     is_integer: bool = False, name: str = "") -> "ModelUpdate":
+        self.new_variables.append((float(lb), float(ub), bool(is_integer),
+                                   name))
+        return self
+
+    def add_linear_constraint(self, bounded) -> "ModelUpdate":
+        if not isinstance(bounded, _BoundedExpr):
+            raise TypeError("add_linear_constraint takes expr <=/==/>= rhs")
+        self.new_constraints.append(bounded)
+        return self
+
+    def delete_variable(self, var: Variable) -> "ModelUpdate":
+        self.deleted_variable_ids.add(var.index)
+        return self
+
+    def delete_linear_constraint(self, ct) -> "ModelUpdate":
+        self.deleted_constraint_ids.add(_ct_index(ct))
+        return self
+
     @property
     def bounds_only(self) -> bool:
-        return not self.objective_coeffs
+        return not (self.objective_coeffs or self.constraint_lower
+                    or self.constraint_upper or self.matrix_coeffs
+                    or self.new_variables or self.new_constraints
+                    or self.deleted_variable_ids
+                    or self.deleted_constraint_ids)
+
+
+def _ct_index(ct) -> int:
+    return ct if isinstance(ct, int) else ct.index
 
 
 class IncrementalSolver:
@@ -215,6 +273,29 @@ class IncrementalSolver:
             mb.var_ub[i] = hi
         for i, cv in upd.objective_coeffs.items():
             mb.objective.coeffs[i] = cv
+        for i, lo in upd.constraint_lower.items():
+            mb.ct_lb[i] = lo
+        for i, hi in upd.constraint_upper.items():
+            mb.ct_ub[i] = hi
+        for (ci, vi), cv in upd.matrix_coeffs.items():
+            if cv == 0.0:
+                mb.ct_coeffs[ci].pop(vi, None)
+            else:
+                mb.ct_coeffs[ci][vi] = cv
+        for lb, ub, is_int, name in upd.new_variables:
+            mb.new_var(lb, ub, is_int, name)
+        for bounded in upd.new_constraints:
+            mb.add(bounded)
+        for ci in upd.deleted_constraint_ids:
+            mb.ct_coeffs[ci] = {}
+            mb.ct_lb[ci] = -math.inf
+            mb.ct_ub[ci] = math.inf
+        for vi in upd.deleted_variable_ids:
+            for coeffs in mb.ct_coeffs:
+                coeffs.pop(vi, None)
+            mb.objective.coeffs.pop(vi, None)
+            mb.var_lb[vi] = 0.0
+            mb.var_ub[vi] = 0.0
         if self._sx is not None and upd.bounds_only:
             import numpy as np
 

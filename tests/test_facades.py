@@ -179,3 +179,77 @@ def test_propagator_timing_tables():
     for kind, (runs, secs) in eng.propagator_stats.items():
         assert runs > 0 and secs >= 0.0
     assert {"all_diff", "linear"} <= set(eng.propagator_stats)
+
+
+def test_math_opt_incremental_structural_updates():
+    """model_update.proto parity: add/delete constraints and variables,
+    matrix + constraint-bound updates, through the IncrementalSolver."""
+    from ortools_tpu.math_opt.model import (IncrementalSolver, ModelUpdate,
+                                            SolverType)
+
+    model = math_opt.Model(name="inc")
+    x = model.add_variable(lb=0.0, ub=10.0, name="x")
+    y = model.add_variable(lb=0.0, ub=10.0, name="y")
+    c0 = model.add_linear_constraint(x + y <= 8.0)
+    model.maximize(x + 2 * y)
+
+    inc = IncrementalSolver(model, SolverType.GLOP)
+    r0 = inc.solve()
+    assert abs(r0.objective_value() - 16.0) < 1e-6  # y=8? no: x+y<=8, max x+2y -> x=0,y=8 -> 16
+
+    # add a constraint limiting y
+    upd = ModelUpdate()
+    upd.add_linear_constraint(y <= 3.0)
+    r1 = inc.solve_after_update(upd)
+    # x + y <= 8, y <= 3 -> x=5, y=3 -> 11
+    assert abs(r1.objective_value() - 11.0) < 1e-6
+
+    # tighten the first constraint's upper bound
+    upd2 = ModelUpdate().set_constraint_ub(c0, 6.0)
+    r2 = inc.solve_after_update(upd2)
+    assert abs(r2.objective_value() - 9.0) < 1e-6  # x=3,y=3
+
+    # delete the y-limit (constraint index 1) -> back to y-heavy optimum
+    upd3 = ModelUpdate()
+    upd3.delete_linear_constraint(1)
+    r3 = inc.solve_after_update(upd3)
+    assert abs(r3.objective_value() - 12.0) < 1e-6  # y=6
+
+    # add a new variable with a strong objective coefficient
+    upd4 = ModelUpdate()
+    upd4.add_variable(lb=0.0, ub=2.0, name="z")
+    r4 = inc.solve_after_update(upd4)
+    z_idx = 2
+    upd5 = ModelUpdate()
+    upd5.objective_coeffs[z_idx] = 5.0
+    r5 = inc.solve_after_update(upd5)
+    assert abs(r5.objective_value() - 22.0) < 1e-6  # y=6 (12) + z=2 (10)
+
+    # delete variable y: removed from rows + objective, fixed to 0
+    upd6 = ModelUpdate().delete_variable(y)
+    r6 = inc.solve_after_update(upd6)
+    # max x + 5z s.t. x <= 6, z <= 2 -> 6 + 10 = 16
+    assert abs(r6.objective_value() - 16.0) < 1e-6
+
+    # matrix coefficient update: make x count double in c0 (x' <= 3)
+    upd7 = ModelUpdate().set_coefficient(c0, x, 2.0)
+    r7 = inc.solve_after_update(upd7)
+    assert abs(r7.objective_value() - 13.0) < 1e-6  # x=3 + 10
+
+
+def test_math_opt_bounds_only_update_stays_warm():
+    from ortools_tpu.math_opt.model import (IncrementalSolver, ModelUpdate,
+                                            SolverType)
+
+    model = math_opt.Model()
+    x = model.add_variable(lb=0.0, ub=4.0)
+    y = model.add_variable(lb=0.0, ub=4.0)
+    model.add_linear_constraint(x + y <= 6.0)
+    model.maximize(x + y)
+    inc = IncrementalSolver(model, SolverType.GLOP)
+    r0 = inc.solve()
+    assert abs(r0.objective_value() - 6.0) < 1e-6
+    upd = ModelUpdate().set_variable_ub(x, 1.0)
+    assert upd.bounds_only
+    r1 = inc.solve_after_update(upd)
+    assert abs(r1.objective_value() - 5.0) < 1e-6
