@@ -66,7 +66,18 @@ def presolve_model(model: ir.CpModelIR) -> Optional[ir.CpModelIR]:
             enf.append(lit)
         if dead:
             continue
-        if ct.kind == "linear" and not ct.enforcement_literals:
+        if ct.kind == "linear":
+            reduced = _diophantine_reduce(ct, enf)
+            if reduced is None:  # unsatisfiable body
+                if not enf:
+                    return None
+                # enforcement must fail: emit the negated-enforcement clause
+                ct = ir.ConstraintIR("bool_or", ir.BoolArgs(
+                    [ir.negated_literal(l) for l in enf]))
+                enf = []
+            else:
+                ct = reduced
+        if ct.kind == "linear" and not enf:
             a = ct.args
             live = [(v, c) for v, c in zip(a.vars, a.coeffs) if c != 0]
             if len(live) == 0:
@@ -111,6 +122,7 @@ def presolve_model(model: ir.CpModelIR) -> Optional[ir.CpModelIR]:
     out = dataclasses.replace(model, variables=new_vars, constraints=kept)
     # Round-2 depth: clique merging + probing (size-gated; both preserve
     # the 1:1 variable indexing contract).
+    out = setppc_dominance(out)
     out = merge_cliques(out)
     if len(out.variables) * max(1, len(out.constraints)) <= 2_000_000:
         out = probe_binaries(out)
@@ -167,6 +179,110 @@ def _constraint_key(ct: ir.ConstraintIR, enf: List[int]):
     else:
         return id(ct)  # only cheap kinds are deduplicated
     return (ct.kind, body, tuple(sorted(enf)))
+
+
+def _diophantine_reduce(ct: ir.ConstraintIR,
+                        enf: List[int]) -> Optional[ir.ConstraintIR]:
+    """GCD reduction of a linear constraint (reference
+    ortools/sat/diophantine.{h,cc} scoped to its divisibility core):
+    with g = gcd(coeffs) > 1, sum c_i x_i in D  <=>  sum (c_i/g) x_i in
+    {t : g*t in D}.  Returns None when the reduced rhs domain is empty
+    (the body is unsatisfiable for any assignment); otherwise the
+    (possibly rewritten) constraint."""
+    import math as _math
+
+    a = ct.args
+    live_vars, live_coeffs = [], []
+    for v, c in zip(a.vars, a.coeffs):
+        if c != 0:
+            live_vars.append(v)
+            live_coeffs.append(c)
+    if not live_coeffs:
+        return ct if a.domain.contains(0) else None
+    g = 0
+    for c in live_coeffs:
+        g = _math.gcd(g, abs(c))
+        if g == 1:
+            return ct if len(live_vars) == len(a.vars) else \
+                dataclasses.replace(ct, args=ir.LinearArgs(
+                    live_vars, live_coeffs, a.domain),
+                    enforcement_literals=enf)
+    new_dom = a.domain.inverse_multiplication_by(g)
+    if new_dom.is_empty():
+        return None
+    return dataclasses.replace(ct, args=ir.LinearArgs(
+        live_vars, [c // g for c in live_coeffs], new_dom),
+        enforcement_literals=enf)
+
+
+def setppc_dominance(model: ir.CpModelIR) -> ir.CpModelIR:
+    """Inclusion dominance between set-packing/covering constraints
+    (reference CpModelPresolver::ProcessSetPPC):
+
+    - a bool_or over S2 is implied by any clause-like source over S1 with
+      S1 subset of S2 (another bool_or or an exactly_one) -> dropped;
+    - an at_most_one over S2 is implied by any packing source over S1
+      with S2 subset of S1 (another at_most_one or an exactly_one)
+      -> dropped.
+
+    exactly_one constraints act as sources only (they are strictly
+    stronger and never dropped here)."""
+    clause_sources: List[tuple] = []  # (frozenset, ct index or -1)
+    amo_sources: List[tuple] = []
+    clause_targets: List[int] = []
+    amo_targets: List[int] = []
+    for ci, ct in enumerate(model.constraints):
+        if ct.enforcement_literals:
+            continue
+        if ct.kind == "bool_or" and ct.args.literals:
+            s = frozenset(ct.args.literals)
+            clause_sources.append((s, ci))
+            clause_targets.append(ci)
+        elif ct.kind == "at_most_one" and ct.args.literals:
+            s = frozenset(ct.args.literals)
+            amo_sources.append((s, ci))
+            amo_targets.append(ci)
+        elif ct.kind == "exactly_one" and ct.args.literals:
+            s = frozenset(ct.args.literals)
+            clause_sources.append((s, ci))
+            amo_sources.append((s, ci))
+    if (not clause_targets and not amo_targets) or \
+            len(model.constraints) > 200_000:
+        return model
+    drop = set()
+    # smallest sources first so the strongest dominator is tried early
+    clause_sources.sort(key=lambda t: len(t[0]))
+    amo_sources.sort(key=lambda t: -len(t[0]))
+    for ci in clause_targets:
+        s2 = frozenset(model.constraints[ci].args.literals)
+        for s1, src in clause_sources:
+            if len(s1) >= len(s2):
+                break
+            if src != ci and src not in drop and s1 < s2:
+                drop.add(ci)
+                break
+    for ci in amo_targets:
+        s2 = frozenset(model.constraints[ci].args.literals)
+        for s1, src in amo_sources:
+            if len(s1) <= len(s2):
+                break
+            if src != ci and src not in drop and s2 < s1:
+                drop.add(ci)
+                break
+    if not drop:
+        return model
+    # keep interval positions stable for scheduling models (same contract
+    # as merge_cliques)
+    has_sched = any(ct.kind in ("no_overlap", "cumulative", "no_overlap_2d")
+                    for ct in model.constraints)
+    if has_sched:
+        kept = [ct if ci not in drop
+                else ir.ConstraintIR("at_most_one", ir.BoolArgs([]))
+                for ci, ct in enumerate(model.constraints)]
+    else:
+        kept = [ct for ci, ct in enumerate(model.constraints)
+                if ci not in drop]
+    return dataclasses.replace(model, constraints=kept)
 
 
 # ---------------------------------------------------------------------------

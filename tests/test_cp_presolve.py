@@ -138,3 +138,100 @@ def test_clique_merging_builds_bigger_amo():
     m.maximize(a + b + c)
     assert s.status_name(s.solve(m)) == "OPTIMAL"
     assert s.objective_value == 1
+
+
+def test_diophantine_gcd_reduction():
+    # 6x + 9y == 10 has gcd 3 not dividing 10 -> infeasible at presolve
+    m = CpModel()
+    x = m.new_int_var(-10, 10, "x")
+    y = m.new_int_var(-10, 10, "y")
+    m.add(6 * x + 9 * y == 10)
+    out = presolve_model(m.ir)
+    assert out is None or CpSolver().solve(m) == INFEASIBLE
+    s = CpSolver()
+    assert s.solve(m) == INFEASIBLE
+
+
+def test_diophantine_reduces_coefficients():
+    # 4x + 6y in [2, 10] -> 2x + 3y in [1, 5]
+    m = CpModel()
+    x = m.new_int_var(0, 5, "x")
+    y = m.new_int_var(0, 5, "y")
+    m.add_linear_expression_in_domain(4 * x + 6 * y, Domain(2, 10))
+    out = presolve_model(m.ir)
+    lin = [ct for ct in out.constraints if ct.kind == "linear"]
+    assert lin, "linear constraint should survive"
+    a = lin[0].args
+    assert sorted(abs(c) for c in a.coeffs) == [2, 3]
+    assert a.domain.min() == 1 and a.domain.max() == 5
+    # still solvable and consistent with the original model
+    s = CpSolver()
+    assert s.solve(m) in (OPTIMAL,)
+
+
+def test_diophantine_enforced_infeasible_body_negates_enforcement():
+    m = CpModel()
+    b = m.new_bool_var("b")
+    x = m.new_int_var(-10, 10, "x")
+    y = m.new_int_var(-10, 10, "y")
+    m.add(4 * x + 8 * y == 6).only_enforce_if(b)  # gcd 4, 6 % 4 != 0
+    m.add(x + y >= -100)  # keep model nontrivial
+    s = CpSolver()
+    assert s.solve(m) == OPTIMAL
+    assert s.boolean_value(b) is False
+
+
+def test_setppc_clause_subsumption():
+    from ortools_tpu.sat.presolve import setppc_dominance
+
+    m = CpModel()
+    a, b, c = (m.new_bool_var(n) for n in "abc")
+    m.add_bool_or([a, b])          # S1
+    m.add_bool_or([a, b, c])       # S2 superset -> dominated
+    m.add_at_most_one([a, b, c])   # P1
+    m.add_at_most_one([a, b])      # P2 subset -> dominated
+    out = setppc_dominance(m.ir)
+    kinds = [(ct.kind, tuple(sorted(ct.args.literals)))
+             for ct in out.constraints]
+    assert (("bool_or", (0, 1)) in kinds)
+    assert (("bool_or", (0, 1, 2)) not in kinds)
+    assert (("at_most_one", (0, 1, 2)) in kinds)
+    assert (("at_most_one", (0, 1)) not in kinds)
+
+
+def test_setppc_exactly_one_dominates_both_sides():
+    from ortools_tpu.sat.presolve import setppc_dominance
+
+    m = CpModel()
+    a, b, c = (m.new_bool_var(n) for n in "abc")
+    m.add_exactly_one([a, b])
+    m.add_bool_or([a, b, c])      # implied by exactly_one subset
+    m.add_at_most_one([a])        # NOT a strict subset domination target? {a} < {a,b} -> implied
+    out = setppc_dominance(m.ir)
+    kinds = [(ct.kind, tuple(sorted(ct.args.literals)))
+             for ct in out.constraints]
+    assert ("exactly_one", (0, 1)) in kinds
+    assert ("bool_or", (0, 1, 2)) not in kinds
+    assert ("at_most_one", (0,)) not in kinds
+
+
+def test_setppc_solutions_preserved():
+    import itertools
+
+    m = CpModel()
+    lits = [m.new_bool_var(f"b{i}") for i in range(4)]
+    m.add_bool_or(lits[:2])
+    m.add_bool_or(lits[:3])
+    m.add_at_most_one(lits)
+    m.add_at_most_one(lits[1:3])
+    m.maximize(sum((i + 1) * l for i, l in enumerate(lits)))
+    s = CpSolver()
+    assert s.solve(m) == OPTIMAL
+    # brute-force optimum: at_most_one over all 4, need one of first two
+    best = max(
+        sum((i + 1) * v for i, v in enumerate(assign))
+        for assign in itertools.product([0, 1], repeat=4)
+        if sum(assign) <= 1 and (assign[0] or assign[1])
+        and sum(assign[1:3]) <= 1
+    )
+    assert s.objective_value == best
