@@ -31,6 +31,7 @@ import numpy as np
 from ortools_tpu.sat import model_ir as ir
 from ortools_tpu.sat.scheduling_propagators import (
     disjunctive_bounds,
+    energetic_reasoning_bounds,
     timetable_bounds,
 )
 from ortools_tpu.utils.domain import Domain, INT_MAX, INT_MIN
@@ -678,6 +679,14 @@ class Engine:
         if prof_max > cap_lo:
             self._tighten_expr(doms, a.capacity, int(prof_max), cap_hi,
                                queue)
+        # Energetic reasoning on top of the timetable bounds (reference
+        # sat/cumulative_energy.{h,cc}); O(n^2) windows vectorized, so
+        # gate by task count.
+        if 2 <= len(tasks) <= 144:
+            new_est, new_lct, ok = energetic_reasoning_bounds(
+                new_est, new_lct, dur, dem_lo, int(cap_hi))
+            if not ok:
+                raise Conflict()
         for t, (kk, info, _) in enumerate(tasks):
             at = self.model.constraints[kk].args
             if new_est[t] > est[t]:

@@ -117,6 +117,81 @@ def disjunctive_bounds(
     return new_est, new_lct, True
 
 
+def energetic_reasoning_bounds(
+    est: np.ndarray, lct: np.ndarray, p: np.ndarray,
+    dem: np.ndarray, cap: int,
+) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """Energetic reasoning for one cumulative resource (reference
+    sat/cumulative_energy.{h,cc}; rule per Baptiste, Le Pape & Nuijten,
+    *Constraint-Based Scheduling*, the left-shift/right-shift energy
+    test), vectorized over ALL O(n^2) candidate windows at once.
+
+    For a window [t1, t2): the minimal energy of task i inside it is
+    ``dem_i * max(0, min(p_i, t2-t1, ect_i-t1, t2-lst_i))``.
+
+    - overload: sum over tasks > cap*(t2-t1)  =>  infeasible;
+    - adjustment: with A = (cap*(t2-t1) - W_rest_i) / dem_i, if the
+      LEFT-SHIFTED overlap of i exceeds A (the overlap-vs-start function
+      is unimodal, so est_i then sits strictly inside the forbidden
+      plateau), every remaining start satisfies s_i >= t2 - floor(A);
+      mirrored in reversed time for the end bound.
+
+    Returns (new_est, new_lct, feasible).
+    """
+    est = est.astype(np.int64)
+    lct = lct.astype(np.int64)
+    p = p.astype(np.int64)
+    dem = dem.astype(np.int64)
+    new_est, ok = _er_forward(est, lct, p, dem, cap)
+    if not ok:
+        return est, lct, False
+    mir, ok = _er_forward(-lct, -new_est, p, dem, cap)
+    if not ok:
+        return est, lct, False
+    return new_est, -mir, True
+
+
+def _er_forward(est: np.ndarray, lct: np.ndarray, p: np.ndarray,
+                dem: np.ndarray, cap: int) -> Tuple[np.ndarray, bool]:
+    n = len(est)
+    new_est = est.copy()
+    if n <= 1:
+        return new_est, True
+    ect = est + p
+    lst = lct - p
+    t1s = np.unique(est)
+    t2s = np.unique(lct)
+    T1, T2 = np.meshgrid(t1s, t2s, indexing="ij")
+    sel = T1 < T2
+    t1 = T1[sel][:, None]  # [W, 1]
+    t2 = T2[sel][:, None]
+    if t1.size == 0:
+        return new_est, True
+    length = t2 - t1
+    inter = np.minimum(np.minimum(p[None, :], length),
+                       np.minimum(ect[None, :] - t1, t2 - lst[None, :]))
+    min_e = dem[None, :] * np.maximum(inter, 0)        # [W, n]
+    tot = min_e.sum(axis=1, keepdims=True)             # [W, 1]
+    cap_e = cap * length
+    if (tot > cap_e).any():
+        return new_est, False
+    # left-shift overlap of i (start pinned at est_i)
+    ls = np.maximum(
+        np.minimum(t2, ect[None, :]) - np.maximum(t1, est[None, :]), 0)
+    rest = tot - min_e                                  # [W, n]
+    avail = cap_e - rest                                # >= 0 given no overload
+    trigger = (dem[None, :] > 0) & (dem[None, :] * ls > avail)
+    if not trigger.any():
+        return new_est, True
+    cand = t2 - avail // np.maximum(dem[None, :], 1)
+    cand = np.where(trigger, cand, _NEG)
+    np.maximum(new_est, cand.max(axis=0), out=new_est)
+    # a push past the latest start is a conflict
+    if (new_est > lst).any():
+        return new_est, False
+    return new_est, True
+
+
 def timetable_bounds(
     est: np.ndarray, lst: np.ndarray, ect: np.ndarray, lct: np.ndarray,
     p: np.ndarray, dem: np.ndarray, cap: int,

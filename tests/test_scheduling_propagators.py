@@ -196,3 +196,71 @@ def test_engine_no_overlap_edge_finding_prunes():
     doms = eng.initial_domains()
     assert eng.root_propagate(doms)
     assert doms[sc.index].min() >= 6, doms[sc.index]
+
+
+def test_energetic_reasoning_overload():
+    import numpy as np
+    from ortools_tpu.sat.scheduling_propagators import (
+        energetic_reasoning_bounds)
+
+    # three tasks of energy 3*2 in window [0,4) with cap 4: 18 > 16
+    est = np.array([0, 0, 0])
+    lct = np.array([4, 4, 4])
+    p = np.array([3, 3, 3])
+    dem = np.array([2, 2, 2])
+    _, _, ok = energetic_reasoning_bounds(est, lct, p, dem, 4)
+    assert not ok
+
+
+def test_energetic_reasoning_pushes_start():
+    import numpy as np
+    from ortools_tpu.sat.scheduling_propagators import (
+        energetic_reasoning_bounds)
+
+    # cap 2; two fixed tasks fill [0,4) with demand 1 each... then task 2
+    # (p=3, dem=2) cannot overlap [0,4) at all: window energy 8 = cap*4.
+    est = np.array([0, 0, 0])
+    lct = np.array([4, 4, 10])
+    p = np.array([4, 4, 3])
+    dem = np.array([1, 1, 2])
+    new_est, new_lct, ok = energetic_reasoning_bounds(est, lct, p, dem, 2)
+    assert ok
+    assert new_est[2] >= 4  # pushed entirely past the saturated window
+
+
+def test_energetic_reasoning_never_weakens_feasible():
+    import itertools
+    import numpy as np
+    from ortools_tpu.sat.scheduling_propagators import (
+        energetic_reasoning_bounds)
+
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        n = int(rng.integers(2, 5))
+        p = rng.integers(1, 4, n)
+        est = rng.integers(0, 4, n)
+        slack = rng.integers(0, 5, n)
+        lct = est + p + slack
+        dem = rng.integers(1, 3, n)
+        cap = int(rng.integers(2, 4))
+        new_est, new_lct, ok = energetic_reasoning_bounds(
+            est.astype(np.int64), lct.astype(np.int64),
+            p.astype(np.int64), dem.astype(np.int64), cap)
+        # brute-force all start tuples; check every feasible schedule
+        # survives the tightened bounds
+        feasible_any = False
+        for starts in itertools.product(
+                *[range(int(est[i]), int(lct[i] - p[i]) + 1)
+                  for i in range(n)]):
+            horizon = int(lct.max())
+            load = np.zeros(horizon + 1, dtype=int)
+            for i, s in enumerate(starts):
+                load[s:s + p[i]] += dem[i]
+            if load.max(initial=0) <= cap:
+                feasible_any = True
+                assert ok, (est, lct, p, dem, cap, starts)
+                for i, s in enumerate(starts):
+                    assert s >= new_est[i], (est, lct, p, dem, cap, starts)
+                    assert s + p[i] <= new_lct[i]
+        if not feasible_any:
+            pass  # ER may or may not detect; nothing to check
