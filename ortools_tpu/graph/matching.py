@@ -151,12 +151,13 @@ def _greedy_perfect(dist: np.ndarray, nodes: List[int]
 
 def min_weight_perfect_matching(
     dist: np.ndarray, nodes: Optional[List[int]] = None,
-    exact_limit: int = 30, max_nodes: int = 2000,
+    exact_limit: int = 400, max_nodes: int = 2000,
 ) -> List[Tuple[int, int]]:
     """Minimum-weight perfect matching on the complete graph over
-    ``nodes`` (all vertices by default).  Exact through the MIP path up
-    to ``exact_limit`` vertices; greedy + 2-exchange beyond (documented
-    approximation, like the reference's use in heuristics)."""
+    ``nodes`` (all vertices by default).  Exact through the dedicated
+    blossom matcher (graph/blossom.py — the reference's
+    graph/perfect_matching.h algorithm) up to ``exact_limit`` vertices;
+    greedy + 2-exchange beyond (documented approximation)."""
     if nodes is None:
         nodes = list(range(dist.shape[0]))
     k = len(nodes)
@@ -168,6 +169,14 @@ def min_weight_perfect_matching(
     greedy = _greedy_perfect(dist, nodes)
     if k > exact_limit:
         return greedy
+    from ortools_tpu.graph.blossom import (
+        min_weight_perfect_matching_blossom)
+
+    pairs = min_weight_perfect_matching_blossom(dist, nodes)
+    if pairs is not None:
+        return pairs
+    # unreachable for complete even graphs; MIP fallback below retained
+    # as a safety net
     # Exact: binary edge variables, degree-1 equalities.
     from ortools_tpu.mip.branch_and_bound import solve as mip_solve
     from ortools_tpu.models.lp import QuadraticProgram

@@ -192,3 +192,66 @@ def test_assignment_infeasible():
     lsa.add_arc_with_cost(0, 0, 1)
     lsa.add_arc_with_cost(1, 0, 2)  # two lefts, one right
     assert lsa.solve() == LinearSumAssignment.INFEASIBLE
+
+
+def test_blossom_matches_bruteforce_random():
+    import itertools
+
+    import numpy as np
+
+    from ortools_tpu.graph.blossom import (
+        max_weight_matching, min_weight_perfect_matching_blossom)
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        k = int(rng.choice([4, 6, 8]))
+        d = rng.integers(1, 40, (k, k)).astype(float)
+        d = (d + d.T) / 2
+        np.fill_diagonal(d, 0.0)
+        pairs = min_weight_perfect_matching_blossom(d, list(range(k)))
+        cost = sum(d[a, b] for a, b in pairs)
+
+        def brute(avail):
+            if not avail:
+                return 0.0
+            v = avail[0]
+            return min(d[v, u] + brute([x for x in avail[1:] if x != u])
+                       for u in avail[1:])
+
+        assert abs(cost - brute(list(range(k)))) < 1e-9
+
+    # sparse max-weight (non-perfect) mode
+    import random
+    random.seed(3)
+    for _ in range(40):
+        n = random.randint(2, 7)
+        edges = [(i, j, random.randint(0, 15))
+                 for i in range(n) for j in range(i + 1, n)
+                 if random.random() < 0.6]
+        if not edges:
+            continue
+        mate = max_weight_matching(n, edges)
+        ws = {(i, j): w for i, j, w in edges}
+        got = sum(ws[(v, u)] for v in range(n)
+                  for u in [mate[v]] if u > v and (v, u) in ws)
+        best = 0
+        ed = list(ws.items())
+        for r in range(len(ed) + 1):
+            for comb in itertools.combinations(ed, r):
+                vs = [v for (e, _) in comb for v in e]
+                if len(vs) == len(set(vs)):
+                    best = max(best, sum(w for _, w in comb))
+        assert got == best, (n, edges, mate)
+
+
+def test_christofides_uses_exact_matching():
+    import numpy as np
+
+    from ortools_tpu.graph.matching import min_weight_perfect_matching
+
+    rng = np.random.default_rng(5)
+    pts = rng.standard_normal((40, 2))
+    d = np.linalg.norm(pts[:, None] - pts[None, :], axis=2)
+    pairs = min_weight_perfect_matching(d)
+    used = [v for p in pairs for v in p]
+    assert sorted(used) == list(range(40))
