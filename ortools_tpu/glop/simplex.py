@@ -34,6 +34,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 import scipy.linalg as sla
 import scipy.sparse as sp
+import scipy.sparse.linalg as spla
 
 from ortools_tpu.models.lp import QuadraticProgram
 from ortools_tpu.utils.status import MPSolverStatus
@@ -57,18 +58,38 @@ class _Factorization:
 
     B_{k+1} = B_k E_k,  E_k = I + (w - e_r) e_r^T  where w = B_k^{-1} a_in.
     Stands in for the reference's Forrest-Tomlin update
-    (glop/rank_one_update.h) at dense host-oracle sizes.
+    (glop/rank_one_update.h).
+
+    The base factorization is SPARSE (scipy splu, the analogue of the
+    reference's Markowitz LU, glop/markowitz.h) when the basis is large
+    and sparse — on structured MIP node LPs this is the difference
+    between O(m^3) dense refactors and ~nnz work — and dense LAPACK
+    otherwise.
     """
 
-    def __init__(self, b_mat: np.ndarray):
-        if not np.all(np.isfinite(b_mat)):
-            raise ValueError("non-finite basis matrix")
-        self.lu = sla.lu_factor(b_mat, check_finite=False)
+    def __init__(self, b_mat):
+        if sp.issparse(b_mat):
+            if not np.all(np.isfinite(b_mat.data)):
+                raise ValueError("non-finite basis matrix")
+            self._splu = spla.splu(sp.csc_matrix(b_mat),
+                                   permc_spec="COLAMD")
+            self.lu = None
+        else:
+            if not np.all(np.isfinite(b_mat)):
+                raise ValueError("non-finite basis matrix")
+            self.lu = sla.lu_factor(b_mat, check_finite=False)
+            self._splu = None
         self.etas: List[Tuple[int, np.ndarray]] = []
+
+    def _base_solve(self, b: np.ndarray, trans: bool) -> np.ndarray:
+        if self._splu is not None:
+            return self._splu.solve(b, trans="T" if trans else "N")
+        return sla.lu_solve(self.lu, b, trans=1 if trans else 0,
+                            check_finite=False)
 
     def ftran(self, b: np.ndarray) -> np.ndarray:
         """Solve B x = b."""
-        x = sla.lu_solve(self.lu, b, check_finite=False)
+        x = self._base_solve(b, trans=False)
         for r, w in self.etas:
             xr = x[r] / w[r]
             x = x - w * xr
@@ -82,7 +103,7 @@ class _Factorization:
             zr = z[r]
             z[r] = 0.0
             z[r] = (zr - w @ z) / w[r]
-        return sla.lu_solve(self.lu, z, trans=1, check_finite=False)
+        return self._base_solve(z, trans=True)
 
     def update(self, r: int, w: np.ndarray) -> bool:
         """Record pivot (entering column's B^{-1} a at leaving row r).
@@ -132,6 +153,11 @@ class RevisedSimplex:
         self._fact: Optional[_Factorization] = None
         # incremental basic-value cache (recomputed at refactorizations)
         self._xb: Optional[np.ndarray] = None
+        # sparse column view of [A | -I] for sparse basis refactorization
+        # (worth it when the basis is big and A is sparse)
+        nnz_a = int(sp.csr_matrix(qpm.constraint_matrix).nnz) if m else 0
+        use_sparse = m >= 256 and nnz_a <= 0.3 * max(1, m * n)
+        self.tab_sp = sp.csc_matrix(self.tab) if use_sparse else None
 
     # -- bounds (for warm restarts) --------------------------------------
     def set_variable_bounds(self, var_lb: np.ndarray, var_ub: np.ndarray
@@ -153,9 +179,19 @@ class RevisedSimplex:
     # -- linear algebra helpers -------------------------------------------
     def _refactorize(self) -> bool:
         try:
-            self._fact = _Factorization(self.tab[:, self.basis])
+            if self.tab_sp is not None:
+                self._fact = _Factorization(self.tab_sp[:, self.basis])
+            else:
+                self._fact = _Factorization(self.tab[:, self.basis])
             return True
         except Exception:
+            if self.tab_sp is not None:
+                # singular for splu but maybe rank-revealing for dense
+                try:
+                    self._fact = _Factorization(self.tab[:, self.basis])
+                    return True
+                except Exception:
+                    return False
             return False
 
     def _nb_values(self) -> np.ndarray:

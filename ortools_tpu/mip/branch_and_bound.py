@@ -40,6 +40,9 @@ import scipy.sparse as sp
 
 from ortools_tpu.mip.cuts import append_cuts, generate_cuts
 from ortools_tpu.mip.heuristics import (
+    fj_objective_descent,
+    one_two_exchange,
+    rc_neighborhood,
     greedy_cover,
     ils_polish,
     lp_dive,
@@ -80,6 +83,9 @@ class MipParams:
     # linear_programming_constraint.cc).  0 disables.
     tree_cut_interval: int = 16
     max_tree_cuts: int = 200
+    # Feasibility-jump objective descent at the root (pure-integer
+    # bounded models; reference FeasibilityJumpSolver).  0 disables.
+    fj_root_seconds: float = 8.0
     # RINS sub-MIPs (reference sat/rins.h): every `rins_interval` batches,
     # fix the integers where the node LP agrees with the incumbent and
     # solve the reduced MIP with a small budget.  0 disables.
@@ -300,7 +306,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             max_nodes=params.rins_max_nodes,
             time_limit_sec=min(params.rins_time_limit_sec, remaining),
             cut_rounds=0, rins_interval=0, tree_cut_interval=0,
-            local_branching_interval=0,
+            local_branching_interval=0, fj_root_seconds=0.0,
             verbosity=0,
         )
         sub_qp = dataclasses.replace(qp_min, variable_lower=lbr,
@@ -353,7 +359,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             time_limit_sec=min(params.local_branching_time_limit_sec,
                                remaining),
             cut_rounds=0, rins_interval=0, tree_cut_interval=0,
-            local_branching_interval=0,
+            local_branching_interval=0, fj_root_seconds=0.0,
             verbosity=0,
         )
         r = solve(sub_qp, sub_params)
@@ -392,7 +398,9 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         for _ in range(params.cut_rounds + 1):
             if time.perf_counter() - start > 0.5 * params.time_limit_sec:
                 break  # leave at least half the budget to the tree
-            res0 = backend.solve(lb0[None], ub0[None])
+            res0 = backend.solve(
+                lb0[None], ub0[None],
+                deadline=start + 0.6 * params.time_limit_sec)
             num_nodes += 1
             if res0.primal_infeasible[0]:
                 return MipResult(MPSolverStatus.INFEASIBLE, np.zeros(n),
@@ -435,6 +443,57 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         if params.verbosity >= 1 and num_cuts:
             print(f"root cuts: {num_cuts} rows appended, "
                   f"root bound {root_bound:.6f}")
+
+    # Root feasibility-jump objective descent (reference portfolio's
+    # FeasibilityJumpSolver, sat/feasibility_jump.h:48): pure-integer
+    # bounded models only; every result re-verified by try_incumbent.
+    if len(int_idx) and params.fj_root_seconds > 0:
+        # budget scales with the instance: tiny models close faster
+        # through the tree than through local search
+        fj_budget = min(params.fj_root_seconds,
+                        0.1 * params.time_limit_sec,
+                        0.02 * max(len(int_idx), 50))
+        fj_deadline = min(
+            start + params.time_limit_sec,
+            time.perf_counter() + fj_budget)
+        fx = fj_objective_descent(qp_min, incumbent_x, incumbent_obj,
+                                  fj_deadline, bound=root_bound)
+        if fx is not None:
+            try_incumbent(fx)
+        if incumbent_x is not None:
+            ex = one_two_exchange(
+                qp_min, incumbent_x, params.feasibility_tol,
+                deadline=min(start + params.time_limit_sec,
+                             time.perf_counter() + 0.5 * params.fj_root_seconds))
+            if ex is not None:
+                try_incumbent(ex)
+        # Reduced-cost neighborhood sub-MIP at the root (LNS around the
+        # LP's marginal variables; reference cp_model_lns.h RINS/RENS
+        # family).  Budgeted like RINS; results re-verified as always.
+        if (incumbent_x is not None and root_warm_y is not None
+                and params.rins_interval
+                and time.perf_counter() - start
+                < 0.6 * params.time_limit_sec):
+            nb = rc_neighborhood(qp_min, incumbent_x, root_warm_y, int_idx)
+            if nb is not None:
+                lbr, ubr = nb
+                sub_params = dataclasses.replace(
+                    params,
+                    max_nodes=4000,
+                    time_limit_sec=min(
+                        12.0,
+                        params.time_limit_sec
+                        - (time.perf_counter() - start)),
+                    cut_rounds=2, rins_interval=0, tree_cut_interval=0,
+                    local_branching_interval=0, fj_root_seconds=0.0,
+                    verbosity=0,
+                )
+                sub_qp = dataclasses.replace(
+                    qp_min, variable_lower=lbr, variable_upper=ubr)
+                rsub = solve(sub_qp, sub_params)
+                if rsub.status in (MPSolverStatus.OPTIMAL,
+                                   MPSolverStatus.FEASIBLE):
+                    try_incumbent(rsub.solution)
 
     pcosts = _PseudoCosts(n)
     frontier: List[_Node] = []
@@ -514,7 +573,11 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             if gap_closed(node_bound):
                 continue
             try_incumbent(x_lp)
-            if i == 0:  # best-bound node of the batch: full heuristics
+            # Full heuristics on the best-bound node, throttled once the
+            # tree is warm: after the first 8 batches they re-polish
+            # near-identical LP points every round and starve the tree
+            # (measured ~70% of node-loop wall time on small knapsacks).
+            if i == 0 and (num_batches <= 8 or num_batches % 4 == 0):
                 run_heuristics(x_lp)
                 if num_batches % params.dive_interval == 1:
                     run_dive(x_lp, nd.lb, nd.ub)
@@ -529,6 +592,12 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                         and num_batches % params.rins_interval == 2
                         and incumbent_x is not None):
                     run_rins(x_lp)
+                    ex = one_two_exchange(
+                        qp_min, incumbent_x, params.feasibility_tol,
+                        deadline=min(start + params.time_limit_sec,
+                                     time.perf_counter() + 3.0))
+                    if ex is not None:
+                        try_incumbent(ex)
                 if (params.local_branching_interval
                         and num_batches % params.local_branching_interval
                         == 4

@@ -457,3 +457,248 @@ def _one_opt(qp_min, a, at, x, int_idx, feas_tol):
         if not improved:
             break
     return x
+
+
+def fj_objective_descent(
+    qp_min: QuadraticProgram,
+    x0: Optional[np.ndarray],
+    obj0: float,
+    deadline: float,
+    bound: float = -math.inf,
+    seed: int = 17,
+    moves_per_rung: int = 200_000,
+) -> Optional[np.ndarray]:
+    """Objective-ladder feasibility jump for PURE-INTEGER models
+    (reference FeasibilityJumpSolver in its objective mode,
+    sat/feasibility_jump.h:48): append the objective as a row and ask the
+    violation-guided jump for a feasible point at a target between the
+    incumbent and the known dual ``bound`` (objective-shaving rungs: a
+    failed rung bisects toward the incumbent, a solved rung re-anchors).
+
+    Returns the best improving point found (feasible by construction —
+    the caller still re-verifies, as with every incumbent source), or
+    None.  Models with continuous variables or unbounded integers are
+    rejected (returns None).
+    """
+    import time
+
+    from ortools_tpu.sat.feasibility_jump import (LinearSystem,
+                                                  feasibility_jump)
+
+    n = qp_min.num_variables
+    integ = (np.asarray(qp_min.integrality, dtype=bool)
+             if qp_min.integrality is not None else np.zeros(n, dtype=bool))
+    lb = np.asarray(qp_min.variable_lower, dtype=np.float64)
+    ub = np.asarray(qp_min.variable_upper, dtype=np.float64)
+    if not integ.all() or not (np.isfinite(lb).all()
+                               and np.isfinite(ub).all()):
+        return None
+    if not qp_min.is_lp():
+        return None
+    a = sp.csr_matrix(qp_min.constraint_matrix)
+    c = np.asarray(qp_min.objective_vector, dtype=np.float64)
+    rlo = np.asarray(qp_min.constraint_lower, dtype=np.float64)
+    rhi = np.asarray(qp_min.constraint_upper, dtype=np.float64)
+    rows = sp.vstack([a, sp.csr_matrix(c[None, :])], format="csr")
+
+    def run_rung(target: float, x_start, rng_seed: int, rung_deadline):
+        system = LinearSystem(
+            a=rows,
+            row_lb=np.concatenate([rlo, [-np.inf]]),
+            row_ub=np.concatenate([rhi, [target]]),
+            var_lb=lb, var_ub=ub,
+        )
+        return feasibility_jump(system, x0=x_start,
+                                max_moves=moves_per_rung,
+                                seed=rng_seed,
+                                deadline=min(deadline, rung_deadline))
+
+    best_x = None
+    best_obj = obj0
+    x_start = x0
+    rng_seed = seed
+    # ambition in [0, 1]: fraction of the incumbent-to-bound gap to ask
+    # for; halved on failure, restored on success
+    ambition = 0.5
+    while time.perf_counter() < deadline:
+        if math.isfinite(best_obj):
+            gap = (best_obj - bound) if math.isfinite(bound) \
+                else 0.05 * (1.0 + abs(best_obj))
+            step = max(ambition * gap, 1e-7 * (1.0 + abs(best_obj)))
+            target = best_obj - step
+        else:
+            target = math.inf  # first rung: any feasible point
+        rung_secs = max(1.0, (deadline - time.perf_counter()) / 3.0)
+        x = run_rung(target, x_start, rng_seed,
+                     time.perf_counter() + rung_secs)
+        rng_seed += 1
+        if x is None:
+            ambition *= 0.5
+            if ambition < 1e-4 or (
+                    math.isfinite(best_obj) and math.isfinite(bound)
+                    and ambition * (best_obj - bound)
+                    < 1e-7 * (1.0 + abs(best_obj))):
+                break
+            # alternate restart point between incumbent and random
+            x_start = best_x if (rng_seed % 2 == 0 and best_x is not None) \
+                else None
+            continue
+        obj = float(c @ x)
+        if obj < best_obj - 1e-12 or best_x is None:
+            best_obj = obj
+            best_x = np.asarray(x, dtype=np.float64)
+            x_start = best_x
+            ambition = 0.5
+        else:
+            ambition *= 0.5
+            if ambition < 1e-4:
+                break
+    return best_x
+
+
+def one_two_exchange(
+    qp_min: QuadraticProgram,
+    x: np.ndarray,
+    feas_tol: float = 1e-6,
+    deadline: float = math.inf,
+    max_pair_cands: int = 48,
+) -> Optional[np.ndarray]:
+    """(1,2)-exchange local search over BINARY variables: for each
+    support variable i, try replacing it by one or two non-support
+    variables so the move stays feasible and strictly improves the
+    (minimization) objective.  The classic independent-set /
+    multi-knapsack improvement move; generic over arbitrary two-sided
+    rows via activity bookkeeping.
+
+    Returns an improved feasible point or None."""
+    import time
+
+    n = qp_min.num_variables
+    integ = (np.asarray(qp_min.integrality, dtype=bool)
+             if qp_min.integrality is not None else np.zeros(n, dtype=bool))
+    lb = np.asarray(qp_min.variable_lower, dtype=np.float64)
+    ub = np.asarray(qp_min.variable_upper, dtype=np.float64)
+    binary = integ & (lb >= -feas_tol) & (ub <= 1.0 + feas_tol)
+    if not binary.any():
+        return None
+    a = sp.csc_matrix(qp_min.constraint_matrix)
+    c = np.asarray(qp_min.objective_vector, dtype=np.float64)
+    rlo = np.asarray(qp_min.constraint_lower, dtype=np.float64)
+    rhi = np.asarray(qp_min.constraint_upper, dtype=np.float64)
+    x = np.array(x, dtype=np.float64)
+    act = a @ x
+
+    def col(j):
+        s, e = a.indptr[j], a.indptr[j + 1]
+        return a.indices[s:e], a.data[s:e]
+
+    def fits(act_v, rows):
+        return ((act_v[rows] >= rlo[rows] - feas_tol)
+                & (act_v[rows] <= rhi[rows] + feas_tol)).all()
+
+    improved_any = False
+    for _round in range(8):
+        if time.perf_counter() > deadline:
+            break
+        improved = False
+        support = np.nonzero(binary & (x > 0.5))[0]
+        nonsup = np.nonzero(binary & (x < 0.5))[0]
+        if len(nonsup) == 0:
+            break
+        for i in support:
+            if time.perf_counter() > deadline:
+                break
+            ri, di = col(i)
+            act_wo = act.copy()
+            act_wo[ri] -= di
+            # rows needing repair after removing i
+            broken = ri[(act_wo[ri] < rlo[ri] - feas_tol)
+                        | (act_wo[ri] > rhi[ri] + feas_tol)]
+            singles = []
+            pair_cands = []
+            for j in nonsup:
+                rj, dj = col(j)
+                gain = c[j] - c[i]
+                test = act_wo.copy()
+                test[rj] += dj
+                touched = np.union1d(rj, broken)
+                if fits(test, touched):
+                    if gain < -1e-9:
+                        singles.append((gain, j))
+                    elif len(pair_cands) < max_pair_cands:
+                        pair_cands.append(j)
+                # j that can't even fit alone is dropped
+            did = False
+            if singles:
+                singles.sort()
+                gain, j = singles[0]
+                rj, dj = col(j)
+                act[ri] -= di
+                act[rj] += dj
+                x[i], x[j] = 0.0, 1.0
+                improved = improved_any = True
+                did = True
+            elif pair_cands:
+                best = None
+                for pi in range(len(pair_cands)):
+                    j = pair_cands[pi]
+                    rj, dj = col(j)
+                    base = act_wo.copy()
+                    base[rj] += dj
+                    for k in pair_cands[pi + 1:]:
+                        gain = c[j] + c[k] - c[i]
+                        if gain >= -1e-9 or (
+                                best is not None and gain >= best[0]):
+                            continue
+                        rk, dk = col(k)
+                        test = base.copy()
+                        test[rk] += dk
+                        touched = np.union1d(np.union1d(rj, rk), broken)
+                        if fits(test, touched):
+                            best = (gain, j, k)
+                if best is not None:
+                    _, j, k = best
+                    rj, dj = col(j)
+                    rk, dk = col(k)
+                    act[ri] -= di
+                    act[rj] += dj
+                    act[rk] += dk
+                    x[i], x[j], x[k] = 0.0, 1.0, 1.0
+                    improved = improved_any = True
+                    did = True
+            if did:
+                support = np.nonzero(binary & (x > 0.5))[0]
+                nonsup = np.nonzero(binary & (x < 0.5))[0]
+        if not improved:
+            break
+    return x if improved_any else None
+
+
+def rc_neighborhood(
+    qp_min: QuadraticProgram,
+    x_inc: np.ndarray,
+    y_root: Optional[np.ndarray],
+    int_idx: np.ndarray,
+    free_size: int = 80,
+) -> Optional[tuple]:
+    """Reduced-cost neighborhood (an LNS generator in the spirit of
+    cp_model_lns.h RelaxationInducedNeighborhoodGenerator): free the
+    integer variables with the SMALLEST |reduced cost| at the root duals
+    — the ties the LP cannot distinguish are where the optimal solution
+    differs from a greedy/rounded incumbent — and fix the rest to the
+    incumbent.  Returns (sub_lb, sub_ub) bounds or None."""
+    if y_root is None or len(int_idx) < 10:
+        return None
+    c = np.asarray(qp_min.objective_vector, dtype=np.float64)
+    a = sp.csr_matrix(qp_min.constraint_matrix)
+    m = qp_min.num_constraints
+    y = np.asarray(y_root, dtype=np.float64)[:m]
+    rc = c - a.T @ y
+    order = int_idx[np.argsort(np.abs(rc[int_idx]), kind="stable")]
+    free = set(int(j) for j in order[:min(free_size, len(order))])
+    lbr = np.array(qp_min.variable_lower)
+    ubr = np.array(qp_min.variable_upper)
+    for j in int_idx:
+        if int(j) not in free:
+            lbr[j] = ubr[j] = x_inc[j]
+    return lbr, ubr

@@ -73,7 +73,8 @@ class PdhgNodeBackend:
                 warm_y = np.concatenate(
                     [warm_y, np.repeat(warm_y[:1], pad, axis=0)])
         res = solve_batch(self.qp, lbs, ubs, lp_params or self.lp_params,
-                          warm_start_x=warm_x, warm_start_y=warm_y)
+                          warm_start_x=warm_x, warm_start_y=warm_y,
+                          deadline=deadline)
         return NodeLpResult(
             primal_solution=res.primal_solution[:n_real],
             dual_solution=res.dual_solution[:n_real],

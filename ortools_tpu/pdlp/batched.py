@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 from typing import List, Optional
 
 import jax
@@ -87,11 +88,17 @@ def solve_batch(
     params: Optional[PdhgParams] = None,
     warm_start_x: Optional[np.ndarray] = None,
     warm_start_y: Optional[np.ndarray] = None,
+    deadline: float = math.inf,
 ) -> BatchSolveResult:
     """Solve B LPs sharing qp's matrix/objective but with per-instance
     variable bounds.  Bounds are in the ORIGINAL problem space.
 
     Warm starts (e.g. parent-node iterates in B&B) are original-space too.
+    ``deadline`` (perf_counter time) is checked after every major-
+    iteration dispatch; on expiry the call returns with whatever each
+    instance has proven so far (unproven instances report their safe
+    Lagrangian dual bound and optimal=False — callers never prune on
+    those).
     """
     params = params or PdhgParams()
     qp = qp.as_minimization()
@@ -188,6 +195,8 @@ def solve_batch(
     best_stats = [None] * bsz
 
     while iterations < params.iteration_limit and not done.all():
+        if time.perf_counter() > deadline:
+            break
         state = run_major(vprob, state)
         iterations += params.termination_check_frequency
         stats = compute_stats(vprob, state)

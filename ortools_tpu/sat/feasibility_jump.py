@@ -156,9 +156,14 @@ def feasibility_jump(
     max_moves: int = 200_000,
     seed: int = 1,
     perturb_every: int = 2000,
+    deadline: float = None,
+    max_cand_vars: int = 256,
 ) -> Optional[np.ndarray]:
     """Search for an integer point with zero violation.  Returns the point
-    or None if the move budget is exhausted."""
+    or None if the move budget (or ``deadline``, perf_counter time) is
+    exhausted."""
+    import time as _time
+
     rng = np.random.default_rng(seed)
     a = sp.csc_matrix(system.a)
     m, n = a.shape
@@ -178,6 +183,9 @@ def feasibility_jump(
     while moves < max_moves:
         if total <= 1e-9:
             return x.astype(np.int64)
+        if deadline is not None and (moves & 0xFF) == 0 \
+                and _time.perf_counter() > deadline:
+            return None
         # candidate variables: union over (up to 16) violated rows
         bad_rows = np.nonzero(violations > 1e-9)[0]
         sel_rows = (bad_rows if len(bad_rows) <= 16
@@ -186,6 +194,9 @@ def feasibility_jump(
             system.a.indices[system.a.indptr[r]:system.a.indptr[r + 1]]
             for r in sel_rows
         ]))
+        if len(cand_vars) > max_cand_vars:
+            cand_vars = rng.choice(cand_vars, size=max_cand_vars,
+                                   replace=False)
         best_move = None
         best_delta = 0.0
         for j in cand_vars:

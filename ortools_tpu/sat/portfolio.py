@@ -270,13 +270,102 @@ def _lns_routing_path(work, rng, frac: float, best: List[int]) -> set:
     return relax or _lns_random_variables(work, rng, frac)
 
 
+def _lns_constraint_graph(work, rng, frac: float) -> set:
+    """cp_model_lns.h ConstraintGraphNeighborhoodGenerator: BFS over
+    constraint adjacency (constraints sharing a variable) from a random
+    seed constraint; relaxes every variable of the visited constraints."""
+    ncts = len(work.constraints)
+    nvars = len(work.variables)
+    if ncts == 0 or nvars == 0:
+        return _lns_random_variables(work, rng, frac)
+    var_to_cts: dict = {}
+    for ci, ct in enumerate(work.constraints):
+        for v in _vars_of_constraint(work, ct):
+            var_to_cts.setdefault(v, []).append(ci)
+    target = max(1, int(nvars * frac))
+    seed_ci = rng.randrange(ncts)
+    seen_cts = {seed_ci}
+    frontier = [seed_ci]
+    relax: set = set()
+    while frontier and len(relax) < target:
+        ci = frontier.pop(0)
+        for v in _vars_of_constraint(work, work.constraints[ci]):
+            relax.add(v)
+            for cj in var_to_cts.get(v, []):
+                if cj not in seen_cts:
+                    seen_cts.add(cj)
+                    frontier.append(cj)
+        if len(relax) >= target:
+            break
+    return relax or _lns_random_variables(work, rng, frac)
+
+
+def _lns_rectangles(work, rng, frac: float, best: List[int]) -> set:
+    """cp_model_lns.h RandomRectanglesPackingNeighborhoodGenerator: for
+    no_overlap_2d models, free the rectangles nearest (in the incumbent
+    placement) to a random seed rectangle."""
+    boxes = []  # (x interval ct, y interval ct)
+    for ct in work.constraints:
+        if ct.kind == "no_overlap_2d":
+            for kx, ky in zip(ct.args.x_intervals, ct.args.y_intervals):
+                boxes.append((work.constraints[kx], work.constraints[ky]))
+    if not boxes:
+        return _lns_random_variables(work, rng, frac)
+
+    def start_val(ct) -> float:
+        e = ct.args.start
+        return e.offset + sum(c * best[v] for v, c in
+                              zip(e.vars, e.coeffs) if v < len(best))
+
+    pos = [(start_val(cx), start_val(cy)) for cx, cy in boxes]
+    seed = rng.randrange(len(boxes))
+    sx, sy = pos[seed]
+    order = sorted(range(len(boxes)),
+                   key=lambda i: (pos[i][0] - sx) ** 2 + (pos[i][1] - sy) ** 2)
+    take = max(2, int(len(boxes) * frac))
+    relax: set = set()
+    for i in order[:take]:
+        cx, cy = boxes[i]
+        relax.update(_vars_of_constraint(work, cx))
+        relax.update(_vars_of_constraint(work, cy))
+    return relax or _lns_random_variables(work, rng, frac)
+
+
+def _lns_local_branching(work, rng, frac: float, best: List[int]):
+    """LocalBranchingLpBasedNeighborhoodGenerator analogue: relax every
+    BOOLEAN variable but add a Hamming-ball constraint around the
+    incumbent (sum of flips <= k).  Returns (relax_set, extra_cts)."""
+    bools = [v for v, var in enumerate(work.variables)
+             if var.domain.min() >= 0 and var.domain.max() <= 1
+             and not var.domain.is_fixed()]
+    if not bools:
+        return _lns_random_variables(work, rng, frac), []
+    k = max(1, int(len(bools) * frac))
+    vs, cs, off = [], [], 0
+    for v in bools:
+        val = best[v] if v < len(best) else 0
+        if val >= 1:  # flip term: 1 - x
+            vs.append(v)
+            cs.append(-1)
+            off += 1
+        else:  # flip term: x
+            vs.append(v)
+            cs.append(1)
+    # off + sum cs*x <= k  ->  sum cs*x in (-inf, k - off]
+    ball = ir.ConstraintIR("linear", ir.LinearArgs(
+        vs, cs, Domain(-(2 ** 50), k - off)))
+    return set(bools), [ball]
+
+
 # generator rotation for the LNS fleet (reference cp_model_lns.h:93-766):
-# random variables / random constraints / variable graph / scheduling
-# time window / decomposition / random intervals / resource windows /
-# routing path — one worker advances the rotation each slice.
+# random variables / random constraints / variable graph / constraint
+# graph / scheduling time window / decomposition / random intervals /
+# resource windows / routing path / packing rectangles / local branching
+# — one worker advances the rotation each slice.
 LNS_GENERATORS = ("random_vars", "random_constraints", "variable_graph",
                   "time_window", "decomposition", "random_intervals",
-                  "resource", "routing_path")
+                  "resource", "routing_path", "constraint_graph",
+                  "rectangles", "local_branching")
 
 
 class LnsWorker:
@@ -301,6 +390,7 @@ class LnsWorker:
         gen = LNS_GENERATORS[self._gen_idx]
         self._gen_idx = (self._gen_idx + 1) % len(LNS_GENERATORS)
         f = LNS_RELAX_FRACTION
+        self._extra_cts: List[ir.ConstraintIR] = []
         if gen == "random_constraints":
             return _lns_random_constraints(self.work, self._rng, f)
         if gen == "variable_graph":
@@ -315,6 +405,15 @@ class LnsWorker:
             return _lns_resource(self.work, self._rng, f)
         if gen == "routing_path":
             return _lns_routing_path(self.work, self._rng, f, best)
+        if gen == "constraint_graph":
+            return _lns_constraint_graph(self.work, self._rng, f)
+        if gen == "rectangles":
+            return _lns_rectangles(self.work, self._rng, f, best)
+        if gen == "local_branching":
+            relax, extra = _lns_local_branching(self.work, self._rng, f,
+                                                best)
+            self._extra_cts = extra
+            return relax
         return _lns_random_variables(self.work, self._rng, f)
 
     def slice(self, best: Optional[List[int]],
@@ -326,6 +425,7 @@ class LnsWorker:
         relax = self._relax_set(best)
         fixed_idx = [v for v in range(nvars) if v not in relax]
         cts = list(self.work.constraints)
+        cts.extend(getattr(self, "_extra_cts", []))
         if bound_ct is not None:
             cts.append(bound_ct)
         for v in fixed_idx:

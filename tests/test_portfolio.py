@@ -271,3 +271,57 @@ def test_shared_tree_on_scheduling_model():
     s2.parameters.max_time_in_seconds = 60
     assert s2.solve(build()) == OPTIMAL
     assert s2.objective_value == s1.objective_value == 12
+
+
+def test_new_lns_generators_produce_valid_relax_sets():
+    from ortools_tpu.sat import CpModel
+    from ortools_tpu.sat.portfolio import (
+        _lns_constraint_graph, _lns_local_branching, _lns_rectangles)
+    import random
+
+    m = CpModel()
+    xs = [m.new_int_var(0, 10, f"x{i}") for i in range(6)]
+    bs = [m.new_bool_var(f"b{i}") for i in range(4)]
+    m.add(sum(xs) <= 30)
+    m.add(xs[0] + xs[1] >= 3)
+    m.add_bool_or(bs[:2])
+    xi = [m.new_interval_var(xs[i], 2, xs[i] + 2, f"ix{i}") for i in range(3)]
+    yi = [m.new_interval_var(xs[3 + i], 2, xs[3 + i] + 2, f"iy{i}")
+          for i in range(3)]
+    m.add_no_overlap_2d(xi, yi)
+    rng = random.Random(0)
+    best = [0] * len(m.ir.variables)
+
+    r1 = _lns_constraint_graph(m.ir, rng, 0.4)
+    assert r1 and all(0 <= v < len(m.ir.variables) for v in r1)
+    r2 = _lns_rectangles(m.ir, rng, 0.5, best)
+    assert r2 and all(0 <= v < len(m.ir.variables) for v in r2)
+    r3, extra = _lns_local_branching(m.ir, rng, 0.5, best)
+    assert r3 and extra and extra[0].kind == "linear"
+
+
+def test_lns_fleet_improves_with_new_generators():
+    # optimization model where LNS workers participate end-to-end
+    from ortools_tpu.sat import CpModel, CpSolver, OPTIMAL, FEASIBLE
+
+    m = CpModel()
+    n = 8
+    xs = [m.new_int_var(0, 5, f"x{i}") for i in range(n)]
+    for i in range(n - 1):
+        m.add(xs[i] + xs[i + 1] <= 7)
+    m.maximize(sum((i % 3 + 1) * x for i, x in enumerate(xs)))
+    s = CpSolver()
+    s.parameters.max_time_in_seconds = 20
+    st = s.solve(m)
+    assert st in (OPTIMAL, FEASIBLE)
+    # exact optimum by chain DP: state = value of x_i
+    w = [i % 3 + 1 for i in range(n)]
+    dp = {v: w[0] * v for v in range(6)}
+    for i in range(1, n):
+        dp = {v: w[i] * v + max(dp[u] for u in range(6) if u + v <= 7)
+              for v in range(6)}
+    opt = max(dp.values())
+    if st == OPTIMAL:
+        assert s.objective_value == opt
+    else:
+        assert s.objective_value <= opt
