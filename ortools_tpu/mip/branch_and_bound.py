@@ -241,6 +241,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
     num_nodes = 0
     num_batches = 0
     num_tree_cuts = 0
+    last_improve_batch = 0
     rins_seen: set = set()
     ils_rng = np.random.default_rng(12345)
     status = MPSolverStatus.NOT_SOLVED
@@ -472,6 +473,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         # family).  Budgeted like RINS; results re-verified as always.
         if (incumbent_x is not None and root_warm_y is not None
                 and params.rins_interval
+                and len(int_idx) == n
                 and time.perf_counter() - start
                 < 0.6 * params.time_limit_sec):
             nb = rc_neighborhood(qp_min, incumbent_x, root_warm_y, int_idx)
@@ -573,13 +575,28 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             if gap_closed(node_bound):
                 continue
             try_incumbent(x_lp)
-            # Full heuristics on the best-bound node, throttled once the
-            # tree is warm: after the first 8 batches they re-polish
-            # near-identical LP points every round and starve the tree
-            # (measured ~70% of node-loop wall time on small knapsacks).
-            if i == 0 and (num_batches <= 8 or num_batches % 4 == 0):
+            # Full heuristics on the best-bound node, adaptively
+            # throttled: while they keep improving the incumbent run
+            # them every batch (mixed models lean on LP-guided repair),
+            # but once stale back off to every 4th batch — measured
+            # ~70% of node-loop wall time re-polishing identical points
+            # on small knapsacks.
+            obj_before = incumbent_obj
+            heur_fresh = num_batches - last_improve_batch <= 8
+            mixed = len(int_idx) < n  # continuous part present
+            if i == 0 and (mixed or num_batches <= 8 or heur_fresh
+                           or num_batches % 4 == 0):
                 run_heuristics(x_lp)
-                if num_batches % params.dive_interval == 1:
+            if incumbent_obj < obj_before - 1e-12:
+                last_improve_batch = num_batches
+            # Aux heuristics (dive/ILS/RINS/local branching) run at their
+            # configured cadence on mixed models; pure-integer models get
+            # 4x sparser cadences — there the tree itself is the best
+            # primal engine and these were eating ~2/3 of the node budget.
+            aux_mult = 1 if mixed else 4
+            if i == 0:
+                if (num_batches % (params.dive_interval * aux_mult) == 1
+                        and (mixed or heur_fresh)):
                     run_dive(x_lp, nd.lb, nd.ub)
                     if incumbent_x is not None:
                         reopt = (backend.resolve_raw if isinstance(
@@ -589,7 +606,8 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                                                reopt=reopt):
                             try_incumbent(cand)
                 if (params.rins_interval
-                        and num_batches % params.rins_interval == 2
+                        and num_batches % (params.rins_interval * aux_mult)
+                        == 2
                         and incumbent_x is not None):
                     run_rins(x_lp)
                     ex = one_two_exchange(
@@ -599,12 +617,13 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                     if ex is not None:
                         try_incumbent(ex)
                 if (params.local_branching_interval
-                        and num_batches % params.local_branching_interval
-                        == 4
+                        and num_batches % (params.local_branching_interval
+                                           * aux_mult) == 4
                         and incumbent_x is not None):
                     run_local_branching()
                 if (is_simplex and params.tree_cut_interval
-                        and num_batches % params.tree_cut_interval == 3
+                        and num_batches % (params.tree_cut_interval
+                                           * aux_mult) == 3
                         and num_tree_cuts < params.max_tree_cuts):
                     # Cut-and-branch: cuts separated at any LP point with
                     # GLOBAL bounds stay globally valid; appending rows
