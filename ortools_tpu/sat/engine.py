@@ -50,8 +50,17 @@ class Engine:
                  value_rule: str = "min",
                  seed: int = 0,
                  value_hints: Optional[Dict[int, int]] = None,
-                 should_stop=None, profile: bool = False) -> None:
+                 should_stop=None, profile: bool = False,
+                 lp_propagator=None, lp_cutoff: Optional[int] = None,
+                 lp_interval: int = 32) -> None:
         self.model = model
+        # Node-level LP re-propagation (reference
+        # linear_programming_constraint.h Propagate at every level):
+        # called every `lp_interval` branches with the current domains.
+        self.lp_propagator = lp_propagator
+        self.lp_cutoff = lp_cutoff
+        self.lp_interval = max(1, lp_interval)
+        self.num_lp_prunes = 0
         self.deadline = deadline
         # cooperative interruption (reference util/sigint.h via the
         # shared time limit's stop flag)
@@ -882,11 +891,43 @@ class Engine:
                 q: Set[int] = set()
                 self._set(current, v, left, q)
                 self.propagate(current, q)
+                if (self.lp_propagator is not None
+                        and self.num_branches % self.lp_interval == 0):
+                    self._lp_propagate(current)
             except Conflict:
                 self.num_conflicts += 1
                 current = self._backtrack(stack)
                 if current is None:
                     return "done"
+
+    def _lp_propagate(self, current: Doms) -> None:
+        """Run the node LP; raise Conflict on a proven prune, apply
+        reduced-cost tightenings otherwise."""
+        out = self.lp_propagator.propagate(current, self.lp_cutoff,
+                                           self.deadline)
+        if out is None:
+            return
+        if out == "infeasible":
+            self.num_lp_prunes += 1
+            raise Conflict()
+        q: Set[int] = set()
+        changed = False
+        for v, nlo, nhi in out:
+            if v >= len(current):
+                continue
+            d = current[v]
+            nd = d.intersection_with(Domain(
+                nlo if nlo is not None else d.min(),
+                nhi if nhi is not None else d.max()))
+            if nd.is_empty():
+                self.num_lp_prunes += 1
+                raise Conflict()
+            if nd != d:
+                current[v] = nd
+                q.update(self.watchers[v])
+                changed = True
+        if changed:
+            self.propagate(current, q)
 
     def _backtrack(self, stack) -> Optional[Doms]:
         while stack:

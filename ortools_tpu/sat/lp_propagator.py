@@ -268,3 +268,89 @@ def reduced_cost_tightenings(info: RootLpInfo, cutoff: int,
             if not np.isfinite(lb[j]) or new_lb > int(lb[j]):
                 out.append((j, new_lb, None))
     return out
+
+
+class NodeLpPropagator:
+    """Node-level LP re-propagation inside the CP tree (reference
+    linear_programming_constraint.h:138 Propagate() — the propagator
+    the reference runs at EVERY level, not only the root).
+
+    Holds one persistent ``RevisedSimplex`` over the model's linear
+    relaxation; at a node the current domains become variable bounds and
+    the DUAL simplex re-solves warm (the basis stays dual-feasible under
+    bound changes — glop/revised_simplex.cc:3058 DualMinimize pattern).
+    Outcomes per call:
+
+    - LP infeasible           -> the node is infeasible (raise-worthy);
+    - ceil(z) > cutoff        -> objective-bound prune;
+    - else                    -> reduced-cost domain tightenings valid
+                                 under the cutoff.
+    """
+
+    def __init__(self, work: ir.CpModelIR, obj: ir.ObjectiveIR,
+                 sense: int) -> None:
+        from ortools_tpu.glop.simplex import RevisedSimplex
+        from ortools_tpu.models.lp import QuadraticProgram
+
+        self.ok = False
+        ext = extract_relaxation(work)
+        if ext is None or ext == "infeasible":
+            return
+        a_mat, row_lb, row_ub, var_lb, var_ub, covered = ext
+        n = a_mat.shape[1]
+        if n > _MAX_VARS or \
+                a_mat.shape[0] * (n + a_mat.shape[0]) > _MAX_TABLEAU:
+            return
+        c = np.zeros(n)
+        for v, coef in zip(obj.vars, obj.coeffs):
+            c[v] += sense * float(coef)
+        self.qp = QuadraticProgram(
+            objective_vector=c, constraint_matrix=a_mat,
+            constraint_lower=row_lb, constraint_upper=row_ub,
+            variable_lower=var_lb, variable_upper=var_ub,
+            objective_constant=sense * float(obj.offset))
+        self._sx = RevisedSimplex(self.qp)
+        self._cold = True
+        self.n = n
+        self.num_calls = 0
+        self.num_prunes = 0
+        self.ok = True
+
+    def propagate(self, doms, cutoff: Optional[int], deadline: float
+                  ) -> Optional[List[Tuple[int, Optional[int],
+                                           Optional[int]]]]:
+        """Returns tightenings, "infeasible" on a proven prune, or None
+        when the LP did not conclude (timeout/numerical — never prune)."""
+        from ortools_tpu.utils.status import MPSolverStatus
+
+        self.num_calls += 1
+        lb = np.array([float(doms[v].min()) for v in range(self.n)])
+        ub = np.array([float(doms[v].max()) for v in range(self.n)])
+        try:
+            if self._cold:
+                self._sx.set_variable_bounds(lb, ub)
+                st = self._sx.primal_solve(deadline=deadline)
+                self._cold = False
+            else:
+                st = self._sx.resolve(lb, ub, deadline=deadline)
+        except Exception:
+            return None
+        if st == MPSolverStatus.INFEASIBLE:
+            self.num_prunes += 1
+            return "infeasible"
+        if st != MPSolverStatus.OPTIMAL:
+            return None
+        res = self._sx.result(st)
+        z = float(res.objective_value)
+        int_bound = int(math.ceil(z - 1e-6))
+        if cutoff is not None and int_bound > cutoff:
+            self.num_prunes += 1
+            return "infeasible"
+        if cutoff is None:
+            return []
+        info = RootLpInfo(
+            infeasible=False, int_bound=int_bound, lp_objective=z,
+            x_lp=res.primal_solution, reduced_costs=res.reduced_costs,
+            var_lb=lb, var_ub=ub, covered_constraints=0,
+            total_constraints=0, cut_rounds_applied=0)
+        return reduced_cost_tightenings(info, cutoff)

@@ -534,6 +534,17 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
             callback._on_solution(hint_solution,
                                   float(_objective_value(obj, hint_solution)))
 
+    # Node-level LP re-propagation inside the CP tree (reference
+    # linear_programming_constraint.h Propagate at every level): one
+    # persistent warm dual simplex shared by every descent rung.
+    node_lp = None
+    if params.use_lp_relaxation and lp_info is not None:
+        from ortools_tpu.sat.lp_propagator import NodeLpPropagator
+
+        cand = NodeLpPropagator(work, obj, sense)
+        if cand.ok:
+            node_lp = cand
+
     limit_hit = False
     while True:
         if (best_obj is not None and lp_bound is not None
@@ -568,7 +579,10 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
         engine = Engine(work_iter, deadline=deadline,
                         should_stop=should_stop,
                         max_branches=params.max_branches - num_branches,
-                        value_hints=value_hints)
+                        value_hints=value_hints,
+                        lp_propagator=node_lp,
+                        lp_cutoff=(best_obj - 1 if best_obj is not None
+                                   else None))
         doms = engine.initial_domains()
         if not engine.root_propagate(doms):
             break  # no better solution exists: current best is optimal
