@@ -382,6 +382,11 @@ class RevisedSimplex:
             return MPSolverStatus.ABNORMAL
         self._xb = None
         d: Optional[np.ndarray] = None  # incremental reduced costs
+        # Dual steepest-edge row weights (reference
+        # glop/dual_edge_norms.{h,cc}; Forrest-Goldfarb update).  Partial
+        # initialization to ones — any positive weights give a correct
+        # algorithm; exactness improves as pivots update them.
+        dse = np.ones(self.m)
         for it in range(max_iterations):
             if (it & 127) == 0 and math.isfinite(deadline) \
                     and time.perf_counter() > deadline:
@@ -397,9 +402,13 @@ class RevisedSimplex:
             below = np.where(np.isfinite(lbb), lbb - xb, -math.inf)
             above = np.where(np.isfinite(ubb), xb - ubb, -math.inf)
             viol = np.maximum(below, above)
-            r = int(np.argmax(viol))
-            if viol[r] <= tol * (1.0 + abs(xb[r])):
+            feas = viol <= tol * (1.0 + np.abs(xb))
+            if feas.all():
                 return MPSolverStatus.OPTIMAL  # primal feasible again
+            # steepest-edge choice: maximize viol^2 / ||rho_r||^2
+            score = np.where(feas, -math.inf,
+                             viol * np.abs(viol) / np.maximum(dse, 1e-12))
+            r = int(np.argmax(score))
             leaving_above = above[r] >= below[r]
             # row r of B^{-1} N:  rho = B^{-T} e_r;  alpha_j = rho . a_j
             e_r = np.zeros(self.m)
@@ -460,11 +469,22 @@ class RevisedSimplex:
                 ratio = d[entering] / alpha[entering]
                 d = d - ratio * alpha
                 d[entering] = 0.0
+            # Forrest-Goldfarb DSE weight update: with w = B^{-1}a_q and
+            # tau = B^{-1} rho_r,
+            #   beta_r' = beta_r / w_r^2
+            #   beta_i' = beta_i - 2 (w_i/w_r) tau_i + (w_i/w_r)^2 beta_r
+            beta_r = max(float(rho @ rho), 1e-12)  # exact ||rho_r||^2
+            tau = self._fact.ftran(rho)
+            ratio_w = w / w[r]
+            dse = dse - 2.0 * ratio_w * tau + (ratio_w * ratio_w) * beta_r
+            dse[r] = beta_r / (w[r] * w[r])
+            np.maximum(dse, 1e-10, out=dse)
             if not self._pivot(r, entering, w, leaving_to_upper=leaving_above):
                 return MPSolverStatus.ABNORMAL
             if self._fact.num_updates == 0:
                 self._xb = None  # refactorized: refresh values + costs
                 d = None
+                dse[:] = 1.0
         return MPSolverStatus.ABNORMAL
 
     def resolve(self, var_lb: np.ndarray, var_ub: np.ndarray,
