@@ -40,9 +40,11 @@ import scipy.sparse as sp
 
 from ortools_tpu.mip.cuts import append_cuts, generate_cuts
 from ortools_tpu.mip.heuristics import (
+    detect_independent_set,
     fj_objective_descent,
     one_two_exchange,
     rc_neighborhood,
+    wis_ils,
     greedy_cover,
     ils_polish,
     lp_dive,
@@ -395,6 +397,19 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         gc = greedy_cover(qp_min, int_idx)
         if gc is not None:
             try_incumbent(gc)
+    # Structure-detected primal engine: pure independent-set models get
+    # an iterated-greedy + (1,2)-swap local search (the portfolio-LS role
+    # specialized to packing structure), run BEFORE the cut loop — on
+    # these models the primal is the hard side; re-verified as always.
+    if len(int_idx) and params.fj_root_seconds > 0:
+        wis = detect_independent_set(qp_min)
+        if wis is not None:
+            adj_w, w_w = wis
+            wis_deadline = min(
+                start + 0.5 * params.time_limit_sec,
+                time.perf_counter() + 40.0)
+            try_incumbent(wis_ils(adj_w, w_w, wis_deadline))
+
     if len(int_idx) and params.cut_rounds > 0:
         for _ in range(params.cut_rounds + 1):
             if time.perf_counter() - start > 0.5 * params.time_limit_sec:

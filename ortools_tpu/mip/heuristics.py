@@ -702,3 +702,119 @@ def rc_neighborhood(
         if int(j) not in free:
             lbr[j] = ubr[j] = x_inc[j]
     return lbr, ubr
+
+
+def detect_independent_set(qp_min: QuadraticProgram):
+    """Detect a pure weighted-independent-set structure: binary
+    variables and every row 'sum of +1-coefficient variables <= 1'
+    (clique rows are equivalent to their pairwise conflicts for 0/1
+    variables).  Returns (adjacency list, weights) or None."""
+    n = qp_min.num_variables
+    integ = (np.asarray(qp_min.integrality, dtype=bool)
+             if qp_min.integrality is not None else np.zeros(n, dtype=bool))
+    lb = np.asarray(qp_min.variable_lower)
+    ub = np.asarray(qp_min.variable_upper)
+    if not (integ.all() and (lb >= -1e-9).all() and (ub <= 1 + 1e-9).all()):
+        return None
+    a = sp.csr_matrix(qp_min.constraint_matrix)
+    rlo = np.asarray(qp_min.constraint_lower)
+    rhi = np.asarray(qp_min.constraint_upper)
+    if not ((rhi <= 1.0 + 1e-9).all() and (rlo <= 1e-9).all()):
+        return None
+    if np.abs(a.data - 1.0).max(initial=0.0) > 1e-9:
+        return None
+    adj = [set() for _ in range(n)]
+    for r in range(a.shape[0]):
+        cols = a.indices[a.indptr[r]:a.indptr[r + 1]]
+        if len(cols) < 2:
+            continue
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                adj[cols[i]].add(int(cols[j]))
+                adj[cols[j]].add(int(cols[i]))
+    w = -np.asarray(qp_min.objective_vector, dtype=np.float64)
+    return adj, w
+
+
+def wis_ils(adj, w: np.ndarray, deadline: float,
+            seed: int = 1) -> np.ndarray:
+    """Iterated greedy + (1,2)-swap local search for maximum-weight
+    independent set (the engine behind packing-structured MIPs; plays
+    the role the reference's LS/LNS portfolio plays on such models).
+    Returns a 0/1 incidence vector (always a feasible IS)."""
+    import time
+
+    n = len(w)
+    rng = np.random.default_rng(seed)
+    deg = np.array([len(a) for a in adj], dtype=np.int64)
+
+    def fill_greedy(x, conf, order):
+        for v in order:
+            if w[v] > 0 and not x[v] and conf[v] == 0:
+                x[v] = True
+                for u in adj[v]:
+                    conf[u] += 1
+
+    def conflicts_of(x):
+        conf = np.zeros(n, np.int32)
+        for v in np.nonzero(x)[0]:
+            for u in adj[v]:
+                conf[u] += 1
+        return conf
+
+    def improve(x, conf):
+        improved = True
+        while improved:
+            improved = False
+            for v in range(n):
+                if w[v] > 0 and not x[v] and conf[v] == 0:
+                    x[v] = True
+                    for u in adj[v]:
+                        conf[u] += 1
+                    improved = True
+            for v in np.nonzero(x)[0]:
+                cand = [u for u in adj[v]
+                        if w[u] > 0 and not x[u] and conf[u] == 1]
+                if not cand:
+                    continue
+                best = None
+                for i2, u in enumerate(cand):
+                    if w[u] > w[v] + 1e-12 and (
+                            best is None or w[u] > best[0]):
+                        best = (w[u], [u])
+                    for u2 in cand[i2 + 1:]:
+                        if u2 not in adj[u] \
+                                and w[u] + w[u2] > w[v] + 1e-12:
+                            if best is None or w[u] + w[u2] > best[0]:
+                                best = (w[u] + w[u2], [u, u2])
+                if best is not None:
+                    x[v] = False
+                    for u in adj[v]:
+                        conf[u] -= 1
+                    for u in best[1]:
+                        x[u] = True
+                        for t in adj[u]:
+                            conf[t] += 1
+                    improved = True
+        return x, conf
+
+    x = np.zeros(n, bool)
+    conf = np.zeros(n, np.int32)
+    fill_greedy(x, conf, np.argsort(-w / np.maximum(deg, 1)))
+    x, conf = improve(x, conf)
+    best_x, best_w = x.copy(), float(w[x].sum())
+    while time.perf_counter() < deadline:
+        x = best_x.copy()
+        sup = np.nonzero(x)[0]
+        if len(sup) == 0:
+            break
+        k = max(2, len(sup) // 10)
+        drop = rng.choice(sup, size=min(k, len(sup)), replace=False)
+        x[drop] = False
+        conf = conflicts_of(x)
+        fill_greedy(x, conf, rng.permutation(n))
+        x, conf = improve(x, conf)
+        tw = float(w[x].sum())
+        if tw > best_w:
+            best_w, best_x = tw, x.copy()
+    return best_x.astype(np.float64)
