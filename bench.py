@@ -24,7 +24,7 @@ M = 16384
 N = 16384
 NUM_BLOCKS = 4096
 BLOCK = (8, 128)
-MAJORS_TIMED = 32  # timed calls of 64 iterations each
+MAJORS_TIMED = 128  # timed majors of 64 iterations each, one dispatch
 TIMING_REPS = 3  # best-of repetitions (amortizes remote dispatch noise)
 
 

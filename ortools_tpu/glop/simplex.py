@@ -542,17 +542,74 @@ class RevisedSimplex:
         )
 
 
+def _pow2_scaling(a: sp.csr_matrix) -> Tuple[np.ndarray, np.ndarray]:
+    """Row/column equilibration factors restricted to powers of two
+    (reference glop ScalingPreprocessor + lp_data/matrix_scaler with
+    GlopParameters scaling; powers of two make every transform exact in
+    floating point, so postsolve introduces NO roundoff)."""
+    m, n = a.shape
+    r = np.ones(m)
+    c = np.ones(n)
+    abs_a = sp.csr_matrix((np.abs(a.data), a.indices, a.indptr), shape=a.shape)
+    for _ in range(2):
+        row_max = np.asarray(abs_a.max(axis=1).todense()).ravel()
+        rr = np.where(row_max > 0, 2.0 ** np.round(-np.log2(
+            np.where(row_max > 0, row_max, 1.0))), 1.0)
+        abs_a = sp.diags(rr) @ abs_a
+        r *= rr
+        col_max = np.asarray(abs_a.max(axis=0).todense()).ravel()
+        cc = np.where(col_max > 0, 2.0 ** np.round(-np.log2(
+            np.where(col_max > 0, col_max, 1.0))), 1.0)
+        abs_a = abs_a @ sp.diags(cc)
+        c *= cc
+    return r, c
+
+
 def solve(qp: QuadraticProgram, max_iterations: int = 50_000,
-          tol: float = 1e-9) -> SimplexResult:
-    """One-shot primal solve (the original module API)."""
+          tol: float = 1e-9, scaling: bool = True) -> SimplexResult:
+    """One-shot primal solve (the original module API).
+
+    With ``scaling`` the problem is equilibrated by powers of two before
+    the simplex and the solution mapped back exactly: x = C x',
+    y = R y', reduced costs d = C^{-1} d' (all multiplications by exact
+    powers of two)."""
     errs = qp.validate()
     if errs:
         return SimplexResult(MPSolverStatus.MODEL_INVALID,
                              np.zeros(qp.num_variables),
                              np.zeros(qp.num_constraints),
                              np.zeros(qp.num_variables), math.nan, 0)
+    r = c = None
+    if scaling and qp.num_constraints and qp.is_lp():
+        a = sp.csr_matrix(qp.constraint_matrix)
+        if a.nnz:
+            r, c = _pow2_scaling(a)
+            if np.all(r == 1.0) and np.all(c == 1.0):
+                r = c = None
+            else:
+                import dataclasses as _dc
+
+                qp = _dc.replace(
+                    qp,
+                    constraint_matrix=sp.diags(r) @ a @ sp.diags(c),
+                    objective_vector=np.asarray(qp.objective_vector) * c,
+                    constraint_lower=np.asarray(qp.constraint_lower) * r,
+                    constraint_upper=np.asarray(qp.constraint_upper) * r,
+                    variable_lower=np.asarray(qp.variable_lower) / c,
+                    variable_upper=np.asarray(qp.variable_upper) / c,
+                )
     sx = RevisedSimplex(qp)
     if sx.m == 0:
-        return sx.result(MPSolverStatus.OPTIMAL)
-    status = sx.primal_solve(max_iterations=max_iterations, tol=tol)
-    return sx.result(status)
+        res = sx.result(MPSolverStatus.OPTIMAL)
+    else:
+        status = sx.primal_solve(max_iterations=max_iterations, tol=tol)
+        res = sx.result(status)
+    if r is not None and res.status == MPSolverStatus.OPTIMAL:
+        # exact unscaling (powers of two): x = C x', y = R y', d = d'/C
+        res = dataclasses.replace(
+            res,
+            primal_solution=res.primal_solution * c,
+            dual_solution=res.dual_solution * r,
+            reduced_costs=res.reduced_costs / c,
+        )
+    return res

