@@ -566,7 +566,8 @@ def _pow2_scaling(a: sp.csr_matrix) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def solve(qp: QuadraticProgram, max_iterations: int = 50_000,
-          tol: float = 1e-9, scaling: bool = True) -> SimplexResult:
+          tol: float = 1e-9, scaling: bool = True,
+          dualize: bool = False) -> SimplexResult:
     """One-shot primal solve (the original module API).
 
     With ``scaling`` the problem is equilibrated by powers of two before
@@ -579,6 +580,16 @@ def solve(qp: QuadraticProgram, max_iterations: int = 50_000,
                              np.zeros(qp.num_variables),
                              np.zeros(qp.num_constraints),
                              np.zeros(qp.num_variables), math.nan, 0)
+    # Dualizer (reference glop/preprocessor.h Dualizer): solve through
+    # the explicit dual.  Opt-in: with the current full-pricing simplex
+    # the dual's 2m+2n columns cost more per pivot than the primal's
+    # m rows save (measured 8x slower on skewed random LPs), so callers
+    # choose it explicitly where their structure warrants it.
+    if (dualize and not qp.maximize and qp.is_lp()
+            and qp.num_constraints >= max(4 * qp.num_variables, 64)):
+        res_v = solve_dualized(qp, max_iterations=max_iterations, tol=tol)
+        if res_v is not None:
+            return res_v
     r = c = None
     if scaling and qp.num_constraints and qp.is_lp():
         a = sp.csr_matrix(qp.constraint_matrix)
@@ -613,3 +624,98 @@ def solve(qp: QuadraticProgram, max_iterations: int = 50_000,
             reduced_costs=res.reduced_costs / c,
         )
     return res
+
+
+def _dualize(qp: QuadraticProgram):
+    """Build the explicit dual of  min c'x s.t. l<=Ax<=u, p<=x<=q  as a
+    minimization LP over nonnegative (lambda, mu, s, t):
+
+        min  -l'lambda + u'mu - p's + q't
+        s.t. A'(lambda - mu) + (s - t) = c
+
+    entries with an infinite bound drop their dual variable.  Returns
+    (dual_qp, mapping) where mapping recovers the PRIMAL solution from
+    the dual solve:  x = -y_D (duals of the equality rows),
+    y = lambda - mu,  d = s - t  (reference glop/preprocessor.h
+    DualizerPreprocessor role)."""
+    a = sp.csc_matrix(qp.constraint_matrix)
+    m, n = a.shape
+    l = np.asarray(qp.constraint_lower, dtype=np.float64)
+    u = np.asarray(qp.constraint_upper, dtype=np.float64)
+    p = np.asarray(qp.variable_lower, dtype=np.float64)
+    q = np.asarray(qp.variable_upper, dtype=np.float64)
+    c = np.asarray(qp.objective_vector, dtype=np.float64)
+    at = sp.csr_matrix(a.T)  # [n, m]
+
+    cols = []
+    costs = []
+    kinds = []  # (kind, index): "lam" i | "mu" i | "s" j | "t" j
+    lam_idx = np.nonzero(np.isfinite(l))[0]
+    mu_idx = np.nonzero(np.isfinite(u))[0]
+    s_idx = np.nonzero(np.isfinite(p))[0]
+    t_idx = np.nonzero(np.isfinite(q))[0]
+    blocks = []
+    if len(lam_idx):
+        blocks.append(at[:, lam_idx])
+        costs.append(-l[lam_idx])
+        kinds += [("lam", int(i)) for i in lam_idx]
+    if len(mu_idx):
+        blocks.append(-at[:, mu_idx])
+        costs.append(u[mu_idx])
+        kinds += [("mu", int(i)) for i in mu_idx]
+    eye = sp.identity(n, format="csc")
+    if len(s_idx):
+        blocks.append(eye[:, s_idx])
+        costs.append(-p[s_idx])
+        kinds += [("s", int(j)) for j in s_idx]
+    if len(t_idx):
+        blocks.append(-eye[:, t_idx])
+        costs.append(q[t_idx])
+        kinds += [("t", int(j)) for j in t_idx]
+    if not blocks:
+        return None
+    a_d = sp.hstack(blocks, format="csr")
+    c_d = np.concatenate(costs)
+    nd = a_d.shape[1]
+    dual_qp = QuadraticProgram(
+        objective_vector=c_d,
+        constraint_matrix=a_d,
+        constraint_lower=c,
+        constraint_upper=c,
+        variable_lower=np.zeros(nd),
+        variable_upper=np.full(nd, np.inf),
+    )
+    return dual_qp, kinds, (m, n)
+
+
+def solve_dualized(qp: QuadraticProgram, max_iterations: int = 50_000,
+                   tol: float = 1e-9) -> Optional[SimplexResult]:
+    """Solve ``qp`` through its explicit dual (profitable when m >> n:
+    the dual has only n rows).  Returns None unless the dual solves to
+    OPTIMAL (callers fall back to the primal path)."""
+    if qp.maximize or not qp.is_lp():
+        return None
+    built = _dualize(qp)
+    if built is None:
+        return None
+    dual_qp, kinds, (m, n) = built
+    res_d = solve(dual_qp, max_iterations=max_iterations, tol=tol,
+                  scaling=True, dualize=False)
+    if res_d.status != MPSolverStatus.OPTIMAL:
+        return None
+    x = -res_d.dual_solution  # duals of the equality rows
+    z = res_d.primal_solution
+    y = np.zeros(m)
+    d = np.zeros(n)
+    for val, (kind, idx) in zip(z, kinds):
+        if kind == "lam":
+            y[idx] += val
+        elif kind == "mu":
+            y[idx] -= val
+        elif kind == "s":
+            d[idx] += val
+        else:
+            d[idx] -= val
+    obj = float(np.asarray(qp.objective_vector) @ x) + qp.objective_constant
+    return SimplexResult(MPSolverStatus.OPTIMAL, x, y, d, obj,
+                         res_d.iterations)

@@ -228,3 +228,39 @@ def test_pow2_scaling_exact_roundtrip():
     # check the dual identity d = c - A^T y instead (exact contract)
     assert np.allclose(d, qp.objective_vector
                        - qp.constraint_matrix.T @ y, atol=1e-7)
+
+
+def test_dualizer_matches_primal_path():
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ortools_tpu.glop.simplex import solve, solve_dualized
+    from ortools_tpu.models.lp import QuadraticProgram
+    from ortools_tpu.utils.status import MPSolverStatus
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = int(rng.integers(3, 10))
+        m = int(rng.integers(4 * n, 6 * n))
+        a = sp.random(m, n, density=0.5, random_state=trial, format="csr")
+        a.data = rng.standard_normal(a.nnz)
+        qp = QuadraticProgram(
+            objective_vector=rng.standard_normal(n),
+            constraint_matrix=a,
+            constraint_lower=np.where(rng.random(m) < 0.3, -np.inf,
+                                      -rng.uniform(1, 3, m)),
+            constraint_upper=rng.uniform(1, 3, m),
+            variable_lower=np.full(n, -5.0),
+            variable_upper=np.full(n, 5.0),
+        )
+        rp = solve(qp, dualize=False)
+        if rp.status != MPSolverStatus.OPTIMAL:
+            continue
+        rd = solve_dualized(qp)
+        assert rd is not None
+        assert abs(rd.objective_value - rp.objective_value) \
+            <= 1e-6 * (1 + abs(rp.objective_value))
+        assert np.allclose(
+            rd.reduced_costs,
+            np.asarray(qp.objective_vector) - a.T @ rd.dual_solution,
+            atol=1e-6)
