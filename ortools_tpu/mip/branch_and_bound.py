@@ -40,6 +40,7 @@ import scipy.sparse as sp
 
 from ortools_tpu.mip.cuts import append_cuts, generate_cuts
 from ortools_tpu.mip.heuristics import (
+    binary_toggle_ls,
     detect_independent_set,
     fj_objective_descent,
     one_two_exchange,
@@ -599,7 +600,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             obj_before = incumbent_obj
             heur_fresh = num_batches - last_improve_batch <= 8
             mixed = len(int_idx) < n  # continuous part present
-            if i == 0 and (mixed or num_batches <= 8 or heur_fresh
+            if i == 0 and (mixed or num_batches <= 8
                            or num_batches % 4 == 0):
                 run_heuristics(x_lp)
             if incumbent_obj < obj_before - 1e-12:
@@ -608,7 +609,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             # configured cadence on mixed models; pure-integer models get
             # 4x sparser cadences — there the tree itself is the best
             # primal engine and these were eating ~2/3 of the node budget.
-            aux_mult = 1 if mixed else 4
+            aux_mult = 1 if mixed else 8
             if i == 0:
                 if (num_batches % (params.dive_interval * aux_mult) == 1
                         and (mixed or heur_fresh)):
@@ -631,6 +632,16 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                                      time.perf_counter() + 3.0))
                     if ex is not None:
                         try_incumbent(ex)
+                    if mixed and isinstance(backend, SimplexNodeBackend):
+                        # facility toggle/swap local search with exact
+                        # continuous re-optimization per move
+                        tg = binary_toggle_ls(
+                            qp_min, incumbent_x, int_idx,
+                            backend.resolve_raw,
+                            deadline=min(start + params.time_limit_sec,
+                                         time.perf_counter() + 6.0))
+                        if tg is not None:
+                            try_incumbent(tg)
                 if (params.local_branching_interval
                         and num_batches % (params.local_branching_interval
                                            * aux_mult) == 4

@@ -818,3 +818,86 @@ def wis_ils(adj, w: np.ndarray, deadline: float,
         if tw > best_w:
             best_w, best_x = tw, x.copy()
     return best_x.astype(np.float64)
+
+
+def binary_toggle_ls(
+    qp_min: QuadraticProgram,
+    x0: np.ndarray,
+    int_idx: np.ndarray,
+    reopt,
+    deadline: float,
+) -> Optional[np.ndarray]:
+    """Local search for MIXED models with binary integers (fixed-charge /
+    facility structure): flip one binary (and first-improvement pair
+    swaps), re-optimize the continuous part EXACTLY with the integers
+    fixed (warm dual-simplex ``reopt``), keep strictly improving moves.
+    Every candidate is feasibility-checked by the caller as usual."""
+    import time
+
+    n = qp_min.num_variables
+    lb = np.asarray(qp_min.variable_lower)
+    ub = np.asarray(qp_min.variable_upper)
+    bin_idx = int_idx[(lb[int_idx] >= -1e-9) & (ub[int_idx] <= 1 + 1e-9)]
+    if len(bin_idx) == 0 or len(bin_idx) == n:
+        return None
+    cont_mask = np.ones(n, dtype=bool)
+    cont_mask[int_idx] = False
+    if not cont_mask.any():
+        return None
+    c = np.asarray(qp_min.objective_vector, dtype=np.float64)
+    a = sp.csr_matrix(qp_min.constraint_matrix)
+    cl, cu = qp_min.constraint_lower, qp_min.constraint_upper
+    scale = 1.0 + np.maximum(np.abs(np.where(np.isfinite(cl), cl, 0)),
+                             np.abs(np.where(np.isfinite(cu), cu, 0)))
+
+    def value_of(x):
+        return float(c @ x)
+
+    def feasible(x):
+        ax = a @ x
+        return ((ax >= cl - 1e-6 * scale).all()
+                and (ax <= cu + 1e-6 * scale).all())
+
+    best = np.array(x0, dtype=np.float64)
+    best_val = value_of(best)
+    improved_any = False
+
+    def try_move(cand) -> bool:
+        nonlocal best, best_val, improved_any
+        x2 = _reopt_continuous(qp_min, cand, int_idx, cont_mask, reopt)
+        if x2 is None:
+            return False
+        x2 = np.asarray(x2, dtype=np.float64)
+        if feasible(x2) and value_of(x2) < best_val - 1e-9:
+            best, best_val = x2, value_of(x2)
+            improved_any = True
+            return True
+        return False
+
+    for _sweep in range(6):
+        improved = False
+        order = np.argsort(-np.abs(c[bin_idx]))
+        for j in bin_idx[order]:
+            if time.perf_counter() > deadline:
+                return best if improved_any else None
+            cand = best.copy()
+            cand[j] = 1.0 - round(cand[j])
+            if try_move(cand):
+                improved = True
+        # pair swaps: close one open binary, open one closed binary
+        # (facility-swap move; first improvement, capped partners)
+        open_set = [j for j in bin_idx if best[j] > 0.5]
+        closed = sorted((j for j in bin_idx if best[j] < 0.5),
+                        key=lambda j: c[j])
+        for i in open_set:
+            if time.perf_counter() > deadline:
+                return best if improved_any else None
+            for j in closed[:24]:
+                cand = best.copy()
+                cand[i], cand[j] = 0.0, 1.0
+                if try_move(cand):
+                    improved = True
+                    break
+        if not improved:
+            break
+    return best if improved_any else None
