@@ -28,8 +28,14 @@ from ortools_tpu.sat.engine import Conflict, Engine
 from ortools_tpu.utils.domain import Domain
 
 
-def presolve_model(model: ir.CpModelIR) -> Optional[ir.CpModelIR]:
-    """Domain-reduce and simplify; None = proven infeasible at the root."""
+def presolve_model(model: ir.CpModelIR,
+                   preserve_all_solutions: bool = False
+                   ) -> Optional[ir.CpModelIR]:
+    """Domain-reduce and simplify; None = proven infeasible at the root.
+
+    With ``preserve_all_solutions`` the solution SET is kept identical
+    (for enumeration); otherwise solution-pruning-but-satisfiability-
+    preserving rules (pure-literal dual fixing) also run."""
     engine = Engine(model)
     doms = engine.initial_domains()
     if not engine.root_propagate(doms):
@@ -123,6 +129,8 @@ def presolve_model(model: ir.CpModelIR) -> Optional[ir.CpModelIR]:
     # Round-2 depth: clique merging + probing (size-gated; both preserve
     # the 1:1 variable indexing contract).
     out = setppc_dominance(out)
+    if not preserve_all_solutions:
+        out = pure_literal_fixing(out)
     out = merge_cliques(out)
     if len(out.variables) * max(1, len(out.constraints)) <= 2_000_000:
         out = probe_binaries(out)
@@ -213,6 +221,104 @@ def _diophantine_reduce(ct: ir.ConstraintIR,
     return dataclasses.replace(ct, args=ir.LinearArgs(
         live_vars, [c // g for c in live_coeffs], new_dom),
         enforcement_literals=enf)
+
+
+def pure_literal_fixing(model: ir.CpModelIR) -> ir.CpModelIR:
+    """Dual fixing for boolean variables (the sound core of the
+    reference's var_domination.cc / SAT pure-literal rule): a boolean
+    whose every occurrence is a POSITIVE literal in non-enforced
+    bool_or constraints — and that appears nowhere else (no other
+    constraint kind, no enforcement list, not in the objective) — can be
+    fixed TRUE without losing any satisfying assignment's feasibility
+    status (flipping it true only helps those clauses).  Mirrored for
+    all-negative occurrences."""
+    n = len(model.variables)
+    pos_only = [True] * n
+    neg_only = [True] * n
+    boolean = [v.domain.min() >= 0 and v.domain.max() <= 1
+               and not v.domain.is_fixed() for v in model.variables]
+    seen = [False] * n
+    obj = model.objective
+    if obj is not None:
+        for v in obj.vars:
+            pos_only[v] = neg_only[v] = False
+    for lit in getattr(model, "assumptions", ()) or ():
+        v = ir.literal_index(lit)
+        pos_only[v] = neg_only[v] = False
+    for item in (getattr(model, "solution_hint", ()) or ()):
+        v = item[0] if isinstance(item, (tuple, list)) else item
+        if isinstance(v, int) and 0 <= v < n:
+            pos_only[v] = neg_only[v] = False
+    for ct in model.constraints:
+        lits = ct.args.literals if ct.kind == "bool_or" else None
+        in_enf = set(ir.literal_index(l) for l in ct.enforcement_literals)
+        for v in in_enf:
+            pos_only[v] = neg_only[v] = False
+        if lits is not None and not ct.enforcement_literals:
+            for l in lits:
+                v = ir.literal_index(l)
+                seen[v] = True
+                if l >= 0:
+                    neg_only[v] = False
+                else:
+                    pos_only[v] = False
+        else:
+            # any appearance in a non-clause constraint disqualifies
+            # (conservative: extra indices only lose fixing chances)
+            for v in _ct_vars(model, ct):
+                if 0 <= v < n:
+                    pos_only[v] = neg_only[v] = False
+    fixes = {}
+    for v in range(n):
+        if not boolean[v] or not seen[v]:
+            continue
+        if pos_only[v]:
+            fixes[v] = 1
+        elif neg_only[v]:
+            fixes[v] = 0
+    if not fixes:
+        return model
+    new_vars = [
+        ir.IntegerVariableIR(var.name, Domain(fixes[i], fixes[i]))
+        if i in fixes else var
+        for i, var in enumerate(model.variables)
+    ]
+    return dataclasses.replace(model, variables=new_vars)
+
+
+def _ct_vars(model: ir.CpModelIR, ct: ir.ConstraintIR) -> List[int]:
+    """All variable indices referenced by a constraint (conservative)."""
+    out: List[int] = []
+    a = ct.args
+    k = ct.kind
+    if k in ("bool_or", "bool_and", "at_most_one", "exactly_one",
+             "bool_xor"):
+        out += [ir.literal_index(l) for l in a.literals]
+    elif k == "linear":
+        out += list(a.vars)
+    elif k == "interval":
+        out += a.start.vars + a.size.vars + a.end.vars
+    elif k in ("no_overlap", "no_overlap_2d", "cumulative"):
+        kks = (list(a.intervals) if k != "no_overlap_2d"
+               else list(a.x_intervals) + list(a.y_intervals))
+        for kk in kks:
+            out += _ct_vars(model, model.constraints[kk])
+        if k == "cumulative":
+            out += a.capacity.vars
+            for e in a.demands:
+                out += e.vars
+    else:
+        # unknown kinds: collect every LinearExprIR / literal field
+        for field in vars(a).values():
+            if isinstance(field, ir.LinearExprIR):
+                out += field.vars
+            elif isinstance(field, (list, tuple)):
+                for item in field:
+                    if isinstance(item, ir.LinearExprIR):
+                        out += item.vars
+                    elif isinstance(item, int):
+                        out.append(ir.literal_index(item))
+    return out
 
 
 def setppc_dominance(model: ir.CpModelIR) -> ir.CpModelIR:

@@ -236,7 +236,9 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     if params.cp_model_presolve:
         from ortools_tpu.sat.presolve import presolve_model
 
-        presolved = presolve_model(work)
+        presolved = presolve_model(
+            work,
+            preserve_all_solutions=params.enumerate_all_solutions)
         if presolved is None:
             return resp(
                 SolveStatus.INFEASIBLE,

@@ -235,3 +235,40 @@ def test_setppc_solutions_preserved():
         and sum(assign[1:3]) <= 1
     )
     assert s.objective_value == best
+
+
+def test_pure_literal_fixing_sound():
+    from ortools_tpu.sat.presolve import pure_literal_fixing
+
+    m = CpModel()
+    a, b, c = (m.new_bool_var(n) for n in "abc")
+    x = m.new_int_var(0, 5, "x")
+    m.add_bool_or([a, b])          # a appears only positively
+    m.add_bool_or([a, c.negated()])  # c only negatively
+    m.add(x + b >= 1)              # b also in a linear row: not pure
+    out = pure_literal_fixing(m.ir)
+    doms = [v.domain for v in out.variables]
+    assert doms[a.index].is_fixed() and doms[a.index].fixed_value() == 1
+    assert doms[c.index].is_fixed() and doms[c.index].fixed_value() == 0
+    assert not doms[b.index].is_fixed()
+    # the full solve stays satisfiable
+    s = CpSolver()
+    assert s.solve(m) in (OPTIMAL,)
+
+
+def test_pure_literal_not_applied_when_enumerating():
+    m = CpModel()
+    a, b = m.new_bool_var("a"), m.new_bool_var("b")
+    m.add_bool_or([a, b])
+    s = CpSolver()
+    s.parameters.enumerate_all_solutions = True
+    count = [0]
+
+    from ortools_tpu.sat import CpSolverSolutionCallback
+
+    class Cb(CpSolverSolutionCallback):
+        def on_solution_callback(self):
+            count[0] += 1
+
+    s.solve(m, Cb())
+    assert count[0] == 3  # (1,0), (0,1), (1,1) — nothing pruned
