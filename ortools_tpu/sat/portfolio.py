@@ -331,6 +331,56 @@ def _lns_rectangles(work, rng, frac: float, best: List[int]) -> set:
     return relax or _lns_random_variables(work, rng, frac)
 
 
+def _lns_interior(work, rng, frac: float, best: List[int]) -> set:
+    """RENS/RelaxationInduced analogue without an LP in the loop: relax
+    the variables whose incumbent value sits strictly INSIDE the domain
+    (not pinned at a bound) — the ones the incumbent has not committed
+    to an extreme, where improvement headroom lives."""
+    nvars = len(work.variables)
+    interior = []
+    for v in range(nvars):
+        d = work.variables[v].domain
+        val = best[v] if v < len(best) else d.min()
+        if d.min() < val < d.max():
+            interior.append(v)
+    if not interior:
+        return _lns_random_variables(work, rng, frac)
+    target = max(1, int(nvars * frac))
+    rng.shuffle(interior)
+    return set(interior[:target]) or _lns_random_variables(work, rng, frac)
+
+
+def _lns_precedences(work, rng, frac: float) -> set:
+    """SchedulingPrecedencesNeighborhoodGenerator analogue: pick a seed
+    two-variable linear row (a precedence-like link) and BFS along such
+    rows, relaxing the linked variables."""
+    links = []  # (u, v) pairs from 2-var linear rows
+    for ct in work.constraints:
+        if ct.kind == "linear" and not ct.enforcement_literals \
+                and len(ct.args.vars) == 2:
+            links.append(tuple(ct.args.vars))
+    if not links:
+        return _lns_random_variables(work, rng, frac)
+    adj: dict = {}
+    for u, v in links:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nvars = len(work.variables)
+    target = max(2, int(nvars * frac))
+    seed_u, seed_v = links[rng.randrange(len(links))]
+    relax = {seed_u, seed_v}
+    frontier = [seed_u, seed_v]
+    while frontier and len(relax) < target:
+        u = frontier.pop(0)
+        for w in adj.get(u, ()):  # noqa: B007
+            if w not in relax:
+                relax.add(w)
+                frontier.append(w)
+                if len(relax) >= target:
+                    break
+    return relax
+
+
 def _lns_local_branching(work, rng, frac: float, best: List[int]):
     """LocalBranchingLpBasedNeighborhoodGenerator analogue: relax every
     BOOLEAN variable but add a Hamming-ball constraint around the
@@ -365,7 +415,8 @@ def _lns_local_branching(work, rng, frac: float, best: List[int]):
 LNS_GENERATORS = ("random_vars", "random_constraints", "variable_graph",
                   "time_window", "decomposition", "random_intervals",
                   "resource", "routing_path", "constraint_graph",
-                  "rectangles", "local_branching")
+                  "rectangles", "local_branching", "interior",
+                  "precedences")
 
 
 class LnsWorker:
@@ -414,6 +465,10 @@ class LnsWorker:
                                                 best)
             self._extra_cts = extra
             return relax
+        if gen == "interior":
+            return _lns_interior(self.work, self._rng, f, best)
+        if gen == "precedences":
+            return _lns_precedences(self.work, self._rng, f)
         return _lns_random_variables(self.work, self._rng, f)
 
     def slice(self, best: Optional[List[int]],

@@ -325,3 +325,21 @@ def test_lns_fleet_improves_with_new_generators():
         assert s.objective_value == opt
     else:
         assert s.objective_value <= opt
+
+
+def test_interior_and_precedence_generators():
+    import random
+
+    from ortools_tpu.sat import CpModel
+    from ortools_tpu.sat.portfolio import _lns_interior, _lns_precedences
+
+    m = CpModel()
+    xs = [m.new_int_var(0, 10, f"x{i}") for i in range(6)]
+    for i in range(5):
+        m.add(xs[i] + 2 <= xs[i + 1])
+    rng = random.Random(0)
+    best = [0, 3, 5, 7, 9, 10]  # x1..x4 interior
+    r1 = _lns_interior(m.ir, rng, 0.5, best)
+    assert r1 and all(0 < best[v] < 10 for v in r1 if v < 6)
+    r2 = _lns_precedences(m.ir, rng, 0.5)
+    assert len(r2) >= 2
