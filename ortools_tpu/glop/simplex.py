@@ -156,7 +156,7 @@ class RevisedSimplex:
         # sparse column view of [A | -I] for sparse basis refactorization
         # (worth it when the basis is big and A is sparse)
         nnz_a = int(sp.csr_matrix(qpm.constraint_matrix).nnz) if m else 0
-        use_sparse = m >= 256 and nnz_a <= 0.3 * max(1, m * n)
+        use_sparse = m >= 96 and nnz_a <= 0.25 * max(1, m * n)
         self.tab_sp = sp.csc_matrix(self.tab) if use_sparse else None
 
     # -- bounds (for warm restarts) --------------------------------------
