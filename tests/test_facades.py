@@ -253,3 +253,57 @@ def test_math_opt_bounds_only_update_stays_warm():
     assert upd.bounds_only
     r1 = inc.solve_after_update(upd)
     assert abs(r1.objective_value() - 5.0) < 1e-6
+
+
+def test_bop_portfolio_optimizes_boolean_lp():
+    import numpy as np
+    import scipy.sparse as sp
+    from scipy.optimize import Bounds, LinearConstraint, milp
+
+    from ortools_tpu.bop.portfolio import solve_boolean_lp
+    from ortools_tpu.models.lp import QuadraticProgram
+    from ortools_tpu.utils.status import SolveStatus
+
+    rng = np.random.default_rng(4)
+    n, m = 30, 12
+    a = sp.random(m, n, density=0.3, random_state=2, format="csr")
+    a.data = np.abs(rng.standard_normal(a.nnz)) + 0.1
+    qp = QuadraticProgram(
+        objective_vector=-rng.uniform(1, 3, n),  # minimize negative = pack
+        constraint_matrix=a,
+        constraint_lower=np.full(m, -np.inf),
+        constraint_upper=rng.uniform(2, 4, m),
+        variable_lower=np.zeros(n),
+        variable_upper=np.ones(n),
+        integrality=np.ones(n, dtype=bool),
+    )
+    r = solve_boolean_lp(qp, time_limit_sec=20)
+    assert r.status in (SolveStatus.OPTIMAL, SolveStatus.FEASIBLE)
+    s = milp(qp.objective_vector,
+             constraints=LinearConstraint(a, qp.constraint_lower,
+                                          qp.constraint_upper),
+             bounds=Bounds(qp.variable_lower, qp.variable_upper),
+             integrality=np.ones(n), options={"time_limit": 20})
+    assert r.objective_value <= s.fun + 1e-4 * (1 + abs(s.fun))
+    assert sum(r.strategy_wins.values()) >= 1
+
+
+def test_bop_portfolio_proves_small_instance():
+    import numpy as np
+
+    from ortools_tpu.bop.portfolio import solve_boolean_lp
+    from ortools_tpu.models.lp import QuadraticProgram
+    from ortools_tpu.utils.status import SolveStatus
+
+    qp = QuadraticProgram(
+        objective_vector=np.array([-2.0, -3.0, -4.0]),
+        constraint_matrix=np.array([[1.0, 1.0, 1.0]]),
+        constraint_lower=np.array([-np.inf]),
+        constraint_upper=np.array([2.0]),
+        variable_lower=np.zeros(3),
+        variable_upper=np.ones(3),
+        integrality=np.ones(3, dtype=bool),
+    )
+    r = solve_boolean_lp(qp, time_limit_sec=15)
+    assert r.status == SolveStatus.OPTIMAL
+    assert abs(r.objective_value - (-7.0)) < 1e-9
