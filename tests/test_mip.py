@@ -260,3 +260,56 @@ def test_greedy_cover_heuristic():
     qk = multi_knapsack(20, 3, seed=1).as_minimization()
     ik = np.nonzero(np.asarray(qk.integrality, dtype=bool))[0]
     assert greedy_cover(qk, ik) is None
+
+
+def test_general_integer_random_mips_fuzz():
+    """Fuzz: small random MIPs with GENERAL integers (not just binaries)
+    and mixed continuous columns, exactness vs HiGHS.  Exercises the
+    session's node-LP + heuristic + propagation paths together."""
+    import numpy as np
+    import scipy.sparse as sp
+    from scipy.optimize import Bounds, LinearConstraint, milp
+
+    from ortools_tpu.mip import MipParams, solve as mip_solve
+    from ortools_tpu.models.lp import QuadraticProgram
+    from ortools_tpu.utils.status import MPSolverStatus
+
+    rng = np.random.default_rng(99)
+    solved = 0
+    for trial in range(12):
+        n = int(rng.integers(4, 10))
+        m = int(rng.integers(2, 6))
+        a = rng.integers(-3, 4, (m, n)).astype(float)
+        integ = rng.random(n) < 0.7
+        if not integ.any():
+            integ[0] = True
+        lb = rng.integers(-3, 1, n).astype(float)
+        ub = lb + rng.integers(2, 6, n)
+        qp = QuadraticProgram(
+            objective_vector=rng.integers(-5, 6, n).astype(float),
+            constraint_matrix=sp.csr_matrix(a),
+            constraint_lower=np.full(m, -np.inf),
+            constraint_upper=rng.integers(2, 15, m).astype(float),
+            variable_lower=lb,
+            variable_upper=ub,
+            integrality=integ,
+        )
+        s = milp(qp.objective_vector,
+                 constraints=LinearConstraint(a, qp.constraint_lower,
+                                              qp.constraint_upper),
+                 bounds=Bounds(lb, ub),
+                 integrality=integ.astype(float))
+        r = mip_solve(qp, MipParams(max_nodes=5000, time_limit_sec=20,
+                                    fj_root_seconds=1.0))
+        if s.status == 0:
+            assert r.status in (MPSolverStatus.OPTIMAL,
+                                MPSolverStatus.FEASIBLE), trial
+            assert r.objective_value <= s.fun + 1e-5 * (1 + abs(s.fun)), \
+                (trial, r.objective_value, s.fun)
+            if r.status == MPSolverStatus.OPTIMAL:
+                assert r.objective_value >= s.fun - 1e-5 * (1 + abs(s.fun))
+            solved += 1
+        elif s.status == 2:  # infeasible
+            assert r.status in (MPSolverStatus.INFEASIBLE,
+                                MPSolverStatus.NOT_SOLVED), trial
+    assert solved >= 5  # the generator produces mostly feasible models
