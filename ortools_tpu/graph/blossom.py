@@ -27,10 +27,16 @@ _NO = -1
 
 def max_weight_matching(n: int,
                         edges: Sequence[Tuple[int, int, float]],
-                        max_cardinality: bool = False) -> List[int]:
+                        max_cardinality: bool = False,
+                        deadline: Optional[float] = None,
+                        ) -> Optional[List[int]]:
     """Returns mate[] (length n, -1 = unmatched) maximizing total weight;
     with ``max_cardinality`` the matching is a maximum-cardinality one of
-    maximum weight (the mode perfect matching rides on)."""
+    maximum weight (the mode perfect matching rides on).
+
+    ``deadline`` is an absolute ``time.monotonic()`` instant; when it
+    passes (checked once per dual update) the search stops and returns
+    ``None`` so callers can fall back to a heuristic matcher."""
     if n == 0 or not edges:
         return [_NO] * n
 
@@ -48,7 +54,10 @@ def max_weight_matching(n: int,
         neighbend[i].append(2 * k + 1)
         neighbend[j].append(2 * k)
 
-    maxw = max(wt)
+    # max(0, maxweight): with all-negative weights the optimal non-max-
+    # cardinality matching is empty; an unclamped negative seed dual would
+    # admit weight-decreasing augmentations.
+    maxw = max(max(wt), 0)
     # duals: vertices 0..n-1, blossoms n..2n-1
     dualvar = [maxw] * n + [0] * n
     mate = [_NO] * n          # mate[v] = remote endpoint index, or -1
@@ -293,6 +302,11 @@ def max_weight_matching(n: int,
                             labelend[w] = p ^ 1
             if augmented:
                 break
+            if deadline is not None:
+                import time
+
+                if time.monotonic() > deadline:
+                    return None
             # dual update
             deltatype = -1
             delta = deltaedge = deltablossom = None
@@ -370,11 +384,13 @@ def max_weight_matching(n: int,
 
 
 def min_weight_perfect_matching_blossom(
-        dist, nodes: Sequence[int]) -> Optional[List[Tuple[int, int]]]:
+        dist, nodes: Sequence[int],
+        deadline: Optional[float] = None,
+) -> Optional[List[Tuple[int, int]]]:
     """Minimum-weight PERFECT matching on the complete graph over
     ``nodes`` through the blossom matcher: negate weights, shift to
     non-negative, run in max-cardinality mode.  Returns None when
-    |nodes| is odd."""
+    |nodes| is odd or the ``deadline`` (time.monotonic instant) passes."""
     k = len(nodes)
     if k % 2:
         return None
@@ -386,7 +402,10 @@ def min_weight_perfect_matching_blossom(
     maxd = float(sub.max())
     edges = [(i, j, maxd - float(sub[i, j]) + 1.0)
              for i in range(k) for j in range(i + 1, k)]
-    mate = max_weight_matching(k, edges, max_cardinality=True)
+    mate = max_weight_matching(k, edges, max_cardinality=True,
+                               deadline=deadline)
+    if mate is None:
+        return None
     pairs = []
     for i in range(k):
         j = mate[i]

@@ -152,12 +152,16 @@ def _greedy_perfect(dist: np.ndarray, nodes: List[int]
 def min_weight_perfect_matching(
     dist: np.ndarray, nodes: Optional[List[int]] = None,
     exact_limit: int = 400, max_nodes: int = 2000,
+    time_budget: Optional[float] = 30.0,
 ) -> List[Tuple[int, int]]:
     """Minimum-weight perfect matching on the complete graph over
     ``nodes`` (all vertices by default).  Exact through the dedicated
     blossom matcher (graph/blossom.py — the reference's
     graph/perfect_matching.h algorithm) up to ``exact_limit`` vertices;
-    greedy + 2-exchange beyond (documented approximation)."""
+    greedy + 2-exchange beyond (documented approximation).  The exact
+    matcher runs under ``time_budget`` seconds (None = unlimited); on
+    timeout the greedy + 2-exchange result is returned instead, so large
+    odd-set instances degrade gracefully instead of blocking."""
     if nodes is None:
         nodes = list(range(dist.shape[0]))
     k = len(nodes)
@@ -172,9 +176,20 @@ def min_weight_perfect_matching(
     from ortools_tpu.graph.blossom import (
         min_weight_perfect_matching_blossom)
 
-    pairs = min_weight_perfect_matching_blossom(dist, nodes)
+    deadline = None
+    if time_budget is not None:
+        import time
+
+        deadline = time.monotonic() + time_budget
+    pairs = min_weight_perfect_matching_blossom(dist, nodes,
+                                                deadline=deadline)
     if pairs is not None:
         return pairs
+    if deadline is not None:
+        import time
+
+        if time.monotonic() > deadline:
+            return greedy  # exact matcher timed out
     # unreachable for complete even graphs; MIP fallback below retained
     # as a safety net
     # Exact: binary edge variables, degree-1 equalities.

@@ -513,8 +513,13 @@ def fj_objective_descent(
                                 seed=rng_seed,
                                 deadline=min(deadline, rung_deadline))
 
+    # Work entirely in c@x space: callers pass obj0/bound including
+    # qp.objective_constant, but rung targets and the improvement test
+    # below compare against float(c @ x) without the constant.
+    shift = float(qp_min.objective_constant or 0.0)
     best_x = None
-    best_obj = obj0
+    best_obj = obj0 - shift
+    bound = bound - shift
     x_start = x0
     rng_seed = seed
     # ambition in [0, 1]: fraction of the incumbent-to-bound gap to ask
@@ -719,7 +724,11 @@ def detect_independent_set(qp_min: QuadraticProgram):
     a = sp.csr_matrix(qp_min.constraint_matrix)
     rlo = np.asarray(qp_min.constraint_lower)
     rhi = np.asarray(qp_min.constraint_upper)
-    if not ((rhi <= 1.0 + 1e-9).all() and (rlo <= 1e-9).all()):
+    # Require true clique rows (rhs >= 1): a row with rhs < 1 forces its
+    # variables to 0, which pairwise conflicts cannot express — modeling
+    # such a row as at-most-one would admit infeasible IS candidates.
+    if not ((rhi <= 1.0 + 1e-9).all() and (rhi >= 1.0 - 1e-9).all()
+            and (rlo <= 1e-9).all()):
         return None
     if np.abs(a.data - 1.0).max(initial=0.0) > 1e-9:
         return None

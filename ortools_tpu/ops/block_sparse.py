@@ -186,8 +186,9 @@ class BlockSparseMatrix:
         return x[..., : self.shape[1]] if x.ndim == 1 else x[: self.shape[1]]
 
     def with_tiled(self, chunk_size: Optional[int] = None,
-                   ) -> "BlockSparseMatrix":
-        """Attach the fused-kernel layout (ops/tiled_spmv.py)."""
+                   hi: bool = False) -> "BlockSparseMatrix":
+        """Attach the fused-kernel layout (ops/tiled_spmv.py); with
+        ``hi`` also the bf16 half-bandwidth fast-stream slabs."""
         from ortools_tpu.ops.tiled_spmv import pack_tiled
 
         t = pack_tiled(
@@ -195,7 +196,13 @@ class BlockSparseMatrix:
             np.asarray(self.block_cols), self.num_real_blocks,
             self.padded_shape, chunk_size=chunk_size, dtype=self.dtype,
         )
+        if hi:
+            t = t.with_hi()
         return dataclasses.replace(self, tiled=t)
+
+    @property
+    def has_fast_stream(self) -> bool:
+        return self.tiled is not None and self.tiled.data_hi is not None
 
     def without_tiled(self) -> "BlockSparseMatrix":
         return (dataclasses.replace(self, tiled=None)
@@ -215,6 +222,19 @@ class BlockSparseMatrix:
             self.data, self.block_rows, self.block_cols, x,
             self.padded_shape[0],
         )
+
+    def matvec_fast(self, x: jax.Array) -> jax.Array:
+        """A @ x through the bf16 half-bandwidth stream when attached
+        (mixed-precision PDHG working pass; ~2^-9 relative rounding on
+        matrix entries), exact ``matvec`` otherwise."""
+        if self.has_fast_stream and x.ndim == 1:
+            from ortools_tpu.ops import tiled_spmv
+
+            return tiled_spmv.tiled_matvec_fast(
+                self.tiled, x, self.padded_shape[0],
+                interpret=jax.default_backend() != "tpu",
+            )
+        return self.matvec(x)
 
     def matmat(self, x: jax.Array) -> jax.Array:
         """A @ X with X padded [N, k]; returns [M, k].  The k axis (scenario /

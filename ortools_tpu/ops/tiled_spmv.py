@@ -80,17 +80,28 @@ class TiledSpmv:
     nsr: int  # super-row count (y padded to nsr*128*bm)
     nsc: int  # super-col count (x padded to nsc*128*bn... cols nsc*128)
     num_real_blocks: int
+    # Optional bf16 round of the slabs: the HALF-BANDWIDTH fast stream
+    # (mixed-precision PDHG majors; exact f32 checks stay on data_t).
+    data_hi: Optional[jax.Array] = None  # bf16 [nchunk, bn, bm * C]
 
     def tree_flatten(self):
         return (
             (self.data_t, self.rows_lo, self.cols_lo, self.super_rows,
-             self.super_cols),
+             self.super_cols, self.data_hi),
             (self.bm, self.bn, self.nsr, self.nsc, self.num_real_blocks),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        *head, data_hi = children
+        return cls(*head, *aux, data_hi=data_hi)
+
+    def with_hi(self) -> "TiledSpmv":
+        """Attach the bf16 fast-stream slabs (rounded from data_t)."""
+        if self.data_hi is not None:
+            return self
+        return dataclasses.replace(
+            self, data_hi=self.data_t.astype(jnp.bfloat16))
 
     @property
     def chunk_size(self) -> int:
@@ -270,6 +281,92 @@ def _tiled_matvec_call(data_t, rows_lo, cols_lo, super_rows, super_cols,
         interpret=interpret,
     )(super_rows, super_cols, data_t, rows_lo, cols_lo, xh, xm, xl)
     return y3t
+
+
+def _spmv_tiled_fast_kernel(sr_ref, sc_ref, data_ref, rows_ref, cols_ref,
+                            xb_ref, y_ref):
+    """Half-bandwidth fast stream: bf16 slabs, single bf16 one-hot
+    gather/scatter matmuls (vs the exact kernel's 3-split triples), f32
+    accumulation.  Matrix entries carry bf16 rounding (~2^-9 relative) —
+    the mixed-precision PDHG major loop's working stream; every
+    termination/restart decision is recomputed on the exact f32 kernel."""
+    c = pl.program_id(0)
+    bn = data_ref.shape[1]
+    width = data_ref.shape[2]
+    bm = y_ref.shape[1]
+    cc = width // bm
+    f32 = y_ref.dtype
+
+    prev = jnp.maximum(c - 1, 0)
+    fresh = jnp.logical_or(c == 0, sr_ref[c] != sr_ref[prev])
+
+    @pl.when(fresh)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (128, cc), 0)
+    gt = (cols_ref[0] == sub).astype(jnp.bfloat16)  # [128, C]
+    xbt = jnp.dot(xb_ref[...], gt, preferred_element_type=f32)  # [bn, C]
+
+    z = data_ref[0].astype(f32) * jnp.tile(xbt, (1, bm))  # [bn, bm*C]
+    pvec = jnp.sum(z, axis=0)  # [bm*C]
+    p2 = pvec.reshape(bm, cc)  # [bm, C]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cc, 128), 1)
+    r = (rows_ref[0] == lane).astype(jnp.bfloat16)  # [C, 128]
+    y_ref[0] += jnp.dot(p2.astype(jnp.bfloat16), r,
+                        preferred_element_type=f32)  # [bm, 128]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nsr", "nsc", "bm", "bn", "interpret"),
+)
+def _tiled_matvec_fast_call(data_hi, rows_lo, cols_lo, super_rows,
+                            super_cols, xt, nsr: int, nsc: int, bm: int,
+                            bn: int, interpret: bool):
+    nchunk = data_hi.shape[0]
+    width = data_hi.shape[2]
+    c_sz = width // bm
+    xb = xt.astype(jnp.bfloat16)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nchunk,),
+        in_specs=[
+            pl.BlockSpec((1, bn, width), lambda c, sr, sc: (c, 0, 0)),
+            pl.BlockSpec((1, c_sz, 1), lambda c, sr, sc: (c, 0, 0)),
+            pl.BlockSpec((1, 1, c_sz), lambda c, sr, sc: (c, 0, 0)),
+            pl.BlockSpec((bn, 128), lambda c, sr, sc: (0, sc[c])),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bm, 128), lambda c, sr, sc: (sr[c], 0, 0)
+        ),
+    )
+    y3t = pl.pallas_call(
+        _spmv_tiled_fast_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nsr, bm, 128), xt.dtype),
+        interpret=interpret,
+    )(super_rows, super_cols, data_hi, rows_lo, cols_lo, xb)
+    return y3t
+
+
+def tiled_matvec_fast(t: TiledSpmv, x: jax.Array, m_padded: int,
+                      interpret: bool = False) -> jax.Array:
+    """y ~= A @ x through the bf16 fast stream (requires t.data_hi)."""
+    assert t.data_hi is not None, "call TiledSpmv.with_hi() first"
+    bm, bn = t.bm, t.bn
+    x2 = x.reshape(-1, bn)
+    ncb = x2.shape[0]
+    xt = x2.T
+    if ncb < t.nsc * 128:
+        xt = jnp.pad(xt, ((0, 0), (0, t.nsc * 128 - ncb)))
+    y3t = _tiled_matvec_fast_call(
+        t.data_hi, t.rows_lo, t.cols_lo, t.super_rows, t.super_cols, xt,
+        t.nsr, t.nsc, bm, bn, interpret,
+    )
+    y = jnp.transpose(y3t, (0, 2, 1)).reshape(t.nsr * 128 * bm)
+    return y[:m_padded]
 
 
 def tiled_matvec(t: TiledSpmv, x: jax.Array, m_padded: int,

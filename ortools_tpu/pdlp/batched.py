@@ -81,6 +81,49 @@ def _select_state(mask_b: jax.Array, a: S.PdhgState, b: S.PdhgState) -> S.PdhgSt
     return jax.tree_util.tree_map(sel, a, b)
 
 
+_BATCH_FN_CACHE: dict = {}
+
+
+def _batched_fns(params: PdhgParams, prob: S.DeviceProblem) -> dict:
+    """Memoized vmapped+jitted bundle.
+
+    Rebuilding the closures per solve_batch call gives every call a fresh
+    function identity → a full retrace (and, without a persistent
+    compilation cache, an XLA recompile) per B&B batch; through the
+    remote-TPU tunnel that costs tens of seconds per call and was the
+    round-2 deadline-overrun root cause.  Keyed by params value and the
+    problem's static pytree metadata (the vmap in_axes tree embeds the
+    matrix aux data)."""
+    key = (
+        S.params_cache_key(params),
+        prob.a.shape, prob.a.padded_shape, prob.a.num_real_blocks,
+        prob.at.shape, prob.at.padded_shape, prob.at.num_real_blocks,
+    )
+    fns = _BATCH_FN_CACHE.get(key)
+    if fns is None:
+        axes = _prob_axes(prob)
+        fns = dict(
+            run_major=jax.jit(jax.vmap(S._make_run_major(params),
+                                       in_axes=(axes, 0))),
+            compute_stats=jax.jit(jax.vmap(S._make_compute_stats(params),
+                                           in_axes=(axes, 0))),
+            apply_restart=jax.jit(jax.vmap(
+                S._make_apply_restart(params),
+                in_axes=(axes, 0, 0, 0, 0))),
+            initial_state=jax.jit(jax.vmap(S._make_initial_state(params),
+                                           in_axes=(axes, None))),
+            final_iterate=jax.jit(jax.vmap(
+                S._make_final_iterate(params.optimality_norm),
+                in_axes=(axes, 0, 0))),
+            power_iter=jax.jit(S._make_power_iter(params)),
+            warm_mv=jax.jit(jax.vmap(
+                lambda p, x, y: (p.a.matvec(x), p.at.matvec(y)),
+                in_axes=(axes, 0, 0))),
+        )
+        _BATCH_FN_CACHE[key] = fns
+    return fns
+
+
 def solve_batch(
     qp: QuadraticProgram,
     var_lb_batch: np.ndarray,
@@ -128,24 +171,13 @@ def solve_batch(
         var_lb=scaled_lb, var_ub=scaled_ub,
         orig_var_lb=orig_lb, orig_var_ub=orig_ub,
     )
-    axes = _prob_axes(prob)
-
-    run_major = jax.jit(jax.vmap(S._make_run_major(params), in_axes=(axes, 0)))
-    compute_stats = jax.jit(
-        jax.vmap(S._make_compute_stats(params), in_axes=(axes, 0))
-    )
-    apply_restart = jax.jit(
-        jax.vmap(S._make_apply_restart(params), in_axes=(axes, 0, 0, 0, 0))
-    )
-    initial_state = jax.jit(
-        jax.vmap(S._make_initial_state(params), in_axes=(axes, None))
-    )
-    final_iterate = jax.jit(
-        jax.vmap(S._make_final_iterate(params.optimality_norm),
-                 in_axes=(axes, 0, 0))
-    )
-
-    power_iter = jax.jit(S._make_power_iter(params))
+    fns = _batched_fns(params, prob)
+    run_major = fns["run_major"]
+    compute_stats = fns["compute_stats"]
+    apply_restart = fns["apply_restart"]
+    initial_state = fns["initial_state"]
+    final_iterate = fns["final_iterate"]
+    power_iter = fns["power_iter"]
     v0 = jax.random.normal(jax.random.PRNGKey(0), (nn,), dtype=dtype)
     sigma = power_iter(prob, v0)
     state = initial_state(vprob, sigma)
@@ -158,11 +190,7 @@ def solve_batch(
             yw[:, : qp.num_constraints] = warm_start_y
         row_scale = np.asarray(prob.row_scale, dtype=np.float64)
         ys = jnp.asarray(yw / row_scale[None, :], dtype=dtype)
-        mv = jax.jit(jax.vmap(
-            lambda p, x, y: (p.a.matvec(x), p.at.matvec(y)),
-            in_axes=(axes, 0, 0),
-        ))
-        ax, aty = mv(vprob, xs, ys)
+        ax, aty = fns["warm_mv"](vprob, xs, ys)
         state = state._replace(x=xs, y=ys, ax=ax, aty=aty,
                                x_restart=xs, y_restart=ys)
 

@@ -229,10 +229,11 @@ def build_device_problem(
         # on patterns sparser than the super-tile grid the C=128 chunk
         # padding dominates (e.g. ~200x on a 131k^2 LP with 10k blocks),
         # so fall back to the XLA gather path per matrix.
-        dev_a2 = dev_a.with_tiled()
+        want_hi = params.stream_precision in ("auto", "mixed")
+        dev_a2 = dev_a.with_tiled(hi=want_hi)
         if dev_a2.tiled.padding_ratio <= 3.0:
             dev_a = dev_a2
-        dev_at2 = dev_at.with_tiled()
+        dev_at2 = dev_at.with_tiled(hi=want_hi)
         if dev_at2.tiled.padding_ratio <= 3.0:
             dev_at = dev_at2
 
@@ -332,14 +333,20 @@ class Comm2D(NamedTuple):
 
 
 def _make_matvecs(
-    a: BlockSparseMatrix, at: BlockSparseMatrix, psum
+    a: BlockSparseMatrix, at: BlockSparseMatrix, psum, fast: bool = False
 ) -> _Matvecs:
     """SpMV closures.  ``psum`` selects the parallel mode: None (single
     device), a psum callable (1-D block sharding: each device holds a slice
     of the block list, full-length partials psum-combined — the TPU-native
     analogue of the reference Sharder's per-thread shards +
-    ParallelSumOverShards), or a Comm2D (row x col partition)."""
+    ParallelSumOverShards), or a Comm2D (row x col partition).
+
+    ``fast`` selects the bf16 half-bandwidth stream (matvec_fast) for the
+    mixed-precision major loop; it silently falls back to the exact kernel
+    when no fast layout is attached."""
     if psum is None:
+        if fast:
+            return _Matvecs(a.matvec_fast, at.matvec_fast)
         return _Matvecs(a.matvec, at.matvec)
     if isinstance(psum, Comm2D):
         comm = psum
@@ -372,22 +379,25 @@ def _dual_prox(y_hat, sigma, con_lb, con_ub):
     return jnp.where(pos > 0, pos, jnp.where(neg < 0, neg, 0.0))
 
 
-def _make_iteration(params: PdhgParams, psum: Optional[Callable] = None):
+def _make_iteration(params: PdhgParams, psum: Optional[Callable] = None,
+                    fast: bool = False):
     """Build the jittable single-iteration function.
 
     ``prob`` is an explicit argument (not a closure) so the same function
     works under shard_map with the matrix blocks sharded over the mesh.
     The step rule follows ``params.linesearch_rule``: the adaptive rule
     (reference TakeAdaptiveStep) or Malitsky-Pock (TakeMalitskyPockStep).
+    With ``fast`` the SpMVs ride the bf16 half-bandwidth stream
+    (mixed-precision majors; exact checks happen outside the major loop).
     """
     if params.linesearch_rule == "malitsky_pock":
-        return _make_mp_iteration(params, psum)
+        return _make_mp_iteration(params, psum, fast)
     reduction_exp = params.step_size_reduction_exponent
     growth_exp = params.step_size_growth_exponent
     max_attempts = params.max_step_attempts
 
     def iteration(prob: DeviceProblem, state: PdhgState) -> PdhgState:
-        mv = _make_matvecs(prob.a, prob.at, psum)
+        mv = _make_matvecs(prob.a, prob.at, psum, fast)
         dtype = prob.c.dtype
         tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
         grad = prob.c + prob.q * state.x - state.aty
@@ -471,7 +481,8 @@ def _make_iteration(params: PdhgParams, psum: Optional[Callable] = None):
     return iteration
 
 
-def _make_mp_iteration(params: PdhgParams, psum: Optional[Callable] = None):
+def _make_mp_iteration(params: PdhgParams, psum: Optional[Callable] = None,
+                       fast: bool = False):
     """Malitsky-Pock linesearch (reference primal_dual_hybrid_gradient.cc
     :2211 TakeMalitskyPockStep; arXiv:1608.08883).
 
@@ -489,7 +500,7 @@ def _make_mp_iteration(params: PdhgParams, psum: Optional[Callable] = None):
     max_attempts = max(params.max_step_attempts, 60)
 
     def iteration(prob: DeviceProblem, state: PdhgState) -> PdhgState:
-        mv = _make_matvecs(prob.a, prob.at, psum)
+        mv = _make_matvecs(prob.a, prob.at, psum, fast)
         dtype = prob.c.dtype
         tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
         omega = state.primal_weight
@@ -552,8 +563,9 @@ def _make_mp_iteration(params: PdhgParams, psum: Optional[Callable] = None):
     return iteration
 
 
-def _make_run_major(params: PdhgParams, psum: Optional[Callable] = None):
-    iteration = _make_iteration(params, psum)
+def _make_run_major(params: PdhgParams, psum: Optional[Callable] = None,
+                    fast: bool = False):
+    iteration = _make_iteration(params, psum, fast)
     freq = params.termination_check_frequency
 
     def run_major(prob: DeviceProblem, state: PdhgState) -> PdhgState:
@@ -711,12 +723,22 @@ def _infeasibility_stats(prob: DeviceProblem, x_r, y_r,
 
 
 def _make_compute_stats(params: PdhgParams,
-                        psum: Optional[Callable] = None):
+                        psum: Optional[Callable] = None,
+                        exact_refresh: bool = False):
+    """``exact_refresh`` recomputes A x / Aᵀ y for the CURRENT iterate with
+    the exact kernel — required while the major loop runs the bf16 fast
+    stream, where state.ax/state.aty carry ~2^-9 matrix rounding.  Every
+    termination decision therefore rests on exact f32 residuals."""
     norm = params.optimality_norm
 
     def compute_stats(prob: DeviceProblem, state: PdhgState) -> dict:
         mv = _make_matvecs(prob.a, prob.at, psum)
-        cur = _iterate_stats(prob, state.x, state.y, state.ax, state.aty, norm)
+        if exact_refresh:
+            ax_c = mv.matvec(state.x)
+            aty_c = mv.rmatvec(state.y)
+        else:
+            ax_c, aty_c = state.ax, state.aty
+        cur = _iterate_stats(prob, state.x, state.y, ax_c, aty_c, norm)
         w = jnp.maximum(state.sum_weights, 1e-30)
         x_avg = state.x_sum / w
         y_avg = state.y_sum / w
@@ -775,7 +797,7 @@ def _make_compute_stats(params: PdhgParams,
             from ortools_tpu.pdlp import trust_region as _tr
 
             out["tr_current"] = _tr.localized_gap(
-                prob, state.x, state.y, state.ax, state.aty,
+                prob, state.x, state.y, ax_c, aty_c,
                 state.x_restart, state.y_restart, omega,
             )._asdict()
             out["tr_average"] = _tr.localized_gap(
@@ -928,6 +950,54 @@ def _check_optimality(stats: dict, prob_consts: dict, params: PdhgParams,
     return bool(ok)
 
 
+def params_cache_key(params: PdhgParams) -> tuple:
+    """Hashable identity of a PdhgParams for the jitted-function cache."""
+    vals = []
+    for f in dataclasses.fields(params):
+        v = getattr(params, f.name)
+        if isinstance(v, list):
+            v = tuple(v)
+        vals.append((f.name, v))
+    return tuple(vals)
+
+
+_SINGLE_FN_CACHE: dict = {}
+
+
+def _single_device_fns(params: PdhgParams) -> dict:
+    """Memoized jitted function bundle for the single-device path.
+
+    Rebuilding closures per solve() call makes every call retrace (new
+    function identities), which through the remote-TPU tunnel costs tens
+    of seconds per call — fatal for B&B workloads that solve hundreds of
+    LPs.  One bundle per distinct params value; jit itself handles new
+    problem shapes by retracing the SAME callable (compiled programs are
+    reused per shape)."""
+    key = params_cache_key(params)
+    fns = _SINGLE_FN_CACHE.get(key)
+    if fns is None:
+        def _refresh(prob, st):
+            mv = _make_matvecs(prob.a, prob.at, None)
+            return st._replace(ax=mv.matvec(st.x), aty=mv.rmatvec(st.y))
+
+        fns = dict(
+            run_major=jax.jit(_make_run_major(params)),
+            run_major_fast=jax.jit(_make_run_major(params, fast=True)),
+            compute_stats=jax.jit(_make_compute_stats(params)),
+            compute_stats_fast=jax.jit(
+                _make_compute_stats(params, exact_refresh=True)),
+            apply_restart=jax.jit(_make_apply_restart(params)),
+            power_iter=jax.jit(_make_power_iter(params)),
+            initial_state=jax.jit(_make_initial_state(params)),
+            final_iterate=jax.jit(_make_final_iterate(
+                params.optimality_norm)),
+            warm_state=jax.jit(_make_warm_state(params)),
+            refresh_products=jax.jit(_refresh),
+        )
+        _SINGLE_FN_CACHE[key] = fns
+    return fns
+
+
 def solve(
     qp: QuadraticProgram,
     params: Optional[PdhgParams] = None,
@@ -985,18 +1055,42 @@ def solve(
         psum = None
         prob = build_device_problem(qp_min, params)
 
-        def wrap(fn, n_args):
-            return jax.jit(fn)
-
-    run_major = wrap(_make_run_major(params, psum), 1)
-    compute_stats = wrap(_make_compute_stats(params, psum), 1)
-    apply_restart = wrap(_make_apply_restart(params, psum), 4)
-    power_iter = wrap(_make_power_iter(params, psum), 1)
-    initial_state = wrap(_make_initial_state(params, psum), 1)
-    final_iterate = wrap(
-        _make_final_iterate(params.optimality_norm, psum), 2
+    if psum is None:
+        # Memoized bundle: repeated solve() calls (B&B nodes, batteries)
+        # reuse the SAME jitted callables instead of retracing every call.
+        fns = _single_device_fns(params)
+        run_major = fns["run_major"]
+        compute_stats = fns["compute_stats"]
+        run_major_fast = fns["run_major_fast"]
+        compute_stats_fast = fns["compute_stats_fast"]
+        refresh_products = fns["refresh_products"]
+        apply_restart = fns["apply_restart"]
+        power_iter = fns["power_iter"]
+        initial_state = fns["initial_state"]
+        final_iterate = fns["final_iterate"]
+        warm_state = fns["warm_state"]
+    else:
+        run_major = wrap(_make_run_major(params, psum), 1)
+        compute_stats = wrap(_make_compute_stats(params, psum), 1)
+        run_major_fast = None
+        compute_stats_fast = None
+        refresh_products = None
+        apply_restart = wrap(_make_apply_restart(params, psum), 4)
+        power_iter = wrap(_make_power_iter(params, psum), 1)
+        initial_state = wrap(_make_initial_state(params, psum), 1)
+        final_iterate = wrap(
+            _make_final_iterate(params.optimality_norm, psum), 2
+        )
+        warm_state = wrap(_make_warm_state(params, psum), 4)
+    # Mixed-precision majors (bf16 half-bandwidth stream): available when
+    # the fast layout is attached (single-device tiled path).  Stats for
+    # fast majors recompute the current iterate's products with the exact
+    # kernel, so termination always rests on exact f32 residuals.
+    fast_ready = (
+        psum is None
+        and params.stream_precision in ("auto", "mixed")
+        and prob.a.has_fast_stream and prob.at.has_fast_stream
     )
-    warm_state = wrap(_make_warm_state(params, psum), 4)
 
     v0 = jax.random.normal(
         jax.random.PRNGKey(0), (prob.c.shape[0],), dtype=prob.c.dtype
@@ -1100,6 +1194,15 @@ def solve(
             return ("polished", curf, st_f.x, st_f.y)
         return None
 
+    fast_mode = fast_ready
+    fast_best_kkt = math.inf
+    fast_stall = 0
+
+    def _leave_fast_mode():
+        nonlocal fast_mode, state
+        fast_mode = False
+        state = refresh_products(prob, state)
+
     while True:
         if iterations >= params.iteration_limit:
             reason = TerminationReason.ITERATION_LIMIT
@@ -1107,14 +1210,28 @@ def solve(
         if time.perf_counter() - start > params.time_sec_limit:
             reason = TerminationReason.TIME_LIMIT
             break
-        state = run_major(prob, state)
+        state = (run_major_fast if fast_mode else run_major)(prob, state)
         iterations += params.termination_check_frequency
-        stats = compute_stats(prob, state)
+        stats = (compute_stats_fast if fast_mode else compute_stats)(
+            prob, state)
         cur = {k: float(v) for k, v in stats["current"].items()}
         avg = {k: float(v) for k, v in stats["average"].items()}
         kkt_cur = float(stats["kkt_current"])
         kkt_avg = float(stats["kkt_average"])
         kkt_passes = float(stats["kkt_passes"])
+        if fast_mode:
+            # Switch to the exact stream once the exactly-measured KKT
+            # stops improving — the bf16 rounding noise floor.
+            cand_fast = min(kkt_cur, kkt_avg)
+            if math.isfinite(cand_fast) and cand_fast < 0.9 * fast_best_kkt:
+                fast_best_kkt = cand_fast
+                fast_stall = 0
+            else:
+                fast_stall += 1
+                if fast_stall >= 3 or not math.isfinite(cand_fast):
+                    _leave_fast_mode()
+                    if not math.isfinite(kkt_cur):
+                        continue  # retry the major exactly, don't abort
         if params.record_iteration_stats or params.verbosity >= 2:
             rec = dict(iteration=iterations, current=cur, average=avg,
                        kkt_current=kkt_cur, kkt_average=kkt_avg,
@@ -1259,7 +1376,8 @@ def solve(
 
     if best is None:
         # Terminated by a limit: report the better of current/average.
-        stats = compute_stats(prob, state)
+        stats = (compute_stats_fast if fast_mode else compute_stats)(
+            prob, state)
         cur = {k: float(v) for k, v in stats["current"].items()}
         avg = {k: float(v) for k, v in stats["average"].items()}
         if float(stats["kkt_average"]) < float(stats["kkt_current"]):

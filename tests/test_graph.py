@@ -220,12 +220,13 @@ def test_blossom_matches_bruteforce_random():
 
         assert abs(cost - brute(list(range(k)))) < 1e-9
 
-    # sparse max-weight (non-perfect) mode
+    # sparse max-weight (non-perfect) mode — weights include negatives
+    # (all-negative graphs must return the empty matching, weight 0)
     import random
     random.seed(3)
-    for _ in range(40):
+    for _ in range(60):
         n = random.randint(2, 7)
-        edges = [(i, j, random.randint(0, 15))
+        edges = [(i, j, random.randint(-10, 15))
                  for i in range(n) for j in range(i + 1, n)
                  if random.random() < 0.6]
         if not edges:

@@ -115,3 +115,48 @@ def test_pdlp_solve_with_forced_tiled():
                   bounds=[(0, 1)] * n, method="highs")
     assert ref.status == 0
     assert res.primal_objective == pytest.approx(ref.fun, abs=5e-3)
+
+
+@pytest.mark.parametrize(
+    "m,n,density,block_shape",
+    [
+        (300, 500, 0.02, (8, 128)),
+        (900, 1100, 0.002, (32, 128)),
+    ],
+)
+def test_fast_stream_matvec_bf16_accuracy(m, n, density, block_shape):
+    """Half-bandwidth bf16 stream: within bf16 rounding of the exact
+    product (mixed-precision PDHG working pass)."""
+    from ortools_tpu.ops.tiled_spmv import tiled_matvec_fast
+
+    a, bsm, t = _make(m, n, density, block_shape, seed=m + 2 * n)
+    t = t.with_hi()
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(n)
+    y = np.asarray(
+        tiled_matvec_fast(t, bsm.pad_x(x), bsm.padded_shape[0],
+                          interpret=True)
+    )[:m]
+    ref = a @ x
+    scale = 1.0 + np.abs(ref).max()
+    # bf16 has an 8-bit mantissa: ~2^-9 relative per entry, a few ULPs
+    # through the row accumulation
+    assert np.abs(y - ref).max() <= 3e-2 * scale
+    # and it must NOT be exactly the f32 result on a generic instance
+    # (guards against silently running the exact kernel)
+    y_exact = np.asarray(
+        tiled_matvec(t, bsm.pad_x(x), bsm.padded_shape[0], interpret=True)
+    )[:m]
+    assert np.abs(y - y_exact).max() > 0
+
+
+def test_matvec_fast_falls_back_without_hi():
+    a, bsm, t = _make(300, 500, 0.02, (8, 128), seed=9)
+    import dataclasses
+
+    bsm2 = dataclasses.replace(bsm, tiled=t)  # no data_hi attached
+    rng = np.random.default_rng(5)
+    x = bsm.pad_x(rng.standard_normal(500))
+    np.testing.assert_allclose(
+        np.asarray(bsm2.matvec_fast(x)), np.asarray(bsm2.matvec(x)),
+        rtol=1e-6, atol=1e-7)
