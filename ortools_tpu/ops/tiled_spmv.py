@@ -1,6 +1,7 @@
 """Tiled block-sparse SpMV: one fused Pallas kernel, no per-block scalar ops.
 
-Round-1 diagnosis (ops/pallas_spmv.py header): at (8,128) block granularity
+Round-1 diagnosis (from the since-deleted per-block-DMA kernels,
+ops/pallas_spmv.py in git history): at (8,128) block granularity
 both the XLA gather+segment-sum path and the per-block-DMA Pallas kernels
 are bound by ~160ns of *dynamic-index control* per block (gather of the x
 block, read-modify-write of the y block), not by HBM bandwidth — 25-55 GB/s

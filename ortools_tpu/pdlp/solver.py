@@ -32,11 +32,14 @@ Algorithmic semantics reproduced (SURVEY Appendix A.1-A.3):
 - restart-to-average with step-size-weighted averages; averages restart
   empty after each restart (ShardedWeightedAverage semantics).
 
-Round-1 deviations (planned work, tracked in SURVEY §7):
-- adaptive restarts trigger on the weighted KKT error (cuPDLP scheme,
-  same 0.1/0.9 reduction constants) instead of the trust-region localized
-  duality gap; infeasibility certificates and feasibility polishing are
-  not yet implemented (iteration/time limits still terminate).
+Deviations from the reference:
+- the default ADAPTIVE_HEURISTIC restart triggers on the weighted KKT
+  error (cuPDLP scheme, same 0.1/0.9 reduction constants); the reference's
+  trust-region localized-duality-gap rule is available as
+  RestartStrategy.ADAPTIVE_KKT via pdlp/trust_region.py.
+Infeasibility certificates (``_check_infeasibility``, below) and
+feasibility polishing (``_try_feasibility_polishing``) ARE implemented,
+mirroring TryFeasibilityPolishing (:2442) / iteration_stats.h:68.
 """
 
 from __future__ import annotations
