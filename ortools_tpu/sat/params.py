@@ -43,6 +43,12 @@ class SatParameters:
     # which core algorithm: "oll" (totalizer descent) or "max_hs"
     # (implicit hitting set via the MIP layer; reference max_hs.h)
     core_algorithm: str = "oll"
+    # lazy clause generation: general integer models on the native LCG
+    # core — bound literals created lazily inside CDCL with explained
+    # linear/precedence propagation (reference integer.h:453,722,
+    # linear_propagation.h:176; sat/lcg.py + _native/lcg.cc).  Tried
+    # before the eager encoding; falls through on unsupported fragments.
+    use_lcg: bool = True
     # eager order-encoding of general integer models onto the CDCL core
     # (reference integer.h literal encoding + cp_model_loader.cc, done
     # eagerly; sat/integer_encoding.py)

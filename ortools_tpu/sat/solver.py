@@ -319,18 +319,31 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
                             core=core or model.assumptions)
             # UNKNOWN (or verification surprise): fall through to the
             # propagation engine
-        elif params.use_integer_cdcl and not model.solution_hint:
-            # General integer models through the eager order encoding
-            # (reference integer.h literal encoding, done eagerly).
+        elif ((params.use_lcg or params.use_integer_cdcl)
+                and not model.solution_hint):
+            # General integer models inside the learning core: first lazy
+            # clause generation (reference integer.h:453,722 — lazily
+            # created bound literals, any domain size), then the eager
+            # order encoding as fallback for fragments LCG doesn't cover
+            # (element/table/products, done eagerly, domain-gated).
             # Hinted decision problems stay on the DFS engine, whose
             # value_hints follow the hint exactly; the CDCL core's phase
             # seeding (SetAssignmentPreference) only steers heuristically
             # and is used on the optimization path below.
-            from ortools_tpu.sat.integer_encoding import solve_integer_cdcl
+            ienc = None
+            if params.use_lcg:
+                from ortools_tpu.sat.lcg import solve_lcg
 
-            ienc = solve_integer_cdcl(
-                work, deadline=deadline, should_stop=should_stop,
-                budget_literals=params.integer_cdcl_budget)
+                ienc = solve_lcg(work, deadline=deadline,
+                                 should_stop=should_stop)
+            if ienc is None and params.use_integer_cdcl:
+                from ortools_tpu.sat.integer_encoding import (
+                    solve_integer_cdcl,
+                )
+
+                ienc = solve_integer_cdcl(
+                    work, deadline=deadline, should_stop=should_stop,
+                    budget_literals=params.integer_cdcl_budget)
             if ienc is not None:
                 st, values, _, ncf = ienc
                 if st == 1 and values is not None:
@@ -474,17 +487,25 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     # prover pattern generalized; reference objective probing).
     if (params.num_workers <= 1 and not params.enumerate_all_solutions
             and not params.stop_after_first_solution
-            and params.use_integer_cdcl):
-        from ortools_tpu.sat.integer_encoding import solve_integer_cdcl
-
+            and (params.use_lcg or params.use_integer_cdcl)):
         # the CDCL objective ladder works on sense*sum (no offset); seed
         # it with the LP bound so the binary descent starts tighter
         lp_sum_lb = (lp_bound - sense * obj.offset
                      if lp_bound is not None else None)
-        ienc = solve_integer_cdcl(
-            work, deadline=deadline, should_stop=should_stop,
-            budget_literals=params.integer_cdcl_budget,
-            known_sum_lower_bound=lp_sum_lb)
+        ienc = None
+        if params.use_lcg:
+            from ortools_tpu.sat.lcg import solve_lcg
+
+            ienc = solve_lcg(work, deadline=deadline,
+                             should_stop=should_stop,
+                             known_sum_lower_bound=lp_sum_lb)
+        if ienc is None and params.use_integer_cdcl:
+            from ortools_tpu.sat.integer_encoding import solve_integer_cdcl
+
+            ienc = solve_integer_cdcl(
+                work, deadline=deadline, should_stop=should_stop,
+                budget_literals=params.integer_cdcl_budget,
+                known_sum_lower_bound=lp_sum_lb)
         if ienc is not None:
             st, values, bound, ncf = ienc
 

@@ -324,6 +324,159 @@ def solve_jobshop_cdcl(instance: "JobshopInstance",
     )
 
 
+def solve_jobshop_lcg(instance: "JobshopInstance",
+                      max_time_in_seconds: float = 60.0,
+                      upper_bound: Optional[int] = None
+                      ) -> Optional[JobshopSolution]:
+    """Exact jobshop on the native lazy-clause-generation core.
+
+    The LCG twin of ``solve_jobshop_cdcl``: same head/tail windows, greedy
+    seed, and prove-or-improve binary descent, but start variables live
+    directly in the learning core as lazily-encoded integers
+    (_native/lcg.cc; reference integer.h:453,722) — no eager q-ladder.
+    One start var per op (domain [est, lst]), one order boolean per
+    machine pair with half-reified precedences (precedences.h:111), and a
+    makespan variable queried through bound-literal assumptions.
+    """
+    import time as _time
+
+    from ortools_tpu.sat.lcg import (FALSE_EXT, LcgSolver, SAT, TRUE_EXT,
+                                     UNSAT)
+
+    deadline = _time.monotonic() + max_time_in_seconds
+    ub, greedy_starts = _greedy_schedule(instance)
+    if upper_bound is not None:
+        ub = min(ub, upper_bound)
+    jobs = instance.jobs
+    nm = instance.num_machines
+    ops = []  # (job, idx, machine, dur)
+    for j, job in enumerate(jobs):
+        for o, (mach, d) in enumerate(job):
+            ops.append((j, o, mach, d))
+    nops = len(ops)
+    # heads (earliest start) and tails (work from op start to job end)
+    est = [0] * nops
+    tail = [0] * nops
+    k = 0
+    for j, job in enumerate(jobs):
+        acc = 0
+        for o, (_, d) in enumerate(job):
+            est[k + o] = acc
+            acc += d
+        acc = 0
+        for o in range(len(job) - 1, -1, -1):
+            acc += job[o][1]
+            tail[k + o] = acc
+        k += len(job)
+    lb = max(
+        max(est[i] + tail[i] for i in range(nops)),
+        max((sum(d for j2 in jobs for m2, d in j2 if m2 == mach)
+             for mach in range(nm)), default=0),
+    )
+    ub = max(ub, lb)
+
+    s = LcgSolver()
+    start = [s.new_int(est[i], ub - tail[i]) for i in range(nops)]
+    mk = s.new_int(lb, ub)
+    # job precedences: s[k] + d[k] <= s[k+1]
+    k = 0
+    for j, job in enumerate(jobs):
+        for o in range(len(job) - 1):
+            s.add_linear([], [start[k + o], start[k + o + 1]], [1, -1],
+                         None, -job[o][1])
+        # makespan: s_last + d_last <= mk
+        last = k + len(job) - 1
+        s.add_linear([], [start[last], mk], [1, -1], None,
+                     -job[-1][1])
+        k += len(job)
+    # machine disjunctions: order boolean per pair
+    by_machine: dict = {}
+    for i, (j, o, mach, d) in enumerate(ops):
+        by_machine.setdefault(mach, []).append(i)
+    flat_greedy = [greedy_starts[j][o] for j, o, _, _ in ops]
+    order: dict = {}  # (i1, i2) -> literal for "i1 before i2"
+    for mach, idxs in by_machine.items():
+        for a in range(len(idxs)):
+            for b in range(a + 1, len(idxs)):
+                i1, i2 = idxs[a], idxs[b]
+                bx = s.new_bool01()
+                bl = s.ge(bx, 1)
+                d1, d2 = ops[i1][3], ops[i2][3]
+                # bl -> s1 + d1 <= s2 ; !bl -> s2 + d2 <= s1
+                s.add_linear([bl], [start[i1], start[i2]], [1, -1],
+                             None, -d1)
+                s.add_linear([-bl], [start[i2], start[i1]], [1, -1],
+                             None, -d2)
+                s.set_int_hint(bx,
+                               1 if flat_greedy[i1] <= flat_greedy[i2]
+                               else 0)
+                order[(i1, i2)] = bl
+                order[(i2, i1)] = -bl
+        # transitivity on the sequencing booleans: before(i,j) and
+        # before(j,k) imply before(i,k) (the machine order is total)
+        for a in range(len(idxs)):
+            for b in range(len(idxs)):
+                if a == b:
+                    continue
+                for c in range(len(idxs)):
+                    if c == a or c == b:
+                        continue
+                    i1, i2, i3 = idxs[a], idxs[b], idxs[c]
+                    if i1 < i3:  # each (i,j,k) chain emitted once
+                        s.add_clause([-order[(i1, i2)],
+                                      -order[(i2, i3)],
+                                      order[(i1, i3)]])
+    for i in range(nops):
+        s.set_int_hint(start[i], min(max(flat_greedy[i], est[i]),
+                                     ub - tail[i]))
+    if s.infeasible:
+        return None
+
+    def extract() -> Tuple[int, List[List[int]]]:
+        starts: List[List[int]] = []
+        mkv = 0
+        k2 = 0
+        for j, job in enumerate(jobs):
+            row = [int(s.int_value(start[k2 + o]))
+                   for o in range(len(job))]
+            starts.append(row)
+            mkv = max(mkv, row[-1] + job[-1][1])
+            k2 += len(job)
+        return mkv, starts
+
+    best_mk, best_starts = ub, greedy_starts
+    proven_lb = lb
+    while proven_lb < best_mk:
+        if _time.monotonic() > deadline:
+            break
+        t_try = (proven_lb + best_mk - 1) // 2  # prove or improve
+        a = s.le(mk, t_try)
+        if a == FALSE_EXT:
+            proven_lb = t_try + 1
+            continue
+        assume = [] if a == TRUE_EXT else [a]
+        status = None
+        while _time.monotonic() <= deadline:
+            status = s.solve(assume, conflict_budget=20_000,
+                             time_budget=max(
+                                 0.05, deadline - _time.monotonic()))
+            if status != -1:
+                break
+        if status == SAT:
+            mkv, starts = extract()
+            if mkv <= best_mk:
+                best_mk, best_starts = mkv, starts
+        elif status == UNSAT:
+            proven_lb = t_try + 1
+        else:
+            break
+    return JobshopSolution(
+        makespan=int(best_mk),
+        starts=best_starts,
+        optimal=proven_lb >= best_mk,
+    )
+
+
 def solve_jobshop(instance: JobshopInstance,
                   max_time_in_seconds: float = 60.0,
                   horizon: Optional[int] = None,
@@ -332,16 +485,22 @@ def solve_jobshop(instance: JobshopInstance,
                   ) -> Optional[JobshopSolution]:
     """Interval + no_overlap CP model (reference jobshop_sat.cc shape).
 
-    ``engine="auto"|"cdcl"`` routes to the native clause-learning prover
-    (solve_jobshop_cdcl) — the path that proves ft10-class instances;
-    ``engine="cp"`` keeps the propagate+DFS CP engine.
+    ``engine="auto"|"lcg"`` routes to the native lazy-clause-generation
+    prover (solve_jobshop_lcg); ``engine="cdcl"`` to the eager-order-
+    encoding prover (solve_jobshop_cdcl) — both prove ft10-class
+    instances; ``engine="cp"`` keeps the propagate+DFS CP engine.
 
     With ``disjunctive_branching`` the CP model adds machine-pair order
     booleans (b => end_i <= start_j; !b => end_j <= start_i) so the search
     branches on sequencing decisions instead of start values — the
     classical disjunctive-scheduling branching scheme (start values then
     follow by propagation)."""
-    if engine in ("auto", "cdcl"):
+    if engine in ("auto", "lcg"):
+        return solve_jobshop_lcg(
+            instance, max_time_in_seconds=max_time_in_seconds,
+            upper_bound=horizon,
+        )
+    if engine == "cdcl":
         return solve_jobshop_cdcl(
             instance, max_time_in_seconds=max_time_in_seconds,
             upper_bound=horizon,

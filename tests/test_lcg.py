@@ -1,0 +1,252 @@
+"""Lazy-clause-generation core (_native/lcg.cc via sat/lcg.py).
+
+Mirrors the reference's integer-in-the-learning-core architecture tests:
+exactness against brute force on the supported fragment, large domains
+that the eager order encoding cannot touch, scheduling through the lean
+jobshop route, and routing through the CpSolver facade.
+"""
+
+import itertools
+import math
+import random
+import time
+
+import pytest
+
+from ortools_tpu.sat import model_ir as ir
+from ortools_tpu.sat.checker import solution_is_feasible
+from ortools_tpu.sat.cp_model import CpModel, CpSolver
+from ortools_tpu.sat.lcg import compile_model, solve_lcg
+from ortools_tpu.utils.domain import Domain
+
+
+def _deadline(s=30.0):
+    return time.perf_counter() + s
+
+
+def test_simple_lp_like():
+    m = CpModel()
+    x = m.new_int_var(0, 10, "x")
+    y = m.new_int_var(0, 10, "y")
+    m.add(x + 2 * y <= 14)
+    m.add(x + y >= 3)
+    m.maximize(x + 3 * y)
+    st, vals, bound, _ = solve_lcg(m.ir, _deadline())
+    assert st == 1
+    assert vals[0] + 3 * vals[1] == 21
+    assert solution_is_feasible(m.ir, vals[:2])
+
+
+def test_large_domain_beyond_eager_budget():
+    # domains of 10^6 values: the eager ladder (max_domain=1024) cannot
+    # encode this; LCG solves it in milliseconds
+    m = CpModel()
+    x = m.new_int_var(0, 1_000_000, "x")
+    y = m.new_int_var(0, 1_000_000, "y")
+    m.add(3 * x + 7 * y >= 1_234_567)
+    m.add(x - y <= 2)
+    m.minimize(x + y)
+    st, vals, bound, _ = solve_lcg(m.ir, _deadline())
+    assert st == 1
+    assert solution_is_feasible(m.ir, vals[:2])
+    # optimality cross-check: x+y minimized subject to 3x+7y>=B, x<=y+2
+    best = vals[0] + vals[1]
+    assert 3 * vals[0] + 7 * vals[1] >= 1_234_567
+    # integer optimum: distribute onto y (coeff 7)
+    assert best == bound
+
+
+def test_infeasible():
+    m = CpModel()
+    x = m.new_int_var(0, 5, "x")
+    m.add(x >= 3)
+    m.add(x <= 2)
+    st, vals, bound, _ = solve_lcg(m.ir, _deadline())
+    assert st == 0
+
+
+def test_domain_holes():
+    m = CpModel()
+    x = m.new_int_var_from_domain(
+        Domain.from_intervals([(0, 2), (7, 9)]), "x")
+    m.add(x >= 3)
+    m.minimize(x)
+    st, vals, _, _ = solve_lcg(m.ir, _deadline())
+    assert st == 1 and vals[0] == 7
+
+
+def test_enforcement_and_clauses():
+    m = CpModel()
+    b = m.new_bool_var("b")
+    x = m.new_int_var(0, 100, "x")
+    m.add(x >= 50).only_enforce_if(b)
+    m.add(x <= 10).only_enforce_if(~b)
+    m.add_bool_or([b])
+    m.minimize(x)
+    st, vals, _, _ = solve_lcg(m.ir, _deadline())
+    assert st == 1
+    assert vals[m.ir.variables.index(m.ir.variables[1])] == 50 or \
+        vals[1] == 50
+
+
+def test_fuzz_exactness_vs_bruteforce():
+    rng = random.Random(123)
+    for trial in range(60):
+        nvars = rng.randint(2, 4)
+        doms = [(rng.randint(-4, 0), rng.randint(1, 5))
+                for _ in range(nvars)]
+        m = CpModel()
+        xs = [m.new_int_var(l, u, f"x{i}")
+              for i, (l, u) in enumerate(doms)]
+        cons = []
+        for _ in range(rng.randint(1, 4)):
+            k = rng.randint(1, nvars)
+            idxs = rng.sample(range(nvars), k)
+            coeffs = [rng.choice([-2, -1, 1, 2]) for _ in idxs]
+            lo = rng.randint(-10, 4)
+            hi = lo + rng.randint(0, 12)
+            e = sum(c * xs[i] for i, c in zip(idxs, coeffs))
+            m.add_linear_constraint(e, lo, hi)
+            cons.append((idxs, coeffs, lo, hi))
+        obj = [rng.randint(-3, 3) for _ in range(nvars)]
+        m.minimize(sum(o * x for o, x in zip(obj, xs)))
+        best = None
+        for vals in itertools.product(
+                *[range(l, u + 1) for l, u in doms]):
+            if all(lo <= sum(c * vals[i] for i, c in zip(idxs, coeffs))
+                   <= hi for idxs, coeffs, lo, hi in cons):
+                v = sum(o * x for o, x in zip(obj, vals))
+                if best is None or v < best:
+                    best = v
+        r = solve_lcg(m.ir, _deadline())
+        if best is None:
+            assert r[0] == 0, (trial, r)
+        else:
+            assert r[0] == 1, (trial, r)
+            got = sum(o * v for o, v in zip(obj, r[1][:nvars]))
+            assert got == best, (trial, got, best)
+            assert solution_is_feasible(m.ir, r[1][:nvars])
+
+
+def test_assumptions_core():
+    m = CpModel()
+    a = m.new_bool_var("a")
+    b = m.new_bool_var("b")
+    x = m.new_int_var(0, 10, "x")
+    m.add(x >= 6).only_enforce_if(a)
+    m.add(x <= 4).only_enforce_if(b)
+    m.ir.assumptions = [0, 1]  # a and b both true -> infeasible
+    st, vals, _, _ = solve_lcg(m.ir, _deadline())
+    assert st == 0
+
+
+def test_jobshop_ft06_optimal():
+    from ortools_tpu.scheduling.jobshop import (parse_jobshop,
+                                                solve_jobshop_lcg)
+    inst = parse_jobshop(
+        "/root/reference/ortools/scheduling/testdata/ft06")
+    r = solve_jobshop_lcg(inst, max_time_in_seconds=60)
+    assert r is not None and r.optimal and r.makespan == 55
+
+
+def test_jobshop_seeded_5x5_matches_cp_engine():
+    # seeded random la-shaped instance: LCG vs the DFS CP engine agree
+    from ortools_tpu.scheduling.jobshop import (JobshopInstance,
+                                                solve_jobshop_lcg)
+    rng = random.Random(5)
+    jobs = []
+    for _ in range(5):
+        machines = list(range(4))
+        rng.shuffle(machines)
+        jobs.append([(mm, rng.randint(2, 9)) for mm in machines])
+    inst = JobshopInstance(name="rand5x4", jobs=jobs)
+    r = solve_jobshop_lcg(inst, max_time_in_seconds=60)
+    assert r is not None and r.optimal
+    # cross-check with the eager-order-encoding prover
+    from ortools_tpu.scheduling.jobshop import solve_jobshop_cdcl
+    r2 = solve_jobshop_cdcl(inst, max_time_in_seconds=60)
+    assert r2 is not None and r2.optimal
+    assert r2.makespan == r.makespan
+
+
+def test_facade_routes_large_domain_through_lcg():
+    # through CpSolver: a model the eager encoder rejects (huge domains)
+    m = CpModel()
+    x = m.new_int_var(0, 10**6, "x")
+    y = m.new_int_var(0, 10**6, "y")
+    m.add(2 * x + 3 * y == 777_777)
+    m.minimize(5 * x + 4 * y)
+    s = CpSolver()
+    s.parameters.max_time_in_seconds = 30
+    status = s.solve(m)
+    assert s.status_name(status) == "OPTIMAL"
+    assert 2 * s.value(x) + 3 * s.value(y) == 777_777
+
+
+def test_optional_intervals_no_overlap():
+    m = CpModel()
+    p = m.new_bool_var("present")
+    s1 = m.new_int_var(0, 10, "s1")
+    s2 = m.new_int_var(0, 10, "s2")
+    iv1 = m.new_optional_fixed_size_interval_var(s1, 5, p, "iv1")
+    iv2 = m.new_fixed_size_interval_var(s2, 5, "iv2")
+    m.add_no_overlap([iv1, iv2])
+    m.add(s1 == 0)
+    m.minimize(s2)
+    # with p true, iv2 cannot start before iv1 ends (s2 can't fit first:
+    # s2 + 5 <= s1 = 0 is impossible) -> min s2 = 5
+    m.add_bool_or([p])
+    st, vals, _, _ = solve_lcg(m.ir, _deadline())
+    assert st == 1
+    assert vals[2] == 5  # s2 pushed after iv1
+    # with p absent, s2 is free: min 0
+    m2 = CpModel()
+    p2 = m2.new_bool_var("present")
+    t1 = m2.new_int_var(0, 10, "t1")
+    t2 = m2.new_int_var(0, 10, "t2")
+    jv1 = m2.new_optional_fixed_size_interval_var(t1, 5, p2, "jv1")
+    jv2 = m2.new_fixed_size_interval_var(t2, 5, "jv2")
+    m2.add_no_overlap([jv1, jv2])
+    m2.add(t1 == 0)
+    m2.add_bool_or([~p2])
+    m2.minimize(t2)
+    st2, vals2, _, _ = solve_lcg(m2.ir, _deadline())
+    assert st2 == 1 and vals2[2] == 0
+
+
+def test_cumulative_decomposition():
+    m = CpModel()
+    starts = [m.new_int_var(0, 10, f"s{i}") for i in range(3)]
+    ivs = [m.new_fixed_size_interval_var(s, 3, f"iv{i}")
+           for i, s in enumerate(starts)]
+    m.add_cumulative(ivs, [2, 2, 2], 3)  # pairwise-overlap max 1
+    mk = m.new_int_var(0, 20, "mk")
+    for s in starts:
+        m.add(mk >= s + 3)
+    m.minimize(mk)
+    st, vals, bound, _ = solve_lcg(m.ir, _deadline())
+    assert st == 1
+    # capacity 3 with demands 2: no two tasks overlap -> makespan 9
+    assert bound == 9
+    assert solution_is_feasible(m.ir, vals[:len(m.ir.variables)])
+
+
+def test_all_diff_pairwise():
+    m = CpModel()
+    xs = [m.new_int_var(1, 3, f"x{i}") for i in range(3)]
+    m.add_all_different(xs)
+    m.minimize(xs[0] * 1 + xs[1] * 2 + xs[2] * 3)
+    st, vals, _, _ = solve_lcg(m.ir, _deadline())
+    assert st == 1
+    assert sorted(vals[:3]) == [1, 2, 3]
+    assert vals[0] * 1 + vals[1] * 2 + vals[2] * 3 == 3 * 1 + 2 * 2 + 1 * 3
+
+
+def test_unsupported_falls_back():
+    m = CpModel()
+    x = m.new_int_var(0, 5, "x")
+    y = m.new_int_var(0, 5, "y")
+    z = m.new_int_var(0, 25, "z")
+    m.add_multiplication_equality(z, [x, y])
+    assert compile_model(m.ir) is None
+    assert solve_lcg(m.ir, _deadline()) is None
