@@ -1213,6 +1213,7 @@ def solve(
         if time.perf_counter() - start > params.time_sec_limit:
             reason = TerminationReason.TIME_LIMIT
             break
+        was_fast = fast_mode
         state = (run_major_fast if fast_mode else run_major)(prob, state)
         iterations += params.termination_check_frequency
         stats = (compute_stats_fast if fast_mode else compute_stats)(
@@ -1240,7 +1241,8 @@ def solve(
                        kkt_current=kkt_cur, kkt_average=kkt_avg,
                        step_size=float(stats["step_size"]),
                        primal_weight=float(stats["primal_weight"]),
-                       kkt_passes=kkt_passes)
+                       kkt_passes=kkt_passes,
+                       stream="fast" if was_fast else "exact")
             if stats.get("projections"):
                 rec["point_metadata"] = {
                     k: float(v) for k, v in stats["projections"].items()}
