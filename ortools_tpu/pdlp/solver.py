@@ -1214,6 +1214,11 @@ def solve(
             reason = TerminationReason.TIME_LIMIT
             break
         was_fast = fast_mode
+        # Fast majors keep the pre-major state (a pytree of immutable
+        # arrays — only a reference) so a non-finite bf16 major can be
+        # REWOUND, not merely abandoned: the corrupted iterate must never
+        # leak into the exact retry.
+        state_before = state if fast_mode else None
         state = (run_major_fast if fast_mode else run_major)(prob, state)
         iterations += params.termination_check_frequency
         stats = (compute_stats_fast if fast_mode else compute_stats)(
@@ -1232,10 +1237,15 @@ def solve(
                 fast_stall = 0
             else:
                 fast_stall += 1
+                if not math.isfinite(kkt_cur):
+                    # numerical blowup in the bf16 stream: rewind to the
+                    # pre-major state and retry the major exactly
+                    fast_mode = False
+                    state = refresh_products(prob, state_before)
+                    iterations -= params.termination_check_frequency
+                    continue
                 if fast_stall >= 3 or not math.isfinite(cand_fast):
                     _leave_fast_mode()
-                    if not math.isfinite(kkt_cur):
-                        continue  # retry the major exactly, don't abort
         if params.record_iteration_stats or params.verbosity >= 2:
             rec = dict(iteration=iterations, current=cur, average=avg,
                        kkt_current=kkt_cur, kkt_average=kkt_avg,
