@@ -456,6 +456,132 @@ def _odd_cycle_cuts(a: sp.csr_matrix, con_ub: np.ndarray, var_lb, var_ub,
     return out
 
 
+def _zero_half_cuts(a: sp.csr_matrix, con_lb, con_ub, var_lb, var_ub,
+                    is_int, x_lp, min_violation,
+                    max_rows: int = 400, slack_cap: float = 0.45):
+    """Proper {0,1/2}-Chvátal-Gomory separation (reference
+    ``ortools/sat/zero_half_cuts.h:40``; the odd-cycle generator is the
+    2-nonzero special case).
+
+    Candidate rows: integer-coefficient all-integer-variable row
+    directions with LP slack < ``slack_cap``, plus near-tight variable
+    bound rows (x_j <= u_j and -x_j <= -l_j).  Each row is reduced mod 2;
+    Gaussian elimination over GF(2) (pivoting on minimum accumulated
+    slack, the Koster-Zymolka-Kutschka heuristic) looks for combinations
+    that vanish mod 2 on every column with odd right-hand side — each
+    gives the cut (sum rows)/2, floor'd, with LP violation
+    (1 - sum slack)/2."""
+    m, n = a.shape
+    indptr, indices, data = a.indptr, a.indices, a.data
+    rows = []  # (slack, idx, val(int), rhs(int))
+    for i in range(m):
+        lo, hi = indptr[i], indptr[i + 1]
+        if hi == lo or hi - lo > 200:
+            continue
+        idx = indices[lo:hi]
+        if not np.all(is_int[idx]):
+            continue
+        val = data[lo:hi]
+        iv = np.rint(val)
+        if np.max(np.abs(val - iv)) > 1e-9 or np.max(np.abs(iv)) > 1e6:
+            continue
+        act = float(val @ x_lp[idx])
+        for sgn, rhs in ((1.0, con_ub[i]), (-1.0, -con_lb[i])):
+            if not np.isfinite(rhs):
+                continue
+            irhs = math.floor(rhs + 1e-9)
+            slack = irhs - sgn * act
+            if 0.0 - 1e-7 <= slack < slack_cap:
+                rows.append((max(slack, 0.0), idx,
+                             (sgn * iv).astype(np.int64), irhs))
+    # near-tight bound rows (they fix column parities cheaply)
+    frac = np.abs(x_lp - np.rint(x_lp)) > 1e-6
+    for j in np.nonzero(is_int & np.isfinite(var_ub))[0]:
+        s = var_ub[j] - x_lp[j]
+        if 0 <= s < slack_cap and abs(var_ub[j]) < 1e6:
+            rows.append((s, np.array([j]), np.array([1], dtype=np.int64),
+                         int(round(var_ub[j]))))
+    for j in np.nonzero(is_int & np.isfinite(var_lb))[0]:
+        s = x_lp[j] - var_lb[j]
+        if 0 <= s < slack_cap and abs(var_lb[j]) < 1e6:
+            rows.append((s, np.array([j]), np.array([-1], dtype=np.int64),
+                         -int(round(var_lb[j]))))
+    if len(rows) < 2:
+        return []
+    rows.sort(key=lambda r: r[0])
+    rows = rows[:max_rows]
+    nr = len(rows)
+    # columns that matter mod 2: restrict to columns appearing with odd
+    # coefficient in some candidate row
+    col_set = {}
+    for _, idx, iv, _ in rows:
+        for j, v in zip(idx, iv):
+            if v & 1:
+                col_set.setdefault(int(j), len(col_set))
+    nc = len(col_set)
+    if nc == 0:
+        return []
+    # GF(2) system [A | b]; combo tracks which original rows were xor'd
+    mat = np.zeros((nr, nc), dtype=bool)
+    parity = np.zeros(nr, dtype=bool)
+    slacks = np.array([r[0] for r in rows])
+    combos: List[set] = [{k} for k in range(nr)]
+    for k, (_, idx, iv, irhs) in enumerate(rows):
+        for j, v in zip(idx, iv):
+            if v & 1:
+                mat[k, col_set[int(j)]] = True
+        parity[k] = bool(irhs & 1)
+    alive = np.ones(nr, dtype=bool)
+    # eliminate columns, min-slack pivot first (prefer fractional columns
+    # last so their parity rows stay available)
+    col_order = sorted(
+        range(nc), key=lambda c: -int(np.count_nonzero(mat[:, c])))
+    for c in col_order:
+        cand = np.nonzero(alive & mat[:, c])[0]
+        if len(cand) == 0:
+            continue
+        p = cand[np.argmin(slacks[cand])]
+        for r in cand:
+            if r == p:
+                continue
+            mat[r] ^= mat[p]
+            parity[r] ^= parity[p]
+            slacks[r] += slacks[p]
+            combos[r] = combos[r] ^ combos[p]
+        alive[p] = False  # pivot row consumed
+    out = []
+    for r in range(nr):
+        if not alive[r] or not parity[r] or np.any(mat[r]):
+            continue
+        if slacks[r] >= 1.0 - 2 * min_violation:
+            continue
+        # rebuild the combined row exactly
+        acc = {}
+        rhs_sum = 0
+        for k in combos[r]:
+            _, idx, iv, irhs = rows[k]
+            rhs_sum += irhs
+            for j, v in zip(idx, iv):
+                acc[int(j)] = acc.get(int(j), 0) + int(v)
+        gidx = np.array(sorted(acc), dtype=np.int64)
+        gval = np.array([acc[int(j)] for j in gidx], dtype=np.float64)
+        keep = gval != 0
+        gidx, gval = gidx[keep], gval[keep]
+        if len(gidx) == 0:
+            continue
+        if np.any(np.rint(gval).astype(np.int64) & 1):
+            continue  # parity bookkeeping surprise: not a valid /2 row
+        cval = gval / 2.0
+        crhs = float((rhs_sum - 1) // 2)
+        norm = float(np.linalg.norm(cval))
+        viol = (float(cval @ x_lp[gidx]) - crhs) / max(norm, _EPS)
+        if viol > min_violation:
+            out.append((viol, gidx, cval / max(norm, _EPS),
+                        crhs / max(norm, _EPS)))
+    _ = frac  # (documentational: fractional columns drive the violation)
+    return out
+
+
 def generate_cuts(
     a: sp.csr_matrix,
     con_lb: np.ndarray,
@@ -483,6 +609,8 @@ def generate_cuts(
                               min_violation))
     found.extend(_odd_cycle_cuts(a, con_ub, var_lb, var_ub, is_int, x_lp,
                                  min_violation))
+    found.extend(_zero_half_cuts(a, con_lb, con_ub, var_lb, var_ub,
+                                 is_int, x_lp, min_violation))
     indptr, indices, data = a.indptr, a.indices, a.data
     for i in range(m):
         lo, hi = indptr[i], indptr[i + 1]

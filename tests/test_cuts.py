@@ -251,3 +251,46 @@ def test_odd_cycle_improves_edge_packing_root():
               bounds=Bounds(lb, ub), integrality=np.ones(n_nodes))
     g = pool.rows.toarray()
     assert np.all(g @ mi.x <= pool.rhs + 1e-6)
+
+
+def test_zero_half_triangle():
+    """{0,1/2}-CG separation (reference sat/zero_half_cuts.h:40): the
+    triangle x_i + x_j <= 1 at the (1/2,1/2,1/2) LP point yields
+    x1 + x2 + x3 <= 1."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ortools_tpu.mip.cuts import _zero_half_cuts
+
+    a = sp.csr_matrix(np.array([[1, 1, 0], [0, 1, 1], [1, 0, 1]],
+                               dtype=float))
+    out = _zero_half_cuts(
+        a, np.full(3, -np.inf), np.ones(3), np.zeros(3), np.ones(3),
+        np.ones(3, bool), np.array([0.5, 0.5, 0.5]), 1e-4)
+    assert out
+    viol, gi, gv, gr = out[0]
+    # normalized x1+x2+x3 <= 1
+    np.testing.assert_allclose(gv / gv[0], np.ones(3))
+    np.testing.assert_allclose(gr / gv[0], 1.0)
+
+
+def test_zero_half_with_bound_rows():
+    """Parity completion through a near-tight bound row: the aggregated
+    row needs x3 <= 1 to vanish mod 2."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ortools_tpu.mip.cuts import _zero_half_cuts
+
+    # row 2x1 + x2 <= 2 plus the bound row x2 <= 1:
+    # sum = 2x1 + 2x2 <= 3  ->  x1 + x2 <= 1
+    a = sp.csr_matrix(np.array([[2, 1]], dtype=float))
+    x = np.array([0.55, 0.9])  # row slack 0, bound slack 0.1
+    out = _zero_half_cuts(
+        a, np.full(1, -np.inf), np.array([2.0]), np.zeros(2),
+        np.ones(2), np.ones(2, bool), x, 1e-4)
+    assert out, "bound-row-completed zero-half cut not found"
+    viol, gi, gv, gr = out[0]
+    assert set(gi.tolist()) == {0, 1}
+    np.testing.assert_allclose(gv / gv[0], np.ones(2))
+    np.testing.assert_allclose(gr / gv[0], 1.0)
