@@ -238,21 +238,32 @@ class GraphSymmetryFinder:
                     best, best_n = v, key
             return best
 
-        def rec() -> bool:
+        # Iterative backtracking (an explicit frame stack — graphs from
+        # CP models reach thousands of nodes, past Python's recursion
+        # limit).  A frame's vertex is assigned while any deeper frame is
+        # live and unassigned when its next candidate is tried.
+        assign(v0, w0)
+        first = pick()
+        if first is None:
+            return perm if self._is_automorphism(perm) else None
+        frames: List[List] = [[first, candidates(first), 0]]
+        while frames:
             budget[0] -= 1
             if budget[0] <= 0:
-                return False
-            v = pick()
-            if v is None:
-                return self._is_automorphism(perm)
-            for u in candidates(v):
-                assign(v, u)
-                if rec():
-                    return True
+                return None
+            top = frames[-1]
+            v, cands, idx = top
+            if idx > 0:
                 unassign(v)
-            return False
-
-        assign(v0, w0)
-        if rec():
-            return perm
+            if idx >= len(cands):
+                frames.pop()
+                continue
+            top[2] = idx + 1
+            assign(v, cands[idx])
+            nv = pick()
+            if nv is None:
+                if self._is_automorphism(perm):
+                    return perm
+                continue  # same frame: next candidate after unassign
+            frames.append([nv, candidates(nv), 0])
         return None

@@ -132,11 +132,72 @@ def presolve_model(model: ir.CpModelIR,
     if not preserve_all_solutions:
         out = pure_literal_fixing(out)
     out = merge_cliques(out)
+    out = merge_parallel_linear(out)
+    if out is None:
+        return None
     if len(out.variables) * max(1, len(out.constraints)) <= 2_000_000:
         out = probe_binaries(out)
         if out is None:
             return None
+    # Wave 3: symmetry breaking (reference DetectAndAddSymmetryToProto,
+    # cp_model_solver.cc:4511).  Lex-leader inequalities prune solutions,
+    # so enumeration and hinted models skip it (a hint need not be the
+    # lex-least orbit representative).
+    if not preserve_all_solutions and not out.solution_hint \
+            and len(out.variables) <= 2000:
+        from ortools_tpu.sat.symmetry_breaking import add_symmetry_breaking
+
+        out = add_symmetry_breaking(out)
     return out
+
+
+def merge_parallel_linear(model: ir.CpModelIR
+                          ) -> Optional[ir.CpModelIR]:
+    """Dominated/duplicate linear rows (reference
+    DetectDominatedLinearConstraints / DetectDuplicateConstraints,
+    cp_model_presolve.cc): unenforced linear rows over the same terms —
+    up to a sign flip — have their domains intersected into one row.
+    Returns None when an intersection is empty (root infeasibility)."""
+    has_sched = any(ct.kind in ("no_overlap", "cumulative",
+                                "no_overlap_2d")
+                    for ct in model.constraints)
+    if has_sched:
+        return model  # interval positions must stay stable
+    groups = {}  # key -> constraint index holding the merged row
+    kept: List[ir.ConstraintIR] = []
+    changed = False
+    for ct in model.constraints:
+        if ct.kind != "linear" or ct.enforcement_literals:
+            kept.append(ct)
+            continue
+        a = ct.args
+        terms = sorted(zip(a.vars, a.coeffs))
+        if not terms:
+            kept.append(ct)
+            continue
+        vs = tuple(v for v, _ in terms)
+        cs = tuple(c for _, c in terms)
+        dom = a.domain
+        if cs[0] < 0:  # canonical sign: leading coefficient positive
+            cs = tuple(-c for c in cs)
+            dom = dom.negation()
+        key = (vs, cs)
+        if key in groups:
+            k = groups[key]
+            merged = kept[k].args.domain.intersection_with(dom)
+            if merged.is_empty():
+                return None
+            kept[k] = dataclasses.replace(
+                kept[k],
+                args=ir.LinearArgs(list(vs), list(cs), merged))
+            changed = True
+        else:
+            groups[key] = len(kept)
+            kept.append(dataclasses.replace(
+                ct, args=ir.LinearArgs(list(vs), list(cs), dom)))
+    if not changed:
+        return model
+    return dataclasses.replace(model, constraints=kept)
 
 
 def _entailed(ct: ir.ConstraintIR, doms) -> bool:
