@@ -7,9 +7,15 @@ iteration implemented over scipy CSR on the host CPU of this machine —
 an honest stand-in for the reference's per-core CPU path on identical math:
 2 SpMVs + vector ops + reductions per iteration.
 
-Prints exactly one JSON line:
+Prints exactly one JSON line (VERDICT r3 task #2 schema):
   {"metric": "pdhg_iterations_per_sec_per_chip", "value": ..., "unit":
-   "iter/s", "vs_baseline": <tpu / cpu-baseline ratio>, ...extras}
+   "iter/s", "vs_baseline": <tpu / PINNED cpu baseline>,
+   "fast_stream_iter_per_sec": ...,
+   "spmv": {"exact_us": ..., "exact_gbps": ..., "fast_us": ...,
+            "fast_gbps": ..., "device_stream_gbps": ...}, ...extras}
+
+``vs_baseline`` divides by a PINNED constant so the ratio cannot swing
+with host load; the live measurement is also reported for transparency.
 """
 
 import json
@@ -26,6 +32,15 @@ NUM_BLOCKS = 4096
 BLOCK = (8, 128)
 MAJORS_TIMED = 128  # timed majors of 64 iterations each, one dispatch
 TIMING_REPS = 3  # best-of repetitions (amortizes remote dispatch noise)
+
+# PINNED CPU baseline for vs_baseline (VERDICT r3 weak #4: the in-run
+# baseline swung 14-84 iter/s with host load, moving vs_baseline 30%
+# with zero code change).  Provenance: cpu_baseline_iters_per_sec(qp)
+# below — same-math scipy CSR float64 loop, single thread — median of 5
+# runs on this container's idle host CPU, 2026-08-20, bench matrix
+# (16384^2, 4M nnz): 62.8 iter/s.  Re-pin only with a recorded rerun.
+PINNED_CPU_BASELINE_IPS = 62.8
+KERNEL_SPMV_ITERS = 512  # chained matvecs per dispatch for kernel timing
 
 
 def cpu_baseline_iters_per_sec(qp, iters: int = 192) -> float:
@@ -131,6 +146,88 @@ def main():
     iters_done = MAJORS_TIMED * params.termination_check_frequency
     tpu_ips = iters_done / best_dt
 
+    # ---- fast (bf16) stream full loop ---------------------------------
+    fast_ips = None
+    if prob.a.has_fast_stream and prob.at.has_fast_stream:
+        _major_fast = S._make_run_major(params, fast=True)
+
+        @jax.jit
+        def run_block_fast(prob_, state_):
+            return jax.lax.fori_loop(
+                0, MAJORS_TIMED, lambda _, s: _major_fast(prob_, s),
+                state_)
+
+        fstate = initial_state(prob, sigma)
+        fstate = run_block_fast(prob, fstate)
+        sync(fstate.x)
+        best_f = float("inf")
+        for _ in range(TIMING_REPS):
+            t0 = time.perf_counter()
+            fstate = run_block_fast(prob, fstate)
+            sync(fstate.x)
+            best_f = min(best_f, time.perf_counter() - t0)
+        fast_ips = iters_done / best_f
+
+    # ---- kernel-level SpMV timing (in-loop, chained) -------------------
+    spmv = None
+    if prob.a.tiled is not None:
+        from ortools_tpu.ops import tiled_spmv as TS
+
+        t = prob.a.tiled
+        mm_p, nn_p = prob.a.padded_shape
+        inv_sigma = jnp.asarray(1.0 / float(sigma), params.dtype)
+        x0 = jnp.asarray(
+            np.random.default_rng(0).standard_normal(nn_p), params.dtype)
+
+        def time_matvec(mv):
+            @jax.jit
+            def run(xx):
+                return jax.lax.fori_loop(
+                    0, KERNEL_SPMV_ITERS,
+                    lambda _, s: mv(s) * inv_sigma, xx)
+            y = run(x0)
+            sync(y)
+            best = float("inf")
+            for _ in range(TIMING_REPS):
+                t0 = time.perf_counter()
+                y = run(y)
+                sync(y)
+                best = min(best, time.perf_counter() - t0)
+            return best / KERNEL_SPMV_ITERS
+
+        exact_bytes = int(t.data_t.size) * t.data_t.dtype.itemsize
+        dt_exact = time_matvec(lambda x: TS.tiled_matvec(t, x, mm_p))
+        spmv = {
+            "exact_us": round(dt_exact * 1e6, 2),
+            "exact_gbps": round(exact_bytes / dt_exact / 1e9, 1),
+        }
+        if t.data_hi is not None:
+            fast_bytes = int(t.data_hi.size) * 2
+            dt_fast = time_matvec(
+                lambda x: TS.tiled_matvec_fast(t, x, mm_p))
+            spmv["fast_us"] = round(dt_fast * 1e6, 2)
+            spmv["fast_gbps"] = round(fast_bytes / dt_fast / 1e9, 1)
+        # achievable-streaming reference on THIS device: plain XLA
+        # elementwise read+write over 64 MB (honest roofline context —
+        # the paper peak is not reachable even by trivial XLA code here)
+        big = jnp.zeros((4096, 4096), params.dtype)
+
+        @jax.jit
+        def stream(xx):
+            return jax.lax.fori_loop(
+                0, 64, lambda _, s: s * 0.9999 + 0.0001, xx)
+
+        y = stream(big)
+        sync(y)
+        best_s = float("inf")
+        for _ in range(TIMING_REPS):
+            t0 = time.perf_counter()
+            y = stream(y)
+            sync(y)
+            best_s = min(best_s, time.perf_counter() - t0)
+        spmv["device_stream_gbps"] = round(
+            2 * big.size * big.dtype.itemsize / (best_s / 64) / 1e9, 1)
+
     cpu_ips = cpu_baseline_iters_per_sec(qp)
 
     # Extra: batched PDHG (B&B-node / scenario batch axis -> SpMM on the
@@ -139,7 +236,7 @@ def main():
     # consumed the budget (the primary metric always lands).
     batched_ips = None
     if time.perf_counter() - t_start > 300:
-        _emit(tpu_ips, cpu_ips, batched_ips, nnz, jax)
+        _emit(tpu_ips, cpu_ips, batched_ips, nnz, jax, fast_ips, spmv)
         return
     from ortools_tpu.pdlp.batched import _prob_axes
 
@@ -173,19 +270,26 @@ def main():
         best_b = min(best_b, time.perf_counter() - t0)
     batched_ips = (BATCH_MAJORS * params.termination_check_frequency
                    * bsz / best_b)
-    _emit(tpu_ips, cpu_ips, batched_ips, nnz, jax)
+    _emit(tpu_ips, cpu_ips, batched_ips, nnz, jax, fast_ips, spmv)
 
 
-def _emit(tpu_ips, cpu_ips, batched_ips, nnz, jax):
+def _emit(tpu_ips, cpu_ips, batched_ips, nnz, jax, fast_ips=None,
+          spmv=None):
     out = {
         "metric": "pdhg_iterations_per_sec_per_chip",
         "value": round(tpu_ips, 2),
         "unit": "iter/s",
-        "vs_baseline": round(tpu_ips / cpu_ips, 3),
-        "baseline_cpu_iter_per_sec": round(cpu_ips, 2),
+        # pinned denominator: fixed impl/iters/threads (see header)
+        "vs_baseline": round(tpu_ips / PINNED_CPU_BASELINE_IPS, 3),
+        "baseline_cpu_iter_per_sec_pinned": PINNED_CPU_BASELINE_IPS,
+        "baseline_cpu_iter_per_sec_live": round(cpu_ips, 2),
         "problem": {"m": M, "n": N, "nnz": int(nnz), "dtype": "float32"},
         "device": str(jax.devices()[0]),
     }
+    if fast_ips is not None:
+        out["fast_stream_iter_per_sec"] = round(fast_ips, 2)
+    if spmv is not None:
+        out["spmv"] = spmv
     if batched_ips is not None:
         out["batched64_lp_iterations_per_sec"] = round(batched_ips, 2)
     print(json.dumps(out))

@@ -71,15 +71,47 @@ class _Factorization:
         if sp.issparse(b_mat):
             if not np.all(np.isfinite(b_mat.data)):
                 raise ValueError("non-finite basis matrix")
-            self._splu = spla.splu(sp.csc_matrix(b_mat),
-                                   permc_spec="COLAMD")
+            import warnings as _warnings
+
+            with _warnings.catch_warnings():
+                # scipy's splu WARNS (not raises) on an exactly singular
+                # basis and then produces NaN solves; promote to an error
+                # so callers repair the basis instead of silently
+                # poisoning every reduced cost downstream.
+                _warnings.simplefilter("error", spla.MatrixRankWarning)
+                self._splu = spla.splu(sp.csc_matrix(b_mat),
+                                       permc_spec="COLAMD")
             self.lu = None
         else:
             if not np.all(np.isfinite(b_mat)):
                 raise ValueError("non-finite basis matrix")
             self.lu = sla.lu_factor(b_mat, check_finite=False)
             self._splu = None
+            # lapack getrf does not raise on exact singularity either:
+            # a zero U diagonal yields inf/NaN at the first solve
+            diag = np.abs(np.diag(self.lu[0]))
+            scale = max(1.0, diag.max() if diag.size else 1.0)
+            if diag.size and diag.min() <= 1e-13 * scale:
+                raise ValueError("singular basis matrix")
         self.etas: List[Tuple[int, np.ndarray]] = []
+        # Accuracy probe: a NEAR-singular basis factorizes without any
+        # warning yet solves inaccurately — the root cause of "OPTIMAL"
+        # claims at wrong objectives once nearly-dependent cut rows enter
+        # the LP.  One solve + one residual matvec per refactorization.
+        m = b_mat.shape[0]
+        if m:
+            rng = np.random.default_rng(m)
+            e = rng.standard_normal(m)
+            z = self._base_solve(e, trans=False)
+            res = (b_mat @ z) - e
+            norm_e = float(np.linalg.norm(e))
+            # LU is backward stable, so the residual stays small even for
+            # terrible conditioning — also reject on solution blow-up
+            # (cond estimate; basis entries are O(1) after scaling)
+            if not np.all(np.isfinite(z)) or \
+                    float(np.linalg.norm(res)) > 1e-7 * norm_e or \
+                    float(np.linalg.norm(z)) > 1e9 * norm_e:
+                raise ValueError("ill-conditioned basis matrix")
 
     def _base_solve(self, b: np.ndarray, trans: bool) -> np.ndarray:
         if self._splu is not None:
@@ -191,8 +223,69 @@ class RevisedSimplex:
                     self._fact = _Factorization(self.tab[:, self.basis])
                     return True
                 except Exception:
-                    return False
+                    pass
+            return self._repair_singular_basis()
+
+    def _repair_singular_basis(self) -> bool:
+        """A (near-)singular basis — e.g. after appending nearly-parallel
+        cut rows (reference: glop 'basis refactorization + repair'
+        role).  Reset to the always-nonsingular all-slack basis and let
+        phase 1 re-enter the structural columns; sound, just un-warm."""
+        if getattr(self, "_repairing", False):
             return False
+        self._repairs = getattr(self, "_repairs", 0) + 1
+        if self._repairs > 8:
+            return False  # persistent degeneracy: report ABNORMAL
+        self._repairing = True
+        try:
+            self.in_basis[:] = False
+            self.basis = np.arange(self.n, self.n + self.m)
+            self.in_basis[self.basis] = True
+            for j in range(self.total):
+                if self.in_basis[j]:
+                    continue
+                if np.isfinite(self.lb[j]):
+                    self.nb_status[j] = _AT_LOWER
+                elif np.isfinite(self.ub[j]):
+                    self.nb_status[j] = _AT_UPPER
+                else:
+                    self.nb_status[j] = _FREE
+            self._xb = None
+            # deterministic re-pricing walks straight back into the same
+            # singular basis; Bland's rule breaks the cycle
+            self._force_bland = True
+            return self._refactorize()
+        finally:
+            self._repairing = False
+
+    def _certify_optimal(self, tol: float = 1e-6) -> bool:
+        """Independent check of an OPTIMAL claim: fresh factorization,
+        primal feasibility of the basic values, and the reduced-cost sign
+        conditions — a warm dual solve's 'primal feasible again' claim is
+        only as good as its (possibly ill-conditioned) reduced costs."""
+        if not self._refactorize():
+            return False
+        self._xb = xb = self._compute_xb()
+        if not np.all(np.isfinite(xb)):
+            return False
+        lbb, ubb = self.lb[self.basis], self.ub[self.basis]
+        scale = 1.0 + float(np.abs(xb).max(initial=0.0))
+        below = np.where(np.isfinite(lbb), lbb - xb, -np.inf)
+        above = np.where(np.isfinite(ubb), xb - ubb, -np.inf)
+        if max(float(below.max(initial=-np.inf)),
+               float(above.max(initial=-np.inf))) > tol * scale:
+            return False
+        y = self._fact.btran(self.cost[self.basis])
+        d = self.cost - y @ self.tab
+        if not np.all(np.isfinite(d)):
+            return False
+        cscale = 1.0 + float(np.abs(self.cost).max(initial=0.0))
+        nb = ~self.in_basis
+        bad = ((nb & (self.nb_status == _AT_LOWER) & (d < -tol * cscale))
+               | (nb & (self.nb_status == _AT_UPPER) & (d > tol * cscale))
+               | (nb & (self.nb_status == _FREE)
+                  & (np.abs(d) > tol * cscale)))
+        return not bool(bad.any())
 
     def _nb_values(self) -> np.ndarray:
         v = np.where(self.nb_status == _AT_LOWER, self.lb,
@@ -255,7 +348,15 @@ class RevisedSimplex:
                 y = self._fact.btran(cb)
                 # vectorized reduced costs over ALL columns
                 d = (self.cost if phase == 2 else 0.0) - y @ self.tab
-                use_bland = degenerate_steps > 200
+                if not np.all(np.isfinite(d)):
+                    # near-singular basis slipped past the factorization
+                    # probe: repair instead of iterating on NaN
+                    if self._repair_singular_basis():
+                        self._xb = None
+                        continue
+                    return MPSolverStatus.ABNORMAL
+                use_bland = (degenerate_steps > 200
+                             or getattr(self, "_force_bland", False))
                 cand_dir = np.zeros(self.total)
                 nb = ~self.in_basis
                 at_lo = nb & (self.nb_status == _AT_LOWER) & (d < -tol)
@@ -266,9 +367,19 @@ class RevisedSimplex:
                 cand_dir[free] = -np.sign(d[free])
                 cand = np.nonzero(cand_dir != 0.0)[0]
                 if len(cand) == 0:
+                    # claim INFEASIBLE/OPTIMAL only from a fresh, finite
+                    # factorization (stale etas / NaN xb empty the set)
+                    if (self._fact.num_updates > 0
+                            or not np.all(np.isfinite(xb))):
+                        if not self._refactorize():
+                            return MPSolverStatus.ABNORMAL
+                        self._xb = None
+                        continue
                     if phase == 1:
                         return MPSolverStatus.INFEASIBLE
-                    return MPSolverStatus.OPTIMAL
+                    return (MPSolverStatus.OPTIMAL
+                            if self._certify_optimal()
+                            else MPSolverStatus.ABNORMAL)
                 if use_bland:
                     entering = int(cand[0])
                 else:
@@ -330,6 +441,11 @@ class RevisedSimplex:
                 self.iters += 1
                 degenerate_steps = (degenerate_steps + 1 if t_max <= 1e-12
                                     else 0)
+                if degenerate_steps > 3000:
+                    # cycling despite Bland entering (the ratio-test
+                    # leaving rule is not Bland-consistent): give up
+                    # cleanly — callers fall back to another LP engine
+                    return MPSolverStatus.ABNORMAL
                 if leaving_pos < 0:
                     self.nb_status[entering] = (
                         _AT_UPPER if self.nb_status[entering] == _AT_LOWER
@@ -398,13 +514,24 @@ class RevisedSimplex:
             if d is None:
                 y = self._fact.btran(self.cost[self.basis])
                 d = self.cost - y @ self.tab
+                if not (np.all(np.isfinite(d))
+                        and np.all(np.isfinite(xb))):
+                    # near-singular basis: repair, else give up cleanly
+                    if self._repair_singular_basis():
+                        self._xb = None
+                        d = None
+                        continue
+                    return MPSolverStatus.ABNORMAL
             lbb, ubb = self.lb[self.basis], self.ub[self.basis]
             below = np.where(np.isfinite(lbb), lbb - xb, -math.inf)
             above = np.where(np.isfinite(ubb), xb - ubb, -math.inf)
             viol = np.maximum(below, above)
             feas = viol <= tol * (1.0 + np.abs(xb))
             if feas.all():
-                return MPSolverStatus.OPTIMAL  # primal feasible again
+                # primal feasible again — certify before claiming
+                if self._certify_optimal():
+                    return MPSolverStatus.OPTIMAL
+                return MPSolverStatus.ABNORMAL  # caller re-solves primal
             # steepest-edge choice: maximize viol^2 / ||rho_r||^2
             score = np.where(feas, -math.inf,
                              viol * np.abs(viol) / np.maximum(dse, 1e-12))
@@ -438,7 +565,19 @@ class RevisedSimplex:
             cand_mask |= free_mask
             cand = np.nonzero(cand_mask)[0]
             if len(cand) == 0:
-                return MPSolverStatus.INFEASIBLE  # dual unbounded
+                # dual unbounded = primal infeasible — but only claim it
+                # from a FRESH factorization with finite state (stale eta
+                # chains / NaN silently empty the candidate set)
+                if (self._fact.num_updates > 0
+                        or not (np.all(np.isfinite(alpha))
+                                and np.all(np.isfinite(xb))
+                                and np.all(np.isfinite(d)))):
+                    if not self._refactorize():
+                        return MPSolverStatus.ABNORMAL
+                    self._xb = None
+                    d = None
+                    continue
+                return MPSolverStatus.INFEASIBLE
             # dual ratio test: minimize |d_j / alpha_j| over candidates
             ratios = np.abs(d[cand]) / np.maximum(np.abs(alpha[cand]), 1e-30)
             entering = int(cand[int(np.argmin(ratios))])

@@ -592,6 +592,7 @@ def generate_cuts(
     x_lp: np.ndarray,
     max_cuts: int = 200,
     min_violation: float = 1e-4,
+    enable_zero_half: bool = False,
 ) -> Optional[CutPool]:
     """Generate violated MIR + cover cuts at the LP point ``x_lp``.
 
@@ -609,8 +610,16 @@ def generate_cuts(
                               min_violation))
     found.extend(_odd_cycle_cuts(a, con_ub, var_lb, var_ub, is_int, x_lp,
                                  min_violation))
-    found.extend(_zero_half_cuts(a, con_lb, con_ub, var_lb, var_ub,
-                                 is_int, x_lp, min_violation))
+    if enable_zero_half:
+        # {0,1/2}-CG cuts are exact half-sums of existing rows: valid and
+        # tightening, but the parallel/dependent rows they add currently
+        # trigger degenerate cycling in glop/simplex.py (the certification
+        # layer keeps results SOUND — every claim is re-verified — at the
+        # cost of falling back to PDHG node solves).  Off by default in
+        # the B&B until the simplex gets bound-perturbation anti-cycling;
+        # the separator itself is correct and unit-tested.
+        found.extend(_zero_half_cuts(a, con_lb, con_ub, var_lb, var_ub,
+                                     is_int, x_lp, min_violation))
     indptr, indices, data = a.indptr, a.indices, a.data
     for i in range(m):
         lo, hi = indptr[i], indptr[i + 1]
@@ -645,7 +654,28 @@ def generate_cuts(
     if not found:
         return None
     found.sort(key=lambda t: -t[0])
-    found = found[:max_cuts]
+    found = found[:4 * max_cuts]
+    # Parallelism filter (reference linear_constraint_manager.cc cut
+    # orthogonality): near-parallel cuts produce (near-)singular simplex
+    # bases downstream; keep the most-violated representative only.
+    selected: List[Tuple[float, np.ndarray, np.ndarray, float]] = []
+    for cand in found:
+        _, cidx, cval, _ = cand
+        dup = False
+        for _, sidx, sval, _ in selected:
+            # sparse cosine of two unit-norm rows
+            common, ia, ib = np.intersect1d(
+                cidx, sidx, return_indices=True)
+            if len(common) == 0:
+                continue
+            if abs(float(cval[ia] @ sval[ib])) > 0.98:
+                dup = True
+                break
+        if not dup:
+            selected.append(cand)
+        if len(selected) >= max_cuts:
+            break
+    found = selected
     rows_i, cols_i, vals = [], [], []
     rhs = np.zeros(len(found))
     for k, (_, cidx, cval, crhs) in enumerate(found):

@@ -127,12 +127,55 @@ class SimplexNodeBackend:
             sx.set_variable_bounds(lb, ub)
             st = sx.primal_solve(max_iterations=self.max_iterations,
                                  deadline=deadline)
+        if st in (MPSolverStatus.ABNORMAL, MPSolverStatus.UNBOUNDED):
+            # simplex cannot finish this LP (e.g. degenerate cycling on
+            # nearly-dependent cut rows): solve it with the in-house
+            # first-order engine instead — PDHG has no basis to corrupt.
+            st2, x2, y2, obj2 = self._pdhg_fallback(lb, ub, deadline)
+            if st2 is not None:
+                return st2, x2, y2, obj2
         if st != MPSolverStatus.OPTIMAL:
             # NOT_SOLVED (deadline) / UNBOUNDED / ABNORMAL: the caller
             # keeps the parent bound — never prune on an unproven status
             return st, None, None, math.nan
         r = sx.result(st)
         return st, r.primal_solution, r.dual_solution, r.objective_value
+
+    def _pdhg_fallback(self, lb, ub, deadline):
+        """Solve one node LP with pdlp.solve (f64 on CPU).  Returns
+        (status, x, y, obj) or (None, ...) when PDHG can't certify."""
+        import dataclasses as _dc
+        import time as _time
+
+        import jax as _jax
+
+        from ortools_tpu.pdlp import PdhgParams, solve as _pdlp_solve
+        from ortools_tpu.utils.status import TerminationReason
+
+        import jax.numpy as jnp
+
+        dtype = (jnp.float64 if _jax.config.read("jax_enable_x64")
+                 else jnp.float32)
+        params = PdhgParams(
+            dtype=dtype,
+            eps_optimal_absolute=1e-7 if dtype == jnp.float64 else 1e-6,
+            eps_optimal_relative=1e-7 if dtype == jnp.float64 else 1e-6,
+            iteration_limit=50_000,
+            time_sec_limit=max(1.0, deadline - _time.perf_counter())
+            if math.isfinite(deadline) else 60.0,
+        )
+        qp_node = _dc.replace(self.qp, variable_lower=np.asarray(lb),
+                              variable_upper=np.asarray(ub))
+        try:
+            r = _pdlp_solve(qp_node, params)
+        except Exception:
+            return None, None, None, math.nan
+        if r.termination_reason == TerminationReason.OPTIMAL:
+            return (MPSolverStatus.OPTIMAL, r.primal_solution,
+                    r.dual_solution, float(r.primal_objective))
+        if r.termination_reason == TerminationReason.PRIMAL_INFEASIBLE:
+            return MPSolverStatus.INFEASIBLE, None, None, math.nan
+        return None, None, None, math.nan
 
     def solve(self, lbs, ubs, warm_x=None, warm_y=None, lp_params=None,
               deadline: float = math.inf) -> NodeLpResult:
