@@ -4,39 +4,35 @@ Round-1 diagnosis (from the since-deleted per-block-DMA kernels,
 ops/pallas_spmv.py in git history): at (8,128) block granularity
 both the XLA gather+segment-sum path and the per-block-DMA Pallas kernels
 are bound by ~160ns of *dynamic-index control* per block (gather of the x
-block, read-modify-write of the y block), not by HBM bandwidth — 25-55 GB/s
-effective vs ~800 GB/s peak.
+block, read-modify-write of the y block), not by HBM bandwidth.
 
 This layout eliminates every per-block dynamic index:
 
-- blocks are grouped into SUPER-TILES of (128 block-rows x 128 block-cols)
-  and packed into fixed-size chunks of C = 128 blocks (zero-padded),
-  stored as a [bn, bm*C] lane-major slab per chunk (lane l = i*C + b for
-  block-row offset i, block b) with block data TRANSPOSED: the per-block
-  contraction over j (the bn axis) is a cross-SUBLANE reduction (a few
-  vector adds) instead of a cross-lane reduction;
+- blocks are grouped into SUPER-TILES of (128*SRH block-rows x 128
+  block-cols) and packed into fixed-size chunks of C blocks
+  (zero-padded), stored as a 4-D slab [bn, bm, C] per chunk — lanes are
+  the chunk axis, so the per-block contraction over j (the bn axis) is a
+  cross-"row" vector reduction and NO lane reshape is ever needed;
 - the x gather is ONE one-hot matmul per chunk on the MXU:
       Gt[l, b] = (local_col[b] == l)  ->  xbT = x_panelT @ Gt
   and the y scatter is ONE one-hot matmul:
       R[b, q]  = (local_row[b] == q)  ->  y_panelT += P @ R
   with both one-hots built in-register from an iota comparison;
-- all matmuls run as *exact* bf16 triples: f32 operands are split into
-  three bf16 terms (hi/mid/lo cover the 24-bit mantissa), the one-hot side
-  is exactly representable, and products accumulate in f32 — full f32
-  accuracy at native-bf16 MXU rate (x is split once per matvec outside the
-  kernel, the per-chunk product once per chunk);
+- all exact-stream matmuls run as *exact* bf16 triples: f32 operands are
+  split into three bf16 terms (hi/mid/lo cover the 24-bit mantissa), the
+  one-hot side is exactly representable, and products accumulate in f32;
 - the only dynamic indexing left is one x-panel block and one y-panel
   block per *chunk* (scalar-prefetched super-tile indices drive the
-  BlockSpec index maps) — 2 coarse ops per C blocks instead of 2C;
-- chunk slabs stream HBM->VMEM through the Pallas grid pipeline
-  (double-buffered automatically).
+  BlockSpec index maps);
+- chunk slabs stream HBM->VMEM through the Pallas grid pipeline.
 
-C is fixed at 128 because Mosaic's 1-D->2-D vector reshape needs the lane
-dim to be exactly 128: the summed [bm*C] product lanes reshape to [bm, C].
-The block shape is otherwise free — (8, 128) A tiles and their (128, 8)
-block-transposed Aᵀ tiles (BlockSparseMatrix.block_transpose) both ride
-the same kernel; for Aᵀ the scatter matmul is a perfect [128,128]x[128,128]
-MXU op.
+Round-4 measurement (on-chip ablation, artifacts/KERNEL_r04.json): a
+kernel that only STREAMS the slabs takes the same time as the full
+kernel — per-grid-STEP overhead (~1-2 us) dominates, not compute and not
+bytes.  Hence chunk size C and super-row height SRH are now free
+parameters chosen by a cost model: bigger chunks amortize the per-step
+overhead; taller super-rows keep chunk padding low when blocks spread
+over many rows (at the price of a wider scatter one-hot).
 
 Capability parity: the TPU-native replacement for the reference Sharder's
 TransposedMatrixVectorProduct kernel set (ortools/pdlp/sharder.h:237,
@@ -59,7 +55,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CHUNK = 128  # blocks per chunk; see module docstring
+_CHUNK = 128  # default/minimum blocks per chunk
+
+# Cost-model constants for the (C, SRH) choice: effective per-grid-step
+# overhead expressed in equivalent slab bytes at the measured streaming
+# rate (~1 us/step at ~250 GB/s ~= 256 KB), and the scatter width
+# penalty per extra 128 lanes of super-row height.
+_STEP_OVERHEAD_BYTES = 256 * 1024
 
 
 def _ceil_to(x: int, k: int) -> int:
@@ -71,25 +73,27 @@ def _ceil_to(x: int, k: int) -> int:
 class TiledSpmv:
     """Chunked super-tile layout for the fused SpMV kernel."""
 
-    data_t: jax.Array  # [nchunk, bn, bm * C] transposed slabs (see header)
+    data_t: jax.Array  # [nchunk, bn, bm, C] slabs (see header)
     rows_lo: jax.Array  # int32 [nchunk, C, 1] block-row within super-tile
     cols_lo: jax.Array  # int32 [nchunk, 1, C] block-col within super-tile
     super_rows: jax.Array  # int32 [nchunk]
     super_cols: jax.Array  # int32 [nchunk]
     bm: int
     bn: int
-    nsr: int  # super-row count (y padded to nsr*128*bm)
-    nsc: int  # super-col count (x padded to nsc*128*bn... cols nsc*128)
+    nsr: int  # super-row count (y padded to nsr*128*srh*bm)
+    nsc: int  # super-col count (x padded to nsc*128 column blocks)
+    srh: int  # super-row height in units of 128 block-rows
     num_real_blocks: int
     # Optional bf16 round of the slabs: the HALF-BANDWIDTH fast stream
     # (mixed-precision PDHG majors; exact f32 checks stay on data_t).
-    data_hi: Optional[jax.Array] = None  # bf16 [nchunk, bn, bm * C]
+    data_hi: Optional[jax.Array] = None  # bf16 [nchunk, bn, bm, C]
 
     def tree_flatten(self):
         return (
             (self.data_t, self.rows_lo, self.cols_lo, self.super_rows,
              self.super_cols, self.data_hi),
-            (self.bm, self.bn, self.nsr, self.nsc, self.num_real_blocks),
+            (self.bm, self.bn, self.nsr, self.nsc, self.srh,
+             self.num_real_blocks),
         )
 
     @classmethod
@@ -106,7 +110,7 @@ class TiledSpmv:
 
     @property
     def chunk_size(self) -> int:
-        return int(self.data_t.shape[2]) // self.bm
+        return int(self.data_t.shape[3])
 
     @property
     def block_shape(self) -> Tuple[int, int]:
@@ -119,6 +123,32 @@ class TiledSpmv:
         return total / max(1, self.num_real_blocks)
 
 
+def _choose_layout(nb: int, row_blocks: int, nsc: int,
+                   block_bytes: int) -> Tuple[int, int]:
+    """Pick (chunk C, super-row height SRH) minimizing modeled cost:
+    padded slab bytes + per-step overhead, with a penalty for the wider
+    scatter one-hot of tall super-rows."""
+    best = None
+    base_rows = max(1, _ceil_to(row_blocks, 128) // 128)
+    for srh in (1, 2, 4, 8):
+        if srh > base_rows:
+            break
+        for c in (128, 256, 512):
+            # worst-case padding: one partial chunk per (sr, sc) group
+            nsr = _ceil_to(base_rows, srh) // srh
+            groups = min(nb, nsr * nsc) or 1
+            nchunk = 0
+            per_group = nb / groups
+            nchunk = groups * max(1, int(np.ceil(per_group / c)))
+            bytes_total = nchunk * c * block_bytes
+            # scatter penalty ~ one extra matmul pass per extra 128 lanes
+            scatter_pen = nchunk * (srh - 1) * 16 * 1024
+            cost = bytes_total + nchunk * _STEP_OVERHEAD_BYTES + scatter_pen
+            if best is None or cost < best[0]:
+                best = (cost, c, srh)
+    return best[1], best[2]
+
+
 def pack_tiled(
     data: np.ndarray,
     block_rows: np.ndarray,
@@ -126,6 +156,7 @@ def pack_tiled(
     num_real_blocks: int,
     padded_shape: Tuple[int, int],
     chunk_size: Optional[int] = None,
+    super_row_height: Optional[int] = None,
     dtype=jnp.float32,
 ) -> TiledSpmv:
     """Pack block-COO arrays (as in BlockSparseMatrix) into the tiled layout.
@@ -138,14 +169,22 @@ def pack_tiled(
     br = np.asarray(block_rows)[:nb].astype(np.int64)
     bc = np.asarray(block_cols)[:nb].astype(np.int64)
     bm, bn = int(data.shape[1]), int(data.shape[2])
-    c_sz = chunk_size or _CHUNK
-    # Mosaic's 1-D->2-D vector reshape needs lane dim exactly 128.
-    assert c_sz == 128, f"chunk_size must be 128, got {c_sz}"
     mm, nn = padded_shape
-    nsr = max(1, _ceil_to(mm // bm, 128) // 128)
+    row_blocks = mm // bm
     nsc = max(1, _ceil_to(nn // bn, 128) // 128)
+    if chunk_size is None or super_row_height is None:
+        c_auto, srh_auto = _choose_layout(
+            max(nb, 1), row_blocks, nsc,
+            bm * bn * np.dtype(np.float32).itemsize)
+        c_sz = chunk_size or c_auto
+        srh = super_row_height or srh_auto
+    else:
+        c_sz, srh = chunk_size, super_row_height
+    assert c_sz % 128 == 0, f"chunk_size must be a multiple of 128: {c_sz}"
+    span = 128 * srh  # block-rows per super-row
+    nsr = max(1, _ceil_to(row_blocks, span) // span)
 
-    sr = br // 128
+    sr = br // span
     sc = bc // 128
     order = np.lexsort((bc, br, sc, sr))
     sr, sc, br, bc = sr[order], sc[order], br[order], bc[order]
@@ -173,14 +212,13 @@ def pack_tiled(
     for k, (csr, csc, lo, hi) in enumerate(chunks):
         cnt = hi - lo
         out_data[k, :cnt] = data[lo:hi]
-        out_rows[k, :cnt, 0] = (br[lo:hi] - csr * 128).astype(np.int32)
+        out_rows[k, :cnt, 0] = (br[lo:hi] - csr * span).astype(np.int32)
         out_cols[k, 0, :cnt] = (bc[lo:hi] - csc * 128).astype(np.int32)
         out_sr[k] = csr
         out_sc[k] = csc
-    # transpose each chunk [C, bm, bn] -> slab [bn, bm*C] with lane i*C+b
-    slabs = np.ascontiguousarray(out_data.transpose(0, 3, 2, 1)).reshape(
-        nchunk, bn, bm * c_sz
-    )
+    # 4-D slab [bn, bm, C]: same bytes as [C, bm, bn] transposed, stored
+    # with the chunk axis minor so the j-contraction crosses "rows"
+    slabs = np.ascontiguousarray(out_data.transpose(0, 3, 2, 1))
     return TiledSpmv(
         data_t=jnp.asarray(slabs, dtype=dtype),
         rows_lo=jnp.asarray(out_rows),
@@ -191,6 +229,7 @@ def pack_tiled(
         bn=bn,
         nsr=nsr,
         nsc=nsc,
+        srh=srh,
         num_real_blocks=nb,
     )
 
@@ -215,10 +254,9 @@ def _dot3(ah, am, al, b, f32):
 def _spmv_tiled_kernel(sr_ref, sc_ref, data_ref, rows_ref, cols_ref,
                        xh_ref, xm_ref, xl_ref, y_ref):
     c = pl.program_id(0)
-    bn = data_ref.shape[1]
-    width = data_ref.shape[2]
+    cc = data_ref.shape[3]
     bm = y_ref.shape[1]
-    cc = width // bm
+    span = y_ref.shape[2]
     f32 = y_ref.dtype
 
     # Zero the output panel on its first visit (chunks are sorted by
@@ -237,34 +275,33 @@ def _spmv_tiled_kernel(sr_ref, sc_ref, data_ref, rows_ref, cols_ref,
     gt = (cols_ref[0] == sub).astype(jnp.bfloat16)  # [128, C]
     xbt = _dot3(xh_ref[...], xm_ref[...], xl_ref[...], gt, f32)  # [bn, C]
 
-    # per-block product; contraction over j is a cross-SUBLANE reduction
-    z = data_ref[0] * jnp.tile(xbt, (1, bm))  # [bn, bm*C]
-    pvec = jnp.sum(z, axis=0)  # [bm*C]
-    p2 = pvec.reshape(bm, cc)  # [bm, C] (lane i*C+b -> row i, col b)
+    # per-block product; contraction over j is a cross-row reduction
+    z3 = data_ref[0] * xbt[:, None, :]  # [bn, bm, C]
+    p2 = jnp.sum(z3, axis=0)  # [bm, C]
 
     # scatter: y_panelT[i, q] += sum_b p2[i, b] * [local_row[b] == q]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (cc, 128), 1)
-    r = (rows_ref[0] == lane).astype(jnp.bfloat16)  # [C, 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cc, span), 1)
+    r = (rows_ref[0] == lane).astype(jnp.bfloat16)  # [C, span]
     ph, pm, plo = _split3(p2, f32)
-    y_ref[0] += _dot3(ph, pm, plo, r, f32)  # [bm, 128]
+    y_ref[0] += _dot3(ph, pm, plo, r, f32)  # [bm, span]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nsr", "nsc", "bm", "bn", "interpret"),
+    static_argnames=("nsr", "nsc", "srh", "bm", "bn", "interpret"),
 )
 def _tiled_matvec_call(data_t, rows_lo, cols_lo, super_rows, super_cols,
-                       xt, nsr: int, nsc: int, bm: int, bn: int,
+                       xt, nsr: int, nsc: int, srh: int, bm: int, bn: int,
                        interpret: bool):
     nchunk = data_t.shape[0]
-    width = data_t.shape[2]
-    c_sz = width // bm
+    c_sz = data_t.shape[3]
+    span = 128 * srh
     xh, xm, xl = _split3(xt, data_t.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # super_rows, super_cols
         grid=(nchunk,),
         in_specs=[
-            pl.BlockSpec((1, bn, width), lambda c, sr, sc: (c, 0, 0)),
+            pl.BlockSpec((1, bn, bm, c_sz), lambda c, sr, sc: (c, 0, 0, 0)),
             pl.BlockSpec((1, c_sz, 1), lambda c, sr, sc: (c, 0, 0)),
             pl.BlockSpec((1, 1, c_sz), lambda c, sr, sc: (c, 0, 0)),
             pl.BlockSpec((bn, 128), lambda c, sr, sc: (0, sc[c])),
@@ -272,13 +309,13 @@ def _tiled_matvec_call(data_t, rows_lo, cols_lo, super_rows, super_cols,
             pl.BlockSpec((bn, 128), lambda c, sr, sc: (0, sc[c])),
         ],
         out_specs=pl.BlockSpec(
-            (1, bm, 128), lambda c, sr, sc: (sr[c], 0, 0)
+            (1, bm, span), lambda c, sr, sc: (sr[c], 0, 0)
         ),
     )
     y3t = pl.pallas_call(
         _spmv_tiled_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nsr, bm, 128), data_t.dtype),
+        out_shape=jax.ShapeDtypeStruct((nsr, bm, span), data_t.dtype),
         interpret=interpret,
     )(super_rows, super_cols, data_t, rows_lo, cols_lo, xh, xm, xl)
     return y3t
@@ -292,10 +329,9 @@ def _spmv_tiled_fast_kernel(sr_ref, sc_ref, data_ref, rows_ref, cols_ref,
     the mixed-precision PDHG major loop's working stream; every
     termination/restart decision is recomputed on the exact f32 kernel."""
     c = pl.program_id(0)
-    bn = data_ref.shape[1]
-    width = data_ref.shape[2]
+    cc = data_ref.shape[3]
     bm = y_ref.shape[1]
-    cc = width // bm
+    span = y_ref.shape[2]
     f32 = y_ref.dtype
 
     prev = jnp.maximum(c - 1, 0)
@@ -309,44 +345,43 @@ def _spmv_tiled_fast_kernel(sr_ref, sc_ref, data_ref, rows_ref, cols_ref,
     gt = (cols_ref[0] == sub).astype(jnp.bfloat16)  # [128, C]
     xbt = jnp.dot(xb_ref[...], gt, preferred_element_type=f32)  # [bn, C]
 
-    z = data_ref[0].astype(f32) * jnp.tile(xbt, (1, bm))  # [bn, bm*C]
-    pvec = jnp.sum(z, axis=0)  # [bm*C]
-    p2 = pvec.reshape(bm, cc)  # [bm, C]
+    z3 = data_ref[0].astype(f32) * xbt[:, None, :]  # [bn, bm, C]
+    p2 = jnp.sum(z3, axis=0)  # [bm, C]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (cc, 128), 1)
-    r = (rows_ref[0] == lane).astype(jnp.bfloat16)  # [C, 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cc, span), 1)
+    r = (rows_ref[0] == lane).astype(jnp.bfloat16)  # [C, span]
     y_ref[0] += jnp.dot(p2.astype(jnp.bfloat16), r,
-                        preferred_element_type=f32)  # [bm, 128]
+                        preferred_element_type=f32)  # [bm, span]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nsr", "nsc", "bm", "bn", "interpret"),
+    static_argnames=("nsr", "nsc", "srh", "bm", "bn", "interpret"),
 )
 def _tiled_matvec_fast_call(data_hi, rows_lo, cols_lo, super_rows,
-                            super_cols, xt, nsr: int, nsc: int, bm: int,
-                            bn: int, interpret: bool):
+                            super_cols, xt, nsr: int, nsc: int, srh: int,
+                            bm: int, bn: int, interpret: bool):
     nchunk = data_hi.shape[0]
-    width = data_hi.shape[2]
-    c_sz = width // bm
+    c_sz = data_hi.shape[3]
+    span = 128 * srh
     xb = xt.astype(jnp.bfloat16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nchunk,),
         in_specs=[
-            pl.BlockSpec((1, bn, width), lambda c, sr, sc: (c, 0, 0)),
+            pl.BlockSpec((1, bn, bm, c_sz), lambda c, sr, sc: (c, 0, 0, 0)),
             pl.BlockSpec((1, c_sz, 1), lambda c, sr, sc: (c, 0, 0)),
             pl.BlockSpec((1, 1, c_sz), lambda c, sr, sc: (c, 0, 0)),
             pl.BlockSpec((bn, 128), lambda c, sr, sc: (0, sc[c])),
         ],
         out_specs=pl.BlockSpec(
-            (1, bm, 128), lambda c, sr, sc: (sr[c], 0, 0)
+            (1, bm, span), lambda c, sr, sc: (sr[c], 0, 0)
         ),
     )
     y3t = pl.pallas_call(
         _spmv_tiled_fast_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nsr, bm, 128), xt.dtype),
+        out_shape=jax.ShapeDtypeStruct((nsr, bm, span), xt.dtype),
         interpret=interpret,
     )(super_rows, super_cols, data_hi, rows_lo, cols_lo, xb)
     return y3t
@@ -364,9 +399,9 @@ def tiled_matvec_fast(t: TiledSpmv, x: jax.Array, m_padded: int,
         xt = jnp.pad(xt, ((0, 0), (0, t.nsc * 128 - ncb)))
     y3t = _tiled_matvec_fast_call(
         t.data_hi, t.rows_lo, t.cols_lo, t.super_rows, t.super_cols, xt,
-        t.nsr, t.nsc, bm, bn, interpret,
+        t.nsr, t.nsc, t.srh, bm, bn, interpret,
     )
-    y = jnp.transpose(y3t, (0, 2, 1)).reshape(t.nsr * 128 * bm)
+    y = jnp.transpose(y3t, (0, 2, 1)).reshape(t.nsr * 128 * t.srh * bm)
     return y[:m_padded]
 
 
@@ -382,8 +417,8 @@ def tiled_matvec(t: TiledSpmv, x: jax.Array, m_padded: int,
         xt = jnp.pad(xt, ((0, 0), (0, t.nsc * 128 - ncb)))
     y3t = _tiled_matvec_call(
         t.data_t, t.rows_lo, t.cols_lo, t.super_rows, t.super_cols, xt,
-        t.nsr, t.nsc, bm, bn, interpret,
+        t.nsr, t.nsc, t.srh, bm, bn, interpret,
     )
-    # [nsr, bm, 128] -> rows (sr*128 + q)*bm + i
-    y = jnp.transpose(y3t, (0, 2, 1)).reshape(t.nsr * 128 * bm)
+    # [nsr, bm, span] -> rows (sr*span + q)*bm + i
+    y = jnp.transpose(y3t, (0, 2, 1)).reshape(t.nsr * 128 * t.srh * bm)
     return y[:m_padded]

@@ -206,6 +206,7 @@ class LcgSolver:
 _SUPPORTED = frozenset([
     "bool_or", "bool_and", "at_most_one", "exactly_one", "bool_xor",
     "linear", "interval", "no_overlap", "lin_max", "all_diff", "cumulative",
+    "no_overlap_2d",
 ])
 
 _MAX_PAIRS = 30_000        # no_overlap pairwise budget
@@ -308,6 +309,8 @@ class LcgProgram:
                 self.s.add_linear(enf, xs, cs, -const, -const)
             elif kind == "no_overlap":
                 self._add_no_overlap(a.intervals)
+            elif kind == "no_overlap_2d":
+                self._add_no_overlap_2d(a.x_intervals, a.y_intervals)
             elif kind == "lin_max":
                 self._add_lin_max(a, enf, neg_enf)
             elif kind == "all_diff":
@@ -394,6 +397,35 @@ class LcgProgram:
                 # b -> end_i <= start_j ; ¬b -> end_j <= start_i
                 self.add_expr_le(e_i, s_j, both + [b])
                 self.add_expr_le(e_j, s_i, both + [-b])
+
+    def _add_no_overlap_2d(self, x_idx: List[int],
+                           y_idx: List[int]) -> None:
+        """Rectangles must separate on some axis: per pair, four
+        half-reified precedences under a covering clause — the learning
+        core's replacement for the O(n^2) big-M expansion
+        (reference diffn.cc propagates; here the 4-way disjunction rides
+        CDCL so separation decisions are LEARNED)."""
+        boxes = []
+        for kx, ky in zip(x_idx, y_idx):
+            if kx not in self.intervals or ky not in self.intervals:
+                raise _Unsupported("no_overlap_2d over missing interval")
+            boxes.append((self.intervals[kx], self.intervals[ky]))
+        n = len(boxes)
+        if 4 * (n * (n - 1) // 2) > _MAX_PAIRS:
+            raise _Unsupported("no_overlap_2d too wide")
+        for i in range(n):
+            (sx_i, _, ex_i, enf_xi), (sy_i, _, ey_i, enf_yi) = boxes[i]
+            for j in range(i + 1, n):
+                (sx_j, _, ex_j, enf_xj), (sy_j, _, ey_j, enf_yj) = \
+                    boxes[j]
+                both = enf_xi + enf_yi + enf_xj + enf_yj
+                sels = [self.s.ge(self.s.new_bool01(), 1)
+                        for _ in range(4)]
+                self.s.add_clause([-e for e in both] + sels)
+                self.add_expr_le(ex_i, sx_j, both + [sels[0]])  # i left
+                self.add_expr_le(ex_j, sx_i, both + [sels[1]])  # i right
+                self.add_expr_le(ey_i, sy_j, both + [sels[2]])  # i below
+                self.add_expr_le(ey_j, sy_i, both + [sels[3]])  # i above
 
     def _add_lin_max(self, a: ir.LinMaxArgs, enf: List[int],
                      neg_enf: List[int]) -> None:
