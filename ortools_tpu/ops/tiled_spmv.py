@@ -57,11 +57,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _CHUNK = 128  # default/minimum blocks per chunk
 
-# Cost-model constants for the (C, SRH) choice: effective per-grid-step
-# overhead expressed in equivalent slab bytes at the measured streaming
-# rate (~1 us/step at ~250 GB/s ~= 256 KB), and the scatter width
-# penalty per extra 128 lanes of super-row height.
-_STEP_OVERHEAD_BYTES = 256 * 1024
+# Cost-model constants for the (C, SRH) choice, fitted to the on-chip
+# sweep (artifacts/KERNEL_r04.json): per-matvec wall time tracks PADDED
+# slab bytes closely (the kernel runs at the device's achievable
+# streaming rate), per-step overhead is minor, and tall super-rows tax
+# the single-pass fast stream's scatter matmul.
+_STEP_OVERHEAD_BYTES = 64 * 1024
 
 
 def _ceil_to(x: int, k: int) -> int:
@@ -141,8 +142,9 @@ def _choose_layout(nb: int, row_blocks: int, nsc: int,
             per_group = nb / groups
             nchunk = groups * max(1, int(np.ceil(per_group / c)))
             bytes_total = nchunk * c * block_bytes
-            # scatter penalty ~ one extra matmul pass per extra 128 lanes
-            scatter_pen = nchunk * (srh - 1) * 16 * 1024
+            # scatter penalty: extra one-hot width per extra 128 lanes of
+            # super-row height (hits the fast stream's single pass most)
+            scatter_pen = nchunk * (srh - 1) * c * 2048
             cost = bytes_total + nchunk * _STEP_OVERHEAD_BYTES + scatter_pen
             if best is None or cost < best[0]:
                 best = (cost, c, srh)
