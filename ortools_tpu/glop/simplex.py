@@ -192,6 +192,13 @@ class RevisedSimplex:
         self.tab_sp = sp.csc_matrix(self.tab) if use_sparse else None
 
     # -- bounds (for warm restarts) --------------------------------------
+    def set_objective(self, c: np.ndarray) -> None:
+        """Change the structural objective in place (feasibility-pump
+        distance re-solves).  The current basis stays primal feasible, so
+        a warm ``primal_solve`` continues from it."""
+        self.cost[: self.n] = np.asarray(c, dtype=np.float64)
+        self._xb = self._xb  # basic values unaffected
+
     def set_variable_bounds(self, var_lb: np.ndarray, var_ub: np.ndarray
                             ) -> None:
         """Change structural variable bounds (B&B node bounds)."""

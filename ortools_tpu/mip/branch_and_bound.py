@@ -272,6 +272,8 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
 
     heur_seen: set = set()
 
+    pump_done = [False]
+
     def run_heuristics(x_lp: np.ndarray) -> None:
         """LP-guided rounding + repair + 1-opt (mip/heuristics.py); every
         candidate goes through the same checker as any incumbent."""
@@ -282,6 +284,16 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         for cand in round_and_repair(qp_min, x_lp, int_idx, reopt=reopt,
                                      seen=heur_seen):
             try_incumbent(cand)
+        if not pump_done[0] and incumbent_x is None:
+            # alternating-projection feasibility pump (reference
+            # sat/feasibility_pump.h), once, when rounding found nothing
+            pump_done[0] = True
+            from ortools_tpu.mip.heuristics import feasibility_pump
+
+            for cand in feasibility_pump(
+                    qp_min, int_idx, x_lp,
+                    deadline=start + 0.4 * params.time_limit_sec):
+                try_incumbent(cand)
 
     def run_rins(x_lp: np.ndarray) -> None:
         """RINS (reference sat/rins.{h,cc}): fix integers where the node

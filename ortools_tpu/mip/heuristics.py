@@ -910,3 +910,99 @@ def binary_toggle_ls(
         if not improved:
             break
     return best if improved_any else None
+
+
+def feasibility_pump(
+    qp_min: QuadraticProgram,
+    int_idx: np.ndarray,
+    x_lp: Optional[np.ndarray] = None,
+    max_pumps: int = 60,
+    deadline: float = math.inf,
+    rng: Optional[np.random.Generator] = None,
+) -> List[np.ndarray]:
+    """Proper alternating-projection feasibility pump (reference
+    ``ortools/sat/feasibility_pump.{h,cc}``, Fischetti-Glover-Lodi):
+
+      1. project the current integer point onto the LP relaxation by
+         minimizing the L1 distance over the integer variables (a LINEAR
+         objective: binaries flip sign by rounded value; general integers
+         use a split |x - r| <= s with an auxiliary-free two-slope trick
+         via shifted costs on the two rounding directions);
+      2. round the LP point to the nearest integers;
+      3. on cycling, randomly flip the most-fractional coordinates.
+
+    One warm ``RevisedSimplex`` instance serves every projection (only
+    the objective changes, so the basis stays primal feasible).  Returns
+    integer-valued CANDIDATES for the caller's checker, best-first.
+    """
+    import dataclasses as _dc
+    import time as _time
+
+    from ortools_tpu.glop.simplex import RevisedSimplex
+    from ortools_tpu.utils.status import MPSolverStatus
+
+    rng = rng or np.random.default_rng(7)
+    n = qp_min.num_variables
+    lb = np.asarray(qp_min.variable_lower, dtype=np.float64)
+    ub = np.asarray(qp_min.variable_upper, dtype=np.float64)
+    is_int = np.zeros(n, dtype=bool)
+    is_int[int_idx] = True
+    binary = is_int & (lb >= -1e-9) & (ub <= 1 + 1e-9)
+    if not np.any(is_int):
+        return []
+    try:
+        sx = RevisedSimplex(qp_min)
+    except Exception:
+        return []
+    if x_lp is None:
+        st = sx.primal_solve(deadline=deadline)
+        if st != MPSolverStatus.OPTIMAL:
+            return []
+        x_lp = sx.result(st).primal_solution
+    out: List[np.ndarray] = []
+    seen = set()
+    x = np.array(x_lp, dtype=np.float64)
+    for _ in range(max_pumps):
+        if _time.perf_counter() > deadline:
+            break
+        r = np.round(np.clip(x, lb, ub))
+        key = tuple(r[int_idx].astype(np.int64).tolist())
+        if key in seen:
+            # cycle: flip the most-fractional integer coordinates
+            frac = np.abs(x - np.round(x))
+            order = int_idx[np.argsort(-frac[int_idx])]
+            k = max(2, len(int_idx) // 10)
+            flips = order[:k]
+            r[flips] = np.where(r[flips] > 0.5, 0.0, 1.0) if \
+                np.all(binary[flips]) else np.clip(
+                    r[flips] + rng.integers(-1, 2, len(flips)),
+                    lb[flips], ub[flips])
+            key = tuple(r[int_idx].astype(np.int64).tolist())
+            if key in seen:
+                break
+        seen.add(key)
+        cand = np.array(x)
+        cand[int_idx] = r[int_idx]
+        out.append(cand)
+        # distance objective: for binaries, min sum_{r=0} x + sum_{r=1}(1-x)
+        # -> c = +1 where r=0, -1 where r=1 (constant dropped); general
+        # integers get the one-sided slope toward r (exact for moves that
+        # do not cross r — the pump's standard linearization)
+        c = np.zeros(n)
+        c[int_idx] = np.where(r[int_idx] <= x[int_idx], 1.0, -1.0)
+        c[binary] = np.where(r[binary] > 0.5, -1.0, 1.0)
+        sx.set_objective(c)
+        st = sx.primal_solve(deadline=deadline)
+        if st != MPSolverStatus.OPTIMAL:
+            break
+        x = sx.result(st).primal_solution
+        dist = float(np.abs(x[int_idx] - r[int_idx]).sum())
+        if dist <= 1e-6:
+            # integral LP point: the pump converged to a feasible point
+            cand = np.array(x)
+            cand[int_idx] = np.round(x[int_idx])
+            out.append(cand)
+            break
+    # best-first: later candidates are usually closer to feasibility
+    out.reverse()
+    return out

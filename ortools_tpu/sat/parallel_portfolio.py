@@ -196,7 +196,8 @@ class ParallelPortfolio:
             bound_ct_builder: Callable[[], Optional[ir.ConstraintIR]],
             stop_on_first: bool = False,
             best_provider: Optional[Callable[[], Optional[List[int]]]]
-            = None) -> PortfolioOutcome:
+            = None,
+            best_obj_provider=None) -> PortfolioOutcome:
         self._spawn()
         try:
             if self.shared_tree:

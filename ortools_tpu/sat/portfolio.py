@@ -416,7 +416,47 @@ LNS_GENERATORS = ("random_vars", "random_constraints", "variable_graph",
                   "time_window", "decomposition", "random_intervals",
                   "resource", "routing_path", "constraint_graph",
                   "rectangles", "local_branching", "interior",
-                  "precedences")
+                  "precedences", "objective_focus", "arc_graph")
+
+
+def _lns_objective_focus(work, rng, frac: float, best: List[int]) -> set:
+    """Relax the variables carrying the largest incumbent objective
+    contribution (the 'improve where the cost is' neighborhood — the
+    spirit of cp_model_lns.h's objective-lb focusing generators)."""
+    obj = work.objective
+    if obj is None or not obj.vars:
+        return _lns_random_variables(work, rng, frac)
+    contrib = sorted(
+        ((abs(c * best[v]) if v < len(best) else abs(c), v)
+         for v, c in zip(obj.vars, obj.coeffs)),
+        reverse=True)
+    take = max(2, int(len(contrib) * frac))
+    # randomize the tail so repeated slices differ
+    head = [v for _, v in contrib[:take]]
+    extra = [v for _, v in contrib[take:]]
+    rng.shuffle(extra)
+    return set(head + extra[: take // 2])
+
+
+def _lns_arc_graph(work, rng, frac: float, best: List[int]) -> set:
+    """cp_model_lns.h ArcGraphNeighborhoodGenerator: for circuit/routes
+    models, free the literals of arcs touching a random node bundle plus
+    the arcs active in the incumbent around it."""
+    arcs = []  # (tail, head, literal)
+    for ct in work.constraints:
+        if ct.kind == "circuit":
+            a = ct.args
+            arcs.extend(zip(a.tails, a.heads, a.literals))
+    if not arcs:
+        return _lns_random_variables(work, rng, frac)
+    nodes = {t for t, _, _ in arcs} | {h for _, h, _ in arcs}
+    seeds = rng.sample(sorted(nodes), max(1, int(len(nodes) * frac)))
+    seeds = set(seeds)
+    relax: set = set()
+    for t, h, lit in arcs:
+        if t in seeds or h in seeds:
+            relax.add(ir.literal_index(lit))
+    return relax or _lns_random_variables(work, rng, frac)
 
 
 class LnsWorker:
@@ -439,6 +479,7 @@ class LnsWorker:
 
     def _relax_set(self, best: List[int]) -> set:
         gen = LNS_GENERATORS[self._gen_idx]
+        self.last_generator = gen
         self._gen_idx = (self._gen_idx + 1) % len(LNS_GENERATORS)
         f = LNS_RELAX_FRACTION
         self._extra_cts: List[ir.ConstraintIR] = []
@@ -469,6 +510,10 @@ class LnsWorker:
             return _lns_interior(self.work, self._rng, f, best)
         if gen == "precedences":
             return _lns_precedences(self.work, self._rng, f)
+        if gen == "objective_focus":
+            return _lns_objective_focus(self.work, self._rng, f, best)
+        if gen == "arc_graph":
+            return _lns_arc_graph(self.work, self._rng, f, best)
         return _lns_random_variables(self.work, self._rng, f)
 
     def slice(self, best: Optional[List[int]],
@@ -512,12 +557,98 @@ class PortfolioOutcome:
     outcome: str
     num_branches: int
     num_conflicts: int
+    # proven lower bound on the INTERNAL (minimization-sense, offset
+    # included) objective from the shaving worker, or None
+    proven_bound: Optional[float] = None
+    # worker attribution: which worker produced each improvement/bound
+    wins: Optional[dict] = None
+
+
+class ShavingWorker:
+    """Objective shaving on the incremental LCG core (reference
+    ObjectiveShavingSolver, cp_model_solver.cc:2711): repeatedly probe
+    'objective <= test' with a conflict budget; UNSAT raises the proven
+    LOWER bound, SAT yields an incumbent candidate.  Learnt clauses
+    persist across probes (one native solver instance)."""
+
+    def __init__(self, work: "ir.CpModelIR", deadline: float):
+        self.ok = False
+        self.deadline = deadline
+        obj = work.objective
+        if obj is None or not obj.vars:
+            return
+        try:
+            from ortools_tpu.sat.lcg import compile_model
+        except Exception:
+            return
+        prog = compile_model(work)
+        if prog is None:
+            return
+        self.sense = -1 if obj.maximize else 1
+        merged = {}
+        for v, c in zip(obj.vars, obj.coeffs):
+            merged[v] = merged.get(v, 0) + self.sense * c
+        terms = [(v, c) for v, c in merged.items() if c != 0]
+        if not terms:
+            return
+        doms = [v.domain for v in work.variables]
+        lo = sum(min(c * doms[v].min(), c * doms[v].max())
+                 for v, c in terms)
+        hi = sum(max(c * doms[v].min(), c * doms[v].max())
+                 for v, c in terms)
+        if abs(int(lo)) > 2**50 or abs(int(hi)) > 2**50:
+            return
+        s = prog.s
+        self.obj_x = s.new_int(int(lo), int(hi))
+        s.add_linear([], [prog.xs[v] for v, _ in terms] + [self.obj_x],
+                     [c for _, c in terms] + [-1], 0, 0)
+        self.prog = prog
+        self.s = s
+        self.offset = self.sense * obj.offset
+        self.lb = int(lo)  # proven: obj_sum >= lb
+        self.assumptions = [prog.lit(l) for l in work.assumptions]
+        self.ok = True
+
+    def slice(self, best_internal: Optional[float],
+              conflict_budget: int = 5000):
+        """One probe.  Returns ("bound", internal_lb) | ("solution",
+        values) | None.  ``best_internal`` is the incumbent's internal
+        objective (sense * value, offset included) or None."""
+        import time as _time
+
+        from ortools_tpu.sat.lcg import FALSE_EXT, SAT, TRUE_EXT, UNSAT
+
+        if not self.ok or _time.perf_counter() > self.deadline:
+            return None
+        ub_sum = (int(best_internal - self.offset) - 1
+                  if best_internal is not None else None)
+        if ub_sum is not None and self.lb > ub_sum:
+            return ("bound", float(self.lb + self.offset))
+        if ub_sum is None:
+            probe = self.lb  # no incumbent: probe the trivial bound
+        else:
+            probe = self.lb + max(0, (ub_sum - self.lb) // 4)
+        a = self.s.le(self.obj_x, probe)
+        if a == FALSE_EXT:
+            self.lb = probe + 1
+            return ("bound", float(self.lb + self.offset))
+        extra = [] if a == TRUE_EXT else [a]
+        st = self.s.solve(self.assumptions + extra,
+                          conflict_budget=conflict_budget,
+                          time_budget=max(
+                              0.05, self.deadline - _time.perf_counter()))
+        if st == SAT:
+            return ("solution", self.prog.decode())
+        if st == UNSAT:
+            self.lb = probe + 1
+            return ("bound", float(self.lb + self.offset))
+        return None
 
 
 class InterleavedPortfolio:
     def __init__(self, work: ir.CpModelIR, num_workers: int,
                  deadline: float, max_branches: int,
-                 num_lns: int = 0) -> None:
+                 num_lns: int = 0, use_shaving: bool = True) -> None:
         self.work = work
         n_tree = max(1, num_workers - num_lns)
         self.configs = [
@@ -531,6 +662,22 @@ class InterleavedPortfolio:
         self.max_branches = max_branches
         self.num_branches = 0
         self.num_conflicts = 0
+        self.proven_bound: Optional[float] = None
+        self.wins: dict = {}
+        self.shaver: Optional[ShavingWorker] = None
+        if use_shaving and work.objective is not None and num_workers >= 2:
+            cand = ShavingWorker(work, deadline)
+            if cand.ok:
+                self.shaver = cand
+
+    def _win(self, who: str) -> None:
+        self.wins[who] = self.wins.get(who, 0) + 1
+
+    def _outcome(self, status: str) -> "PortfolioOutcome":
+        return PortfolioOutcome(status, self.num_branches,
+                                self.num_conflicts,
+                                proven_bound=self.proven_bound,
+                                wins=dict(self.wins))
 
     def _build_engines(self, bound_ct: Optional[ir.ConstraintIR]
                        ) -> List[Engine]:
@@ -552,6 +699,8 @@ class InterleavedPortfolio:
             bound_ct_builder: Callable[[], Optional[ir.ConstraintIR]],
             stop_on_first: bool = False,
             best_provider: Optional[Callable[[], Optional[List[int]]]]
+            = None,
+            best_obj_provider: Optional[Callable[[], Optional[float]]]
             = None) -> PortfolioOutcome:
         """Interleave workers until the search is decided.
 
@@ -565,19 +714,15 @@ class InterleavedPortfolio:
             if not e.root_propagate(doms):
                 # bound/root infeasible: proven (any worker's root proof
                 # is a proof for all — same model)
-                return PortfolioOutcome("infeasible",
-                                        self.num_branches,
-                                        self.num_conflicts)
+                return self._outcome("infeasible")
             e.start_search(doms)
 
         active = list(range(len(engines)))
         while True:
             if time.perf_counter() > self.deadline:
-                return PortfolioOutcome("limit", self.num_branches,
-                                        self.num_conflicts)
+                return self._outcome("limit")
             if self.num_branches >= self.max_branches:
-                return PortfolioOutcome("limit", self.num_branches,
-                                        self.num_conflicts)
+                return self._outcome("limit")
             restart = [False]
             found: List[Optional[List[int]]] = [None]
 
@@ -594,10 +739,9 @@ class InterleavedPortfolio:
                     found[0] = None
                     if stop_on_first:
                         self._accumulate(engines)
-                        return PortfolioOutcome(
-                            "stopped", self.num_branches, self.num_conflicts
-                        )
+                        return self._outcome("stopped")
                     if improved:
+                        self._win(f"tree:{self.configs[wi][0]}")
                         restart[0] = True
                         break
                     # not improving: worker continues next slice (its tree
@@ -606,12 +750,10 @@ class InterleavedPortfolio:
                 if outcome == "done":
                     # this worker exhausted the (bounded) tree: proven
                     self._accumulate(engines)
-                    return PortfolioOutcome("optimal", self.num_branches,
-                                            self.num_conflicts)
+                    return self._outcome("optimal")
                 if outcome == "limit":
                     self._accumulate(engines)
-                    return PortfolioOutcome("limit", self.num_branches,
-                                            self.num_conflicts)
+                    return self._outcome("limit")
             # LNS workers: one neighborhood solve per round
             if not restart[0] and self.lns_workers and \
                     best_provider is not None:
@@ -621,8 +763,32 @@ class InterleavedPortfolio:
                         improved = on_candidate(found[0])
                         found[0] = None
                         if improved:
+                            self._win("lns:" + getattr(
+                                lw, "last_generator", "?"))
                             restart[0] = True
                             break
+            # objective shaving (reference ObjectiveShavingSolver): raise
+            # the proven lower bound / find incumbents on the LCG core
+            if not restart[0] and self.shaver is not None:
+                best_obj = (best_obj_provider()
+                            if best_obj_provider is not None else None)
+                r = self.shaver.slice(best_obj)
+                if r is not None:
+                    kind, payload = r
+                    if kind == "solution":
+                        improved = on_candidate(list(payload))
+                        if improved:
+                            self._win("objective_shaving")
+                            restart[0] = True
+                    else:  # proven lower bound (internal sense)
+                        if (self.proven_bound is None
+                                or payload > self.proven_bound):
+                            self.proven_bound = payload
+                            self._win("objective_shaving_bound")
+                        if best_obj is not None and \
+                                self.proven_bound >= best_obj:
+                            self._accumulate(engines)
+                            return self._outcome("optimal")
             if restart[0]:
                 self._accumulate(engines)
                 engines = self._build_engines(bound_ct_builder())
@@ -635,8 +801,7 @@ class InterleavedPortfolio:
                     e.start_search(doms)
                 if dead:
                     # nothing better exists: current incumbent optimal
-                    return PortfolioOutcome("optimal", self.num_branches,
-                                            self.num_conflicts)
+                    return self._outcome("optimal")
                 active = list(range(len(engines)))
 
     def _accumulate(self, engines: List[Engine]) -> None:

@@ -142,7 +142,8 @@ def _solve_portfolio(model, work, obj, params, callback, deadline,
     else:
         try:
             out = pf.run(on_candidate, bound_ct, stop_on_first=obj is None,
-                         best_provider=lambda: state["best"])
+                         best_provider=lambda: state["best"],
+                         best_obj_provider=lambda: state["best_obj"])
         except _ProvedOptimal:
             out = PortfolioOutcome("optimal", pf.num_branches,
                                    pf.num_conflicts)
@@ -170,8 +171,10 @@ def _solve_portfolio(model, work, obj, params, callback, deadline,
     if out.outcome in ("optimal", "infeasible"):
         return resp(SolveStatus.OPTIMAL, best, true_obj, true_obj,
                     pf.num_branches, pf.num_conflicts)
+    # best proven internal-sense lower bound: LP relaxation vs shaving
+    bounds_int = [b for b in (lp_bound, out.proven_bound) if b is not None]
     return resp(SolveStatus.FEASIBLE, best, true_obj,
-                float(sense * lp_bound) if lp_bound is not None
+                float(sense * max(bounds_int)) if bounds_int
                 else (-float("inf") if obj.maximize else float("inf")),
                 pf.num_branches, pf.num_conflicts)
 

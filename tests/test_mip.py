@@ -313,3 +313,33 @@ def test_general_integer_random_mips_fuzz():
             assert r.status in (MPSolverStatus.INFEASIBLE,
                                 MPSolverStatus.NOT_SOLVED), trial
     assert solved >= 5  # the generator produces mostly feasible models
+
+
+def test_feasibility_pump_finds_feasible_point():
+    """Alternating-projection pump (reference sat/feasibility_pump.h):
+    on a fixed-charge instance the plain rounding of the LP point is
+    infeasible; the pump's L1-projection loop must land a feasible one."""
+    import numpy as np
+
+    from ortools_tpu.mip.heuristics import feasibility_pump
+    from ortools_tpu.models.mip_generators import miplib_like_battery
+
+    qp = miplib_like_battery(scale=0.3)[6].as_minimization()  # fixed_charge
+    int_idx = np.nonzero(np.asarray(qp.integrality, bool))[0]
+    cands = feasibility_pump(qp, int_idx)
+    assert cands, "pump produced no candidates"
+    a = qp.constraint_matrix
+    import scipy.sparse as sp
+    a = sp.csr_matrix(a)
+    ok = False
+    for x in cands:
+        ax = a @ x
+        if (np.all(ax >= qp.constraint_lower - 1e-6)
+                and np.all(ax <= qp.constraint_upper + 1e-6)
+                and np.all(x >= qp.variable_lower - 1e-9)
+                and np.all(x <= qp.variable_upper + 1e-9)
+                and np.all(np.abs(x[int_idx] - np.round(x[int_idx]))
+                           <= 1e-6)):
+            ok = True
+            break
+    assert ok, "no pump candidate is feasible"

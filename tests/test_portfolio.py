@@ -343,3 +343,72 @@ def test_interior_and_precedence_generators():
     assert r1 and all(0 < best[v] < 10 for v in r1 if v < 6)
     r2 = _lns_precedences(m.ir, rng, 0.5)
     assert len(r2) >= 2
+
+
+def test_shaving_worker_proves_bound_and_terminates():
+    """Objective shaving (reference ObjectiveShavingSolver,
+    cp_model_solver.cc:2711): with a portfolio that has the shaving
+    worker, a model whose incumbent is found quickly terminates OPTIMAL
+    through the lb==incumbent meeting point."""
+    import time
+
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+    from ortools_tpu.sat.portfolio import ShavingWorker
+
+    m = CpModel()
+    xs = [m.new_int_var(0, 50, f"x{i}") for i in range(4)]
+    m.add(sum(xs) >= 87)
+    m.add(xs[0] - xs[1] <= 5)
+    m.minimize(sum((i + 1) * x for i, x in enumerate(xs)))
+
+    sw = ShavingWorker(m.ir, deadline=time.perf_counter() + 20)
+    assert sw.ok
+    # repeated slices against a loose incumbent raise the proven bound
+    r = sw.slice(best_internal=10_000.0)
+    assert r is not None
+    kinds = {r[0]}
+    for _ in range(30):
+        r = sw.slice(best_internal=10_000.0)
+        if r is None:
+            break
+        kinds.add(r[0])
+    assert "bound" in kinds or "solution" in kinds
+
+    s = CpSolver()
+    s.parameters.num_workers = 4
+    s.parameters.max_time_in_seconds = 30
+    st = s.solve(m)
+    assert s.status_name(st) in ("OPTIMAL", "FEASIBLE")
+    assert s.objective_value == 128  # x0=46, x1=41 balances the two rows
+
+
+def test_new_lns_generators_run():
+    from ortools_tpu.sat.portfolio import (LNS_GENERATORS,
+                                           _lns_arc_graph,
+                                           _lns_objective_focus)
+    import random
+
+    from ortools_tpu.sat.cp_model import CpModel
+
+    assert "objective_focus" in LNS_GENERATORS
+    assert "arc_graph" in LNS_GENERATORS
+    m = CpModel()
+    xs = [m.new_int_var(0, 5, f"x{i}") for i in range(8)]
+    m.minimize(sum((i + 1) * x for i, x in enumerate(xs)))
+    rng = random.Random(0)
+    rel = _lns_objective_focus(m.ir, rng, 0.3, [1] * 8)
+    assert rel and rel <= set(range(8))
+    # circuit model for arc_graph
+    m2 = CpModel()
+    lits = {}
+    n = 4
+    arcs = []
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                b = m2.new_bool_var(f"a{i}_{j}")
+                lits[i, j] = b
+                arcs.append((i, j, b))
+    m2.add_circuit(arcs)
+    rel2 = _lns_arc_graph(m2.ir, random.Random(1), 0.3, [0] * len(m2.ir.variables))
+    assert rel2
