@@ -124,23 +124,23 @@ class TiledSpmv:
         return total / max(1, self.num_real_blocks)
 
 
-def _choose_layout(nb: int, row_blocks: int, nsc: int,
-                   block_bytes: int) -> Tuple[int, int]:
+def _choose_layout(br: np.ndarray, bc: np.ndarray, row_blocks: int,
+                   nsc: int, block_bytes: int) -> Tuple[int, int]:
     """Pick (chunk C, super-row height SRH) minimizing modeled cost:
-    padded slab bytes + per-step overhead, with a penalty for the wider
-    scatter one-hot of tall super-rows."""
+    EXACT padded slab bytes (from the real block distribution) + per-step
+    overhead, with a penalty for the wider scatter one-hot of tall
+    super-rows."""
     best = None
     base_rows = max(1, _ceil_to(row_blocks, 128) // 128)
+    nb = len(br)
     for srh in (1, 2, 4, 8):
-        if srh > base_rows:
+        if srh > base_rows and srh != 1:
             break
+        # exact per-(sr, sc)-group block counts for this super-row height
+        keys = (br // (128 * srh)) * nsc + bc // 128
+        _, counts = np.unique(keys, return_counts=True)
         for c in (128, 256, 512):
-            # worst-case padding: one partial chunk per (sr, sc) group
-            nsr = _ceil_to(base_rows, srh) // srh
-            groups = min(nb, nsr * nsc) or 1
-            nchunk = 0
-            per_group = nb / groups
-            nchunk = groups * max(1, int(np.ceil(per_group / c)))
+            nchunk = int(np.ceil(counts / c).sum()) if nb else 1
             bytes_total = nchunk * c * block_bytes
             # scatter penalty: extra one-hot width per extra 128 lanes of
             # super-row height (hits the fast stream's single pass most)
@@ -176,7 +176,7 @@ def pack_tiled(
     nsc = max(1, _ceil_to(nn // bn, 128) // 128)
     if chunk_size is None or super_row_height is None:
         c_auto, srh_auto = _choose_layout(
-            max(nb, 1), row_blocks, nsc,
+            br, bc, row_blocks, nsc,
             bm * bn * np.dtype(np.float32).itemsize)
         c_sz = chunk_size or c_auto
         srh = super_row_height or srh_auto
