@@ -154,6 +154,11 @@ class SimplexNodeBackend:
 
         import jax.numpy as jnp
 
+        remaining = (deadline - _time.perf_counter()
+                     if math.isfinite(deadline) else 60.0)
+        if remaining < 3.0:
+            # a cold PDHG solve costs a jit compile; not worth starting
+            return None, None, None, math.nan
         dtype = (jnp.float64 if _jax.config.read("jax_enable_x64")
                  else jnp.float32)
         params = PdhgParams(
@@ -161,8 +166,7 @@ class SimplexNodeBackend:
             eps_optimal_absolute=1e-7 if dtype == jnp.float64 else 1e-6,
             eps_optimal_relative=1e-7 if dtype == jnp.float64 else 1e-6,
             iteration_limit=50_000,
-            time_sec_limit=max(1.0, deadline - _time.perf_counter())
-            if math.isfinite(deadline) else 60.0,
+            time_sec_limit=min(15.0, remaining),
         )
         qp_node = _dc.replace(self.qp, variable_lower=np.asarray(lb),
                               variable_upper=np.asarray(ub))

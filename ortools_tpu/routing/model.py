@@ -58,6 +58,10 @@ class RoutingSearchParameters:
     solution_limit: int = 2**31
     gls_penalty_factor: float = 0.1
     log_search: bool = False
+    # local-search operator depth: 1 = round-3 set (2-opt + relocate-1),
+    # 2 = full catalogue (+ Or-opt chains 2-3, cross-exchange,
+    # make-active/make-inactive).  Kept as a knob for ablation.
+    ls_operator_level: int = 2
 
 
 def default_routing_search_parameters() -> RoutingSearchParameters:
@@ -666,10 +670,26 @@ class RoutingModel:
             return c
 
         cur = [list(r) for r in routes]
-        improved = True
-        while time.perf_counter() < deadline:
+        cur_dropped = list(dropped)
+        # which node belongs to which disjunction penalty (make-inactive /
+        # make-active operator support; reference MakeActiveOperator /
+        # MakeInactiveOperator, constraint_solveri.h:912-1300)
+        node_penalty: Dict[int, int] = {}
+        for idxs, pen in self._disjunctions:
+            for i in idxs:
+                node_penalty[i] = pen
+
+        def trial_ok(trial, touched) -> bool:
+            """Filter-style acceptance: only the TOUCHED routes re-check
+            dimension feasibility (the others are unchanged), then the
+            global pickup&delivery / resource filters run."""
+            for v in touched:
+                if not self._route_feasible(trial[v], v, dims):
+                    return False
+            return self._pd_ok(trial) and self._resources_ok(trial, dims)
+
+        def two_opt_pass() -> bool:
             improved = False
-            # 2-opt within each route
             for v, r in enumerate(cur):
                 n = len(r)
                 if n < 2:
@@ -677,73 +697,150 @@ class RoutingModel:
                 seq = [mgr._starts[v]] + r + [mgr._ends[v]]
                 for i in range(n - 1):
                     for j in range(i + 1, n):
-                        # reversing r[i..j] swaps arcs (a,b),(c,d) for
-                        # (a,c),(b,d); exact for symmetric costs — used as
-                        # a filter, the exact objective decides acceptance
                         a, b = seq[i], seq[i + 1]
                         c, d = seq[j + 1], seq[j + 2]
-                        delta = (
-                            penalized(v, a, c) + penalized(v, b, d)
-                            - penalized(v, a, b) - penalized(v, c, d)
-                        )
-                        if delta < 0:
-                            cand = r[:i] + r[i:j + 1][::-1] + r[j + 1:]
-                            if not self._route_feasible(cand, v, dims):
-                                continue
-                            trial = [list(x) for x in cur]
-                            trial[v] = cand
-                            if not self._pd_ok(trial) or \
-                                    not self._resources_ok(trial, dims):
-                                continue
-                            if self._objective(trial, [], cost, optional) < \
-                               self._objective(cur, [], cost, optional):
-                                cur[v] = cand
-                                r = cand
-                                seq = [mgr._starts[v]] + r + [mgr._ends[v]]
-                                improved = True
-            # relocate (Or-opt size 1): intra- and inter-route
+                        delta = (penalized(v, a, c) + penalized(v, b, d)
+                                 - penalized(v, a, b) - penalized(v, c, d))
+                        if delta >= 0:
+                            continue
+                        cand = r[:i] + r[i:j + 1][::-1] + r[j + 1:]
+                        trial = [list(x) for x in cur]
+                        trial[v] = cand
+                        if not trial_ok(trial, [v]):
+                            continue
+                        if self._objective(trial, cur_dropped, cost,
+                                           optional) < \
+                                self._objective(cur, cur_dropped, cost,
+                                                optional):
+                            cur[v] = cand
+                            r = cand
+                            seq = [mgr._starts[v]] + r + [mgr._ends[v]]
+                            improved = True
+            return improved
+
+        def or_opt_pass(seg_len: int) -> bool:
+            """Chain relocate (Or-opt): move a segment of ``seg_len``
+            consecutive visits, intra- or inter-route (reference
+            RELOCATE/OROPT path operators)."""
+            base_obj = self._objective(cur, cur_dropped, cost, optional)
             for v1 in range(len(cur)):
-                for pos1 in range(len(cur[v1])):
-                    node = cur[v1][pos1]
+                r1 = cur[v1]
+                for pos1 in range(len(r1) - seg_len + 1):
+                    seg = r1[pos1:pos1 + seg_len]
+                    removed = r1[:pos1] + r1[pos1 + seg_len:]
                     for v2 in range(len(cur)):
-                        removed = cur[v1][:pos1] + cur[v1][pos1 + 1:]
                         base2 = removed if v2 == v1 else cur[v2]
                         for pos2 in range(len(base2) + 1):
                             if v2 == v1 and pos2 == pos1:
                                 continue
-                            r2 = base2[:pos2] + [node] + base2[pos2:]
+                            r2 = base2[:pos2] + seg + base2[pos2:]
                             trial = [list(r) for r in cur]
                             if v2 == v1:
                                 trial[v1] = r2
-                                if not self._route_feasible(r2, v1, dims):
-                                    continue
+                                touched = [v1]
                             else:
                                 trial[v1] = removed
                                 trial[v2] = r2
-                                if not self._route_feasible(removed, v1,
-                                                            dims):
-                                    continue
-                                if not self._route_feasible(r2, v2, dims):
-                                    continue
-                            if not self._pd_ok(trial) or \
-                                    not self._resources_ok(trial, dims):
+                                touched = [v1, v2]
+                            if not trial_ok(trial, touched):
                                 continue
-                            old = self._objective(cur, [], cost, optional)
-                            new = self._objective(trial, [], cost, optional)
-                            if new < old:
-                                cur = trial
-                                improved = True
-                                break
-                        if improved:
-                            break
-                    if improved:
-                        break
-                if improved:
+                            if self._objective(trial, cur_dropped, cost,
+                                               optional) < base_obj:
+                                cur[:] = trial
+                                return True
+            return False
+
+        def cross_exchange_pass() -> bool:
+            """Swap segments (length 1..2) between two routes (reference
+            CROSS/EXCHANGE operators, constraint_solveri.h:912)."""
+            base_obj = self._objective(cur, cur_dropped, cost, optional)
+            nv = len(cur)
+            for v1 in range(nv):
+                for v2 in range(v1 + 1, nv):
+                    for l1 in (1, 2):
+                        for l2 in (1, 2):
+                            r1, r2 = cur[v1], cur[v2]
+                            for p1 in range(len(r1) - l1 + 1):
+                                s1 = r1[p1:p1 + l1]
+                                for p2 in range(len(r2) - l2 + 1):
+                                    s2 = r2[p2:p2 + l2]
+                                    n1 = r1[:p1] + s2 + r1[p1 + l1:]
+                                    n2 = r2[:p2] + s1 + r2[p2 + l2:]
+                                    trial = [list(r) for r in cur]
+                                    trial[v1], trial[v2] = n1, n2
+                                    if not trial_ok(trial, [v1, v2]):
+                                        continue
+                                    if self._objective(
+                                            trial, cur_dropped, cost,
+                                            optional) < base_obj:
+                                        cur[:] = trial
+                                        return True
+            return False
+
+        def make_active_pass() -> bool:
+            """Re-insert a dropped (disjunction) node at its cheapest
+            feasible position when that beats paying the penalty."""
+            if not cur_dropped:
+                return False
+            base_obj = self._objective(cur, cur_dropped, cost, optional)
+            for node in list(cur_dropped):
+                for v in range(len(cur)):
+                    r = cur[v]
+                    for pos in range(len(r) + 1):
+                        trial = [list(x) for x in cur]
+                        trial[v] = r[:pos] + [node] + r[pos:]
+                        if not trial_ok(trial, [v]):
+                            continue
+                        nd = [d for d in cur_dropped if d != node]
+                        if self._objective(trial, nd, cost,
+                                           optional) < base_obj:
+                            cur[:] = trial
+                            cur_dropped.remove(node)
+                            return True
+            return False
+
+        def make_inactive_pass() -> bool:
+            """Drop an optional node whose detour exceeds its penalty."""
+            base_obj = self._objective(cur, cur_dropped, cost, optional)
+            for v in range(len(cur)):
+                r = cur[v]
+                for pos, node in enumerate(r):
+                    if node not in node_penalty:
+                        continue
+                    trial = [list(x) for x in cur]
+                    trial[v] = r[:pos] + r[pos + 1:]
+                    if not trial_ok(trial, [v]):
+                        continue
+                    nd = cur_dropped + [node]
+                    if self._objective(trial, nd, cost,
+                                       optional) < base_obj:
+                        cur[:] = trial
+                        cur_dropped.append(node)
+                        return True
+            return False
+
+        if getattr(params, "ls_operator_level", 2) <= 1:
+            operators = [two_opt_pass, lambda: or_opt_pass(1)]
+        else:
+            operators = [two_opt_pass,
+                         lambda: or_opt_pass(1),
+                         lambda: or_opt_pass(2),
+                         lambda: or_opt_pass(3),
+                         cross_exchange_pass,
+                         make_active_pass,
+                         make_inactive_pass]
+        while time.perf_counter() < deadline:
+            improved = False
+            for op in operators:
+                if time.perf_counter() >= deadline:
                     break
-            obj = self._objective(cur, best_dropped, cost, optional)
+                if op():
+                    improved = True
+            obj = self._objective(cur, cur_dropped, cost, optional)
             if obj < best_obj:
                 best_obj = obj
                 best_routes = [list(r) for r in cur]
+                best_dropped = list(cur_dropped)
             if not improved:
                 if not use_gls:
                     break
