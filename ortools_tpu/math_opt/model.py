@@ -124,7 +124,14 @@ class SolveResult:
 
 
 def solve(model: Model, solver_type: SolverType = SolverType.GLOP,
+          message_callback=None, solution_callback=None,
           **params) -> SolveResult:
+    """Solve; optional callbacks (reference math_opt callback.proto):
+
+    - ``message_callback(lines: list[str])`` — solve log messages;
+    - ``solution_callback(values: dict[Variable, float], objective)`` —
+      every NEW MIP incumbent (MIP_SOLUTION event; MIP/CP paths only).
+    """
     backend = {
         SolverType.GLOP: "glop",
         SolverType.PDLP: "pdlp",
@@ -133,7 +140,22 @@ def solve(model: Model, solver_type: SolverType = SolverType.GLOP,
         SolverType.HIGHS: "glop",
     }[solver_type]
     s = _MbSolver(backend)
+    if message_callback is not None:
+        message_callback([
+            f"math_opt: solving '{model.name}' with {backend}",
+            f"  variables={model.storage.num_variables} "
+            f"constraints={model.storage.num_constraints}",
+        ])
+    if solution_callback is not None and backend in ("sat", "mip"):
+        def _on_incumbent(x, obj):
+            solution_callback({i: float(xi) for i, xi in enumerate(x)},
+                              float(obj))
+
+        params = dict(params)
+        params["new_incumbent_callback"] = _on_incumbent
     status = s.solve(model.storage, **params)
+    if message_callback is not None:
+        message_callback([f"math_opt: done — {status.name}"])
     reason = {
         MPSolverStatus.OPTIMAL: TerminationReason.OPTIMAL,
         MPSolverStatus.FEASIBLE: TerminationReason.FEASIBLE,
@@ -338,3 +360,98 @@ class _SimplexShim:
     def value(self, expr) -> float:
         return float(expr.offset + sum(
             c * self._values[i] for i, c in expr.coeffs.items()))
+
+
+# ---------------------------------------------------------------------------
+# Infeasible subsystem computation (reference
+# math_opt/infeasible_subsystem.proto + compute_infeasible_subsystem)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ModelSubset:
+    """Which parts of the model form the (irreducible) infeasible core
+    (reference ModelSubsetProto): row indices and variable indices whose
+    BOUNDS participate."""
+
+    linear_constraints: list
+    variable_bounds: list
+
+
+@dataclasses.dataclass
+class ComputeInfeasibleSubsystemResult:
+    feasibility: TerminationReason  # INFEASIBLE / OPTIMAL(=feasible)
+    infeasible_subsystem: ModelSubset
+    is_minimal: bool
+
+
+def compute_infeasible_subsystem(
+        model: Model, max_rows: int = 2000
+) -> ComputeInfeasibleSubsystemResult:
+    """Irreducible infeasible subsystem via the deletion filter
+    (reference math_opt compute_infeasible_subsystem; LP bounds/rows
+    scope).  Integer requirements are relaxed first — an IIS of the LP
+    relaxation is an infeasibility certificate for the MIP too (the
+    converse gap, integer-only infeasibility, reports non-minimal
+    feasible=INFEASIBLE with every row, matching the reference's
+    'undetermined' escape hatch).
+    """
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from ortools_tpu.glop.simplex import solve as _glop_solve
+
+    qp = model.storage.to_qp()
+    qp = _dc.replace(qp, objective_vector=np.zeros(qp.num_variables),
+                     integrality=None, maximize=False)
+
+    def feasible(q) -> bool:
+        r = _glop_solve(q)
+        return r.status not in (MPSolverStatus.INFEASIBLE,)
+
+    if feasible(qp):
+        return ComputeInfeasibleSubsystemResult(
+            TerminationReason.OPTIMAL, ModelSubset([], []), True)
+    m, n = qp.num_constraints, qp.num_variables
+    if m + n > max_rows:
+        return ComputeInfeasibleSubsystemResult(
+            TerminationReason.INFEASIBLE,
+            ModelSubset(list(range(m)), list(range(n))), False)
+
+    cl = np.array(qp.constraint_lower, dtype=float)
+    cu = np.array(qp.constraint_upper, dtype=float)
+    vl = np.array(qp.variable_lower, dtype=float)
+    vu = np.array(qp.variable_upper, dtype=float)
+
+    def build(rows_on, vars_on):
+        q = _dc.replace(
+            qp,
+            constraint_lower=np.where(rows_on, cl, -np.inf),
+            constraint_upper=np.where(rows_on, cu, np.inf),
+            variable_lower=np.where(vars_on, vl, -np.inf),
+            variable_upper=np.where(vars_on, vu, np.inf),
+        )
+        return q
+
+    rows_on = np.ones(m, dtype=bool)
+    vars_on = np.ones(n, dtype=bool)
+    # deletion filter: drop each row/bound; if still infeasible without
+    # it, it is not needed in the core
+    for i in range(m):
+        rows_on[i] = False
+        if feasible(build(rows_on, vars_on)):
+            rows_on[i] = True
+    for j in range(n):
+        if not (np.isfinite(vl[j]) or np.isfinite(vu[j])):
+            continue
+        vars_on[j] = False
+        if feasible(build(rows_on, vars_on)):
+            vars_on[j] = True
+    subset = ModelSubset(
+        [int(i) for i in np.nonzero(rows_on)[0]],
+        [int(j) for j in np.nonzero(vars_on)[0]
+         if np.isfinite(vl[j]) or np.isfinite(vu[j])],
+    )
+    return ComputeInfeasibleSubsystemResult(
+        TerminationReason.INFEASIBLE, subset, True)

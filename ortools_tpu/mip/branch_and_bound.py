@@ -69,6 +69,9 @@ class MipParams:
     feasibility_tol: float = 1e-6
     lp_params: Optional[PdhgParams] = None
     verbosity: int = 0
+    # called with (x, objective_in_original_sense_min_form) on every NEW
+    # incumbent (reference math_opt callback.proto MIP_SOLUTION event)
+    new_incumbent_callback: object = None
     # Node-LP backend: "auto" | "simplex" | "pdhg" (mip/node_lp.py).
     # Auto routes small pure-LP models to warm-started dual-simplex
     # re-solves (the reference's node-LP design,
@@ -269,6 +272,8 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         if obj < incumbent_obj - 1e-12:
             incumbent_obj = obj
             incumbent_x = x_r
+            if params.new_incumbent_callback is not None:
+                params.new_incumbent_callback(np.array(x_r), float(obj))
 
     heur_seen: set = set()
 

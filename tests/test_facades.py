@@ -307,3 +307,59 @@ def test_bop_portfolio_proves_small_instance():
     r = solve_boolean_lp(qp, time_limit_sec=15)
     assert r.status == SolveStatus.OPTIMAL
     assert abs(r.objective_value - (-7.0)) < 1e-9
+
+
+def test_math_opt_infeasible_subsystem():
+    """reference math_opt/infeasible_subsystem.proto +
+    compute_infeasible_subsystem: deletion-filter IIS over rows and
+    variable bounds."""
+    from ortools_tpu import math_opt as mo
+
+    m = mo.Model("iis")
+    x = m.add_variable(lb=0.0, ub=10.0, name="x")
+    y = m.add_variable(lb=0.0, ub=10.0, name="y")
+    c1 = m.add_linear_constraint(x + y >= 12)   # conflicts with c2
+    c2 = m.add_linear_constraint(x + y <= 8)
+    m.add_linear_constraint(x - y <= 3)         # irrelevant
+    r = mo.compute_infeasible_subsystem(m)
+    assert r.feasibility == mo.TerminationReason.INFEASIBLE
+    assert r.is_minimal
+    assert sorted(r.infeasible_subsystem.linear_constraints) == [0, 1]
+    # a feasible model reports feasible with an empty subset
+    m2 = mo.Model("ok")
+    a = m2.add_variable(lb=0.0, ub=1.0)
+    m2.add_linear_constraint(a <= 1)
+    r2 = mo.compute_infeasible_subsystem(m2)
+    assert r2.feasibility == mo.TerminationReason.OPTIMAL
+    assert r2.infeasible_subsystem.linear_constraints == []
+
+
+def test_math_opt_bound_only_iis():
+    from ortools_tpu import math_opt as mo
+
+    m = mo.Model("bounds")
+    x = m.add_variable(lb=5.0, ub=10.0)
+    m.add_linear_constraint(x <= 2)  # conflicts with x's lower bound
+    r = mo.compute_infeasible_subsystem(m)
+    assert r.feasibility == mo.TerminationReason.INFEASIBLE
+    assert r.infeasible_subsystem.linear_constraints == [0]
+    assert r.infeasible_subsystem.variable_bounds == [0]
+
+
+def test_math_opt_callbacks():
+    """reference math_opt callback.proto: message + MIP-solution
+    callbacks."""
+    from ortools_tpu import math_opt as mo
+
+    m = mo.Model("cb")
+    xs = [m.add_binary_variable(name=f"b{i}") for i in range(6)]
+    m.add_linear_constraint(sum(xs) >= 3)
+    m.minimize(sum((i + 1) * x for i, x in enumerate(xs)))
+    msgs = []
+    sols = []
+    r = mo.solve(m, mo.SolverType.GSCIP,
+                 message_callback=lambda lines: msgs.extend(lines),
+                 solution_callback=lambda vals, obj: sols.append(obj))
+    assert r.termination.reason == mo.TerminationReason.OPTIMAL
+    assert any("math_opt" in s for s in msgs)
+    assert sols and min(sols) == r.objective_value() == 6.0
