@@ -77,8 +77,13 @@ class _Factorization:
                 # scipy's splu WARNS (not raises) on an exactly singular
                 # basis and then produces NaN solves; promote to an error
                 # so callers repair the basis instead of silently
-                # poisoning every reduced cost downstream.
+                # poisoning every reduced cost downstream.  (Depending on
+                # the scipy version the category is MatrixRankWarning or
+                # linalg's LinAlgWarning.)
+                from scipy.linalg import LinAlgWarning as _LAW
+
                 _warnings.simplefilter("error", spla.MatrixRankWarning)
+                _warnings.simplefilter("error", _LAW)
                 self._splu = spla.splu(sp.csc_matrix(b_mat),
                                        permc_spec="COLAMD")
             self.lu = None
