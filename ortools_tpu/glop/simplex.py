@@ -220,6 +220,65 @@ class RevisedSimplex:
         bad_up = nb & (st == _AT_UPPER) & ~up_fin
         st[bad_up] = np.where(lo_fin[bad_up], _AT_LOWER, _FREE)
 
+    # -- anti-cycling perturbations ----------------------------------------
+    # Reference: glop shifts bounds / perturbs costs to break degenerate
+    # cycling (GlopParameters relative_cost_perturbation + the bound-shift
+    # logic of revised_simplex.cc) and removes the perturbation before
+    # claiming optimality.  Here: primal degeneracy -> shift finite bounds
+    # outward by tiny deterministic amounts (ratio steps become strictly
+    # positive), then restore + dual-simplex cleanup; dual degeneracy ->
+    # perturb costs in the dual-feasible direction, then restore +
+    # primal-simplex cleanup.  Both restores are exact (saved copies).
+    _MAX_PERTURB_ROUNDS = 3
+
+    def _shift_bounds(self) -> None:
+        if getattr(self, "_lb_orig", None) is not None:
+            return
+        self._lb_orig = self.lb.copy()
+        self._ub_orig = self.ub.copy()
+        rng = np.random.default_rng(self.total)
+        u = 0.5 + rng.random(self.total)
+        eps = 1e-7 * u
+        lo_fin = np.isfinite(self.lb)
+        up_fin = np.isfinite(self.ub)
+        self.lb = np.where(lo_fin, self.lb - eps * (1.0 + np.abs(self.lb)),
+                           self.lb)
+        self.ub = np.where(up_fin, self.ub + eps * (1.0 + np.abs(self.ub)),
+                           self.ub)
+        self._xb = None
+
+    def _restore_bounds(self) -> bool:
+        """Returns True when bounds were shifted (and are now restored)."""
+        if getattr(self, "_lb_orig", None) is None:
+            return False
+        self.lb = self._lb_orig
+        self.ub = self._ub_orig
+        self._lb_orig = self._ub_orig = None
+        self._xb = None
+        return True
+
+    def _perturb_costs(self) -> None:
+        if getattr(self, "_cost_orig", None) is not None:
+            return
+        self._cost_orig = self.cost.copy()
+        rng = np.random.default_rng(self.total + 1)
+        u = 0.5 + rng.random(self.total)
+        eps = 1e-7 * u * (1.0 + np.abs(self.cost))
+        # perturb in the dual-feasible direction for the CURRENT statuses:
+        # d_j must stay >= 0 at lower bounds and <= 0 at upper bounds.
+        nb = ~self.in_basis
+        delta = np.zeros(self.total)
+        delta[nb & (self.nb_status == _AT_LOWER)] = 1.0
+        delta[nb & (self.nb_status == _AT_UPPER)] = -1.0
+        self.cost = self.cost + eps * delta
+
+    def _restore_costs(self) -> bool:
+        if getattr(self, "_cost_orig", None) is None:
+            return False
+        self.cost = self._cost_orig
+        self._cost_orig = None
+        return True
+
     # -- linear algebra helpers -------------------------------------------
     def _refactorize(self) -> bool:
         try:
@@ -327,6 +386,15 @@ class RevisedSimplex:
     def primal_solve(self, max_iterations: int = 50_000, tol: float = 1e-9,
                      deadline: float = math.inf) -> MPSolverStatus:
         """Two-phase primal simplex from the current basis."""
+        try:
+            return self._primal_loop(max_iterations, tol, deadline)
+        finally:
+            # safety net: no exit path may leave shifted bounds behind
+            # (the OPTIMAL path restores + cleans up explicitly first)
+            self._restore_bounds()
+
+    def _primal_loop(self, max_iterations: int, tol: float,
+                     deadline: float) -> MPSolverStatus:
         if self.m == 0:
             return MPSolverStatus.OPTIMAL
         if not self._refactorize():
@@ -388,7 +456,17 @@ class RevisedSimplex:
                         self._xb = None
                         continue
                     if phase == 1:
+                        # shifted bounds RELAX the problem: relaxed
+                        # infeasible => original infeasible (sound)
+                        self._restore_bounds()
                         return MPSolverStatus.INFEASIBLE
+                    if self._restore_bounds():
+                        # optimal for the shifted bounds only; the basis
+                        # stays dual feasible under bound restoration, so
+                        # dual simplex is the exact cleanup
+                        return self.dual_solve(
+                            max_iterations=max_iterations,
+                            deadline=deadline)
                     return (MPSolverStatus.OPTIMAL
                             if self._certify_optimal()
                             else MPSolverStatus.ABNORMAL)
@@ -453,10 +531,19 @@ class RevisedSimplex:
                 self.iters += 1
                 degenerate_steps = (degenerate_steps + 1 if t_max <= 1e-12
                                     else 0)
+                if degenerate_steps > 300:
+                    rounds = getattr(self, "_perturb_rounds", 0)
+                    if (rounds < self._MAX_PERTURB_ROUNDS
+                            and getattr(self, "_lb_orig", None) is None):
+                        self._perturb_rounds = rounds + 1
+                        self._shift_bounds()
+                        degenerate_steps = 0
+                        continue
                 if degenerate_steps > 3000:
-                    # cycling despite Bland entering (the ratio-test
-                    # leaving rule is not Bland-consistent): give up
-                    # cleanly — callers fall back to another LP engine
+                    # cycling despite Bland entering + perturbation:
+                    # give up cleanly — callers fall back to another
+                    # LP engine
+                    self._restore_bounds()
                     return MPSolverStatus.ABNORMAL
                 if leaving_pos < 0:
                     self.nb_status[entering] = (
@@ -504,6 +591,13 @@ class RevisedSimplex:
         from changed BOUNDS are driven out.  Falls back to ABNORMAL when
         dual feasibility is violated (caller should primal-solve instead).
         """
+        try:
+            return self._dual_loop(max_iterations, tol, deadline)
+        finally:
+            self._restore_costs()
+
+    def _dual_loop(self, max_iterations: int, tol: float,
+                   deadline: float) -> MPSolverStatus:
         if self.m == 0:
             return MPSolverStatus.OPTIMAL
         if not self._refactorize():
@@ -515,6 +609,7 @@ class RevisedSimplex:
         # initialization to ones — any positive weights give a correct
         # algorithm; exactness improves as pivots update them.
         dse = np.ones(self.m)
+        degenerate_steps = 0
         for it in range(max_iterations):
             if (it & 127) == 0 and math.isfinite(deadline) \
                     and time.perf_counter() > deadline:
@@ -540,6 +635,13 @@ class RevisedSimplex:
             viol = np.maximum(below, above)
             feas = viol <= tol * (1.0 + np.abs(xb))
             if feas.all():
+                if self._restore_costs():
+                    # optimal for the PERTURBED costs only; bounds were
+                    # never touched, so the basis is primal feasible for
+                    # the true problem — primal simplex is the exact
+                    # cleanup for the (slightly) broken dual feasibility
+                    return self.primal_solve(max_iterations=max_iterations,
+                                             deadline=deadline)
                 # primal feasible again — certify before claiming
                 if self._certify_optimal():
                     return MPSolverStatus.OPTIMAL
@@ -608,6 +710,23 @@ class RevisedSimplex:
             # its violated bound; reduced costs shift along the alpha row.
             tgt = ubb[r] if leaving_above else lbb[r]
             t = (xb[r] - tgt) / w[r]
+            # dual degeneracy: the entering column's reduced cost is ~0,
+            # so the dual objective does not move — cost perturbation
+            # breaks the tie set exactly like glop's
+            # relative_cost_perturbation
+            dual_step = abs(d[entering]) if d is not None else 1.0
+            degenerate_steps = (degenerate_steps + 1 if dual_step <= 1e-12
+                                else 0)
+            if degenerate_steps > 300:
+                rounds = getattr(self, "_perturb_rounds", 0)
+                if (rounds < self._MAX_PERTURB_ROUNDS
+                        and getattr(self, "_cost_orig", None) is None):
+                    self._perturb_rounds = rounds + 1
+                    self._perturb_costs()
+                    d = None
+                    degenerate_steps = 0
+            if degenerate_steps > 3000:
+                return MPSolverStatus.ABNORMAL
             nbv_e = (self.lb[entering]
                      if self.nb_status[entering] == _AT_LOWER
                      else self.ub[entering]

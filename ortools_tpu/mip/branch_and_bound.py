@@ -456,6 +456,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                 a, qp_min.constraint_lower, qp_min.constraint_upper,
                 lb0, ub0, integrality, x_root,
                 max_cuts=params.max_cuts_per_round,
+                enable_zero_half=True,
             )
             if pool is None:
                 break

@@ -612,12 +612,10 @@ def generate_cuts(
                                  min_violation))
     if enable_zero_half:
         # {0,1/2}-CG cuts are exact half-sums of existing rows: valid and
-        # tightening, but the parallel/dependent rows they add currently
-        # trigger degenerate cycling in glop/simplex.py (the certification
-        # layer keeps results SOUND — every claim is re-verified — at the
-        # cost of falling back to PDHG node solves).  Off by default in
-        # the B&B until the simplex gets bound-perturbation anti-cycling;
-        # the separator itself is correct and unit-tested.
+        # tightening, but the parallel/dependent rows they add make the
+        # node LPs highly degenerate.  Enabled at the B&B root now that
+        # glop/simplex.py carries bound-shift / cost-perturbation
+        # anti-cycling; off by default for other callers.
         found.extend(_zero_half_cuts(a, con_lb, con_ub, var_lb, var_ub,
                                      is_int, x_lp, min_violation))
     indptr, indices, data = a.indptr, a.indices, a.data

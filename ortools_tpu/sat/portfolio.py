@@ -15,6 +15,7 @@ single strategy running longer.
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from typing import Callable, List, Optional, Tuple
 
@@ -645,6 +646,161 @@ class ShavingWorker:
         return None
 
 
+class LbTreeWorker:
+    """Lower-bound tree search on the incremental LCG core (reference
+    ``ortools/sat/lb_tree_search.h``): an explicit tree of decisions whose
+    open leaves each carry a PROVEN lower bound on the objective inside
+    their subtree; the global proven bound is the minimum over open
+    leaves.  Each slice takes the weakest leaf and either (a) raises its
+    bound by a budgeted UNSAT probe of ``objective <= target`` under the
+    leaf's decisions, (b) finds an incumbent (the probe is SAT), or
+    (c) branches the leaf when the probe is inconclusive.  Learnt clauses
+    persist globally across probes (assumption-based solves)."""
+
+    _MAX_LEAVES = 512
+
+    def __init__(self, work: "ir.CpModelIR", deadline: float):
+        self.ok = False
+        self.deadline = deadline
+        obj = work.objective
+        if obj is None or not obj.vars:
+            return
+        try:
+            from ortools_tpu.sat.lcg import compile_model
+        except Exception:
+            return
+        prog = compile_model(work)
+        if prog is None:
+            return
+        self.sense = -1 if obj.maximize else 1
+        merged: dict = {}
+        for v, c in zip(obj.vars, obj.coeffs):
+            merged[v] = merged.get(v, 0) + self.sense * c
+        terms = [(v, c) for v, c in merged.items() if c != 0]
+        if not terms:
+            return
+        doms = [v.domain for v in work.variables]
+        lo = sum(min(c * doms[v].min(), c * doms[v].max())
+                 for v, c in terms)
+        hi = sum(max(c * doms[v].min(), c * doms[v].max())
+                 for v, c in terms)
+        if abs(int(lo)) > 2**50 or abs(int(hi)) > 2**50:
+            return
+        s = prog.s
+        self.obj_x = s.new_int(int(lo), int(hi))
+        s.add_linear([], [prog.xs[v] for v, _ in terms] + [self.obj_x],
+                     [c for _, c in terms] + [-1], 0, 0)
+        self.prog = prog
+        self.s = s
+        self.offset = self.sense * obj.offset
+        self.assumptions = [prog.lit(l) for l in work.assumptions]
+        # branching order: objective variables by |coeff| * range, then
+        # the remaining variables by range
+        rng = {v: int(doms[v].max() - doms[v].min())
+               for v in range(len(doms))}
+        obj_vars = sorted((v for v, _ in terms),
+                          key=lambda v: -abs(merged[v]) * max(1, rng[v]))
+        rest = sorted((v for v in range(len(doms))
+                       if v not in merged and rng[v] > 0),
+                      key=lambda v: -rng[v])
+        self.branch_order = [v for v in obj_vars if rng[v] > 0] + rest
+        self.base_ranges = {v: (int(doms[v].min()), int(doms[v].max()))
+                            for v in self.branch_order}
+        # leaves: (bound, depth, lits, ranges, step, budget)
+        self.leaves: List[dict] = [dict(
+            bound=int(lo), depth=0, lits=[], ranges={}, step=1,
+            budget=2000)]
+        self.num_branches = 0
+        self.num_conflicts = 0
+        self._last_reported = -math.inf
+        self.ok = True
+
+    def _proven(self) -> float:
+        if not self.leaves:
+            return math.inf
+        return float(min(lf["bound"] for lf in self.leaves) + self.offset)
+
+    def _pick_branch_var(self, leaf: dict):
+        for v in self.branch_order:
+            lo, hi = leaf["ranges"].get(v, self.base_ranges[v])
+            if hi > lo:
+                return v, lo, hi
+        return None
+
+    def slice(self, best_internal: Optional[float]):
+        """One step.  Returns ("bound", internal_lb) | ("solution",
+        values) | None, mirroring ShavingWorker.slice."""
+        import time as _time
+
+        from ortools_tpu.sat.lcg import FALSE_EXT, SAT, TRUE_EXT, UNSAT
+
+        if not self.ok or _time.perf_counter() > self.deadline:
+            return None
+        ub_sum = (int(best_internal - self.offset) - 1
+                  if best_internal is not None else None)
+        if ub_sum is not None:
+            self.leaves = [lf for lf in self.leaves
+                           if lf["bound"] <= ub_sum]
+        if not self.leaves:
+            # every subtree proves bound > ub_sum: incumbent is optimal
+            return ("bound", float(best_internal)) \
+                if best_internal is not None else None
+        leaf = min(self.leaves, key=lambda lf: (lf["bound"], -lf["depth"]))
+        target = leaf["bound"] + leaf["step"] - 1
+        if ub_sum is not None:
+            target = min(target, ub_sum)
+        a = self.s.le(self.obj_x, target)
+        if a == FALSE_EXT:
+            leaf["bound"] = target + 1
+            return self._report()
+        extra = [] if a == TRUE_EXT else [a]
+        st = self.s.solve(
+            self.assumptions + leaf["lits"] + extra,
+            conflict_budget=leaf["budget"],
+            time_budget=max(0.05, self.deadline - _time.perf_counter()))
+        self.num_conflicts = self.s.num_conflicts
+        if st == SAT:
+            return ("solution", self.prog.decode())
+        if st == UNSAT:
+            leaf["bound"] = target + 1
+            leaf["step"] = min(leaf["step"] * 2, 1 << 20)
+            return self._report()
+        # inconclusive: branch the leaf (or deepen its budget at the cap)
+        leaf["step"] = 1
+        pick = self._pick_branch_var(leaf)
+        if pick is None or len(self.leaves) >= self._MAX_LEAVES:
+            leaf["budget"] = min(leaf["budget"] * 2, 1 << 18)
+            return None
+        v, lo, hi = pick
+        mid = (lo + hi) // 2
+        g = self.s.ge(self.prog.xs[v], mid + 1)
+        if g in (TRUE_EXT, FALSE_EXT):
+            # degenerate literal: fix the range and retry next slice
+            leaf["ranges"] = dict(leaf["ranges"])
+            leaf["ranges"][v] = ((mid + 1, hi) if g == TRUE_EXT
+                                 else (lo, mid))
+            return None
+        self.num_branches += 1
+        down = dict(bound=leaf["bound"], depth=leaf["depth"] + 1,
+                    lits=leaf["lits"] + [-g],
+                    ranges={**leaf["ranges"], v: (lo, mid)},
+                    step=1, budget=leaf["budget"])
+        up = dict(bound=leaf["bound"], depth=leaf["depth"] + 1,
+                  lits=leaf["lits"] + [g],
+                  ranges={**leaf["ranges"], v: (mid + 1, hi)},
+                  step=1, budget=leaf["budget"])
+        self.leaves.remove(leaf)
+        self.leaves.extend([down, up])
+        return None
+
+    def _report(self):
+        b = self._proven()
+        if b > self._last_reported:
+            self._last_reported = b
+            return ("bound", b)
+        return None
+
+
 class InterleavedPortfolio:
     def __init__(self, work: ir.CpModelIR, num_workers: int,
                  deadline: float, max_branches: int,
@@ -669,6 +825,11 @@ class InterleavedPortfolio:
             cand = ShavingWorker(work, deadline)
             if cand.ok:
                 self.shaver = cand
+        self.lb_tree: Optional[LbTreeWorker] = None
+        if use_shaving and work.objective is not None and num_workers >= 3:
+            cand2 = LbTreeWorker(work, deadline)
+            if cand2.ok:
+                self.lb_tree = cand2
 
     def _win(self, who: str) -> None:
         self.wins[who] = self.wins.get(who, 0) + 1
@@ -789,6 +950,28 @@ class InterleavedPortfolio:
                                 self.proven_bound >= best_obj:
                             self._accumulate(engines)
                             return self._outcome("optimal")
+            # lower-bound tree search (reference lb_tree_search.h): the
+            # min over its open leaves is a global proven lower bound
+            if not restart[0] and self.lb_tree is not None:
+                best_obj = (best_obj_provider()
+                            if best_obj_provider is not None else None)
+                r = self.lb_tree.slice(best_obj)
+                if r is not None:
+                    kind, payload = r
+                    if kind == "solution":
+                        improved = on_candidate(list(payload))
+                        if improved:
+                            self._win("lb_tree")
+                            restart[0] = True
+                    else:
+                        if (self.proven_bound is None
+                                or payload > self.proven_bound):
+                            self.proven_bound = payload
+                            self._win("lb_tree_bound")
+                        if best_obj is not None and \
+                                self.proven_bound >= best_obj:
+                            self._accumulate(engines)
+                            return self._outcome("optimal")
             if restart[0]:
                 self._accumulate(engines)
                 engines = self._build_engines(bound_ct_builder())
@@ -811,4 +994,7 @@ class InterleavedPortfolio:
             self.num_branches += lw.num_branches
             self.num_conflicts += lw.num_conflicts
             lw.num_branches = 0
+        if self.lb_tree is not None:
+            self.num_branches += self.lb_tree.num_branches
+            self.lb_tree.num_branches = 0
             lw.num_conflicts = 0

@@ -412,3 +412,63 @@ def test_new_lns_generators_run():
     m2.add_circuit(arcs)
     rel2 = _lns_arc_graph(m2.ir, random.Random(1), 0.3, [0] * len(m2.ir.variables))
     assert rel2
+
+
+def test_lb_tree_worker_raises_bound_and_finds_solutions():
+    """lb_tree_search (reference ortools/sat/lb_tree_search.h): the
+    worker's min-over-open-leaves is a valid global lower bound that
+    rises monotonically; SAT probes surface incumbents."""
+    import time
+
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+    from ortools_tpu.sat.portfolio import LbTreeWorker
+
+    m = CpModel()
+    xs = [m.new_int_var(0, 50, f"x{i}") for i in range(4)]
+    m.add(sum(xs) >= 87)
+    m.add(xs[0] - xs[1] <= 5)
+    m.minimize(sum((i + 1) * x for i, x in enumerate(xs)))
+
+    w = LbTreeWorker(m.ir, deadline=time.perf_counter() + 20)
+    assert w.ok
+    bounds = []
+    sols = 0
+    for _ in range(200):
+        r = w.slice(best_internal=10_000.0)
+        if r is None:
+            continue
+        if r[0] == "bound":
+            bounds.append(r[1])
+        else:
+            sols += 1
+    # bounds only rise (each report strictly improves the last)
+    assert bounds == sorted(bounds)
+    assert bounds and bounds[-1] > 0  # true optimum is 128
+    assert bounds[-1] <= 128 + 1e-9   # never overshoots the optimum
+
+    # with a real incumbent it converges to optimal (bound meets 128)
+    w2 = LbTreeWorker(m.ir, deadline=time.perf_counter() + 20)
+    assert w2.ok
+    done = False
+    for _ in range(500):
+        r = w2.slice(best_internal=128.0)
+        if r is not None and r[0] == "bound" and r[1] >= 128.0:
+            done = True
+            break
+    assert done
+
+
+def test_portfolio_lb_tree_attribution():
+    """The portfolio reports lb_tree wins when the worker contributes."""
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+
+    m = CpModel()
+    xs = [m.new_int_var(0, 30, f"x{i}") for i in range(5)]
+    m.add(sum(xs) >= 62)
+    m.add(xs[1] + 2 * xs[2] >= 17)
+    m.minimize(sum((i + 2) * x for i, x in enumerate(xs)))
+    s = CpSolver()
+    s.parameters.num_workers = 6
+    s.parameters.max_time_in_seconds = 30
+    st = s.solve(m)
+    assert s.status_name(st) == "OPTIMAL"
