@@ -62,6 +62,12 @@ class RoutingSearchParameters:
     # 2 = full catalogue (+ Or-opt chains 2-3, cross-exchange,
     # make-active/make-inactive).  Kept as a knob for ablation.
     ls_operator_level: int = 2
+    # CP-SAT certification (reference routing_sat.cc role): after local
+    # search, re-solve small supported models exactly through the CP
+    # stack, warm-started from the LS solution; the result replaces the
+    # LS solution when it is at least as good.  0 disables; otherwise
+    # the share of the time budget reserved for certification.
+    cp_sat_certification_share: float = 0.0
 
 
 def default_routing_search_parameters() -> RoutingSearchParameters:
@@ -426,6 +432,16 @@ class RoutingModel:
         else:
             result = self._first_solution(visits, cost, dims, optional)
         if result is None:
+            # no heuristic start: the exact CP path may still find one
+            # (reference routing_sat.cc role as a fallback solver)
+            if params.cp_sat_certification_share > 0:
+                from ortools_tpu.routing.sat_path import solve_with_cp_sat
+
+                budget = max(1.0, params.time_limit_seconds
+                             * params.cp_sat_certification_share)
+                cert = solve_with_cp_sat(self, time_limit_sec=budget)
+                if cert is not None:
+                    return cert[0]
             return None
         routes, dropped = result
         best = self._improve(routes, dropped, cost, dims, optional,
@@ -443,6 +459,18 @@ class RoutingModel:
                 [mgr.vehicle_start(v)] + list(r) + [mgr.vehicle_end(v)]
             )
         obj = self._objective(routes, dropped, cost, optional)
+        if params.cp_sat_certification_share > 0:
+            # exact certification through the CP stack (reference
+            # routing_sat.cc role); keeps the LS solution unless the CP
+            # solve matches or improves it
+            from ortools_tpu.routing.sat_path import solve_with_cp_sat
+
+            budget = max(1.0, params.time_limit_seconds
+                         * params.cp_sat_certification_share)
+            cert = solve_with_cp_sat(self, time_limit_sec=budget,
+                                     warm_routes=routes)
+            if cert is not None and cert[0].objective_value() <= obj:
+                return cert[0]
         return Assignment(self, internal, obj)
 
     SolveWithParameters = solve_with_parameters
@@ -610,9 +638,40 @@ class RoutingModel:
             # retry bin-packing style: hardest (largest-demand) visits
             # first, any feasible position, cheapest among them
             ffd = self._first_solution_ffd(visits, cost, dims, optional)
+            if ffd is not None:
+                return ffd
+            # last tier: pack the MANDATORY visits only (optional nodes
+            # can crowd out mandatory ones under tight capacities), then
+            # re-insert optionals greedily where still feasible
+            mandatory = [i for i in visits if i not in optional]
+            ffd = self._first_solution_ffd(mandatory, cost, dims, {})
             if ffd is None:
                 return None
-            return ffd
+            routes2, _ = ffd
+            dropped2 = []
+            for i in sorted((j for j in visits if j in optional),
+                            key=lambda j: -optional[j]):
+                best = None
+                for v in range(nv):
+                    r = routes2[v]
+                    seq = [mgr._starts[v]] + r + [mgr._ends[v]]
+                    for pos in range(len(r) + 1):
+                        a, b = seq[pos], seq[pos + 1]
+                        delta = (int(cost[v][a, i]) + int(cost[v][i, b])
+                                 - int(cost[v][a, b]))
+                        if delta >= optional[i]:
+                            continue
+                        if best is not None and delta >= best[0]:
+                            continue
+                        cand = r[:pos] + [i] + r[pos:]
+                        if self._route_feasible(cand, v, dims):
+                            best = (delta, v, pos)
+                if best is None:
+                    dropped2.append(i)
+                else:
+                    _, v, pos = best
+                    routes2[v] = routes2[v][:pos] + [i] + routes2[v][pos:]
+            return routes2, dropped2
         for i in unassigned:
             dropped.append(i)
         return routes, dropped

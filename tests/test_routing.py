@@ -405,3 +405,66 @@ def test_resource_group_infeasible_when_too_few_resources():
     g.add_resource("Time", (0, 1000), (0, 1000))  # only ONE dock
     # 4 visits, capacity 2 each -> both vehicles needed -> no assignment
     assert routing.solve() is None
+
+
+def test_cp_sat_certification_tsp_optimal():
+    """CP-SAT certification path (reference routing_sat.cc): a 6-node TSP
+    is solved exactly through the circuit encoding and proven optimal
+    against brute force."""
+    import itertools
+
+    import numpy as np
+
+    from ortools_tpu.routing.index_manager import RoutingIndexManager
+    from ortools_tpu.routing.model import RoutingModel
+    from ortools_tpu.routing.sat_path import solve_with_cp_sat
+
+    rng = np.random.default_rng(3)
+    pts = rng.integers(0, 50, size=(6, 2))
+    d = np.abs(pts[:, None, :] - pts[None, :, :]).sum(-1)
+    mgr = RoutingIndexManager(6, 1, 0)
+    m = RoutingModel(mgr)
+    cb = m.register_transit_callback(lambda a, b: int(d[a, b]))
+    m.set_arc_cost_evaluator_of_all_vehicles(cb)
+    out = solve_with_cp_sat(m, time_limit_sec=30)
+    assert out is not None
+    asg, proven = out
+    best = min(sum(d[p[i], p[(i + 1) % 6]] for i in range(6))
+               for p in [(0,) + q
+                         for q in itertools.permutations(range(1, 6))])
+    assert asg.objective_value() == best
+    assert proven
+
+
+def test_cp_sat_certification_improves_tight_cvrp():
+    """Tight-capacity CVRP with an optional node: the FFD fallback tiers
+    find a start and the CP certification matches or improves the LS
+    objective; routes contain only genuine visit indices."""
+    import numpy as np
+
+    from ortools_tpu.routing.index_manager import RoutingIndexManager
+    from ortools_tpu.routing.model import (RoutingModel,
+                                           default_routing_search_parameters)
+
+    rng = np.random.default_rng(3)
+    pts = rng.integers(0, 50, size=(6, 2))
+    d = np.abs(pts[:, None, :] - pts[None, :, :]).sum(-1)
+    mgr = RoutingIndexManager(7, 2, 0)
+    m = RoutingModel(mgr)
+    cb = m.register_transit_callback(lambda a, b: int(d[a % 6, b % 6]) + 1)
+    m.set_arc_cost_evaluator_of_all_vehicles(cb)
+    dem = [0, 2, 3, 2, 3, 2, 2]
+    dcb = m.register_unary_transit_callback(lambda a: dem[a])
+    m.add_dimension_with_vehicle_capacity(dcb, 0, [7, 7], True, "load")
+    m.add_disjunction([4], 25)
+    p = default_routing_search_parameters()
+    p.time_limit_seconds = 15
+    ls = m.solve_with_parameters(p)
+    assert ls is not None  # FFD mandatory-first fallback finds a start
+    p.cp_sat_certification_share = 0.5
+    p.time_limit_seconds = 30
+    cert = m.solve_with_parameters(p)
+    assert cert is not None
+    assert cert.objective_value() <= ls.objective_value()
+    for r in cert.routes():
+        assert all(1 <= i <= 6 for i in r[1:-1]), r
