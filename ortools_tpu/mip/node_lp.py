@@ -103,6 +103,43 @@ class SimplexNodeBackend:
         self._cold = True
         self.m = qp_min.num_constraints
         self.n = qp_min.num_variables
+        # native hot path (_native/smalllp.cc): dense dual re-solves with
+        # Python-side certificate verification; None when out of range
+        self._native = None
+        self._native_seeded = False
+        try:
+            from ortools_tpu.glop.native_simplex import NativeSmallLp
+
+            self._native = NativeSmallLp(qp_min)
+        except Exception:
+            self._native = None
+
+    def _native_resolve(self, lb, ub):
+        """Try the native dual simplex.  Returns (status, x, y, obj) or
+        None to fall through to the Python path."""
+        if self._native is None or not self._native_seeded:
+            return None
+        try:
+            st, x, y, obj, _bound = self._native.resolve(lb, ub)
+        except Exception:
+            return None
+        if st == MPSolverStatus.OPTIMAL:
+            return st, x, y, obj
+        if st == MPSolverStatus.INFEASIBLE:
+            return st, None, None, math.nan
+        # ABNORMAL / unverified: Python fallback, then re-seed
+        self._native_seeded = False
+        return None
+
+    def _seed_native(self) -> None:
+        """Export the Python simplex's basis into the native core."""
+        if self._native is None:
+            return
+        try:
+            self._native.seed_basis(self._sx.basis, self._sx.nb_status)
+            self._native_seeded = True
+        except Exception:
+            self._native_seeded = False
 
     def resolve_raw(self, lb: np.ndarray, ub: np.ndarray,
                     deadline: float = math.inf
@@ -112,6 +149,9 @@ class SimplexNodeBackend:
         (status, x, y, objective); x/y are None unless OPTIMAL."""
         from ortools_tpu.glop.simplex import RevisedSimplex
 
+        native = self._native_resolve(lb, ub)
+        if native is not None:
+            return native
         sx = self._sx
         if self._cold:
             sx.set_variable_bounds(lb, ub)
@@ -121,6 +161,8 @@ class SimplexNodeBackend:
         else:
             st = sx.resolve(lb, ub, max_iterations=self.max_iterations,
                             deadline=deadline)
+        if st == MPSolverStatus.OPTIMAL:
+            self._seed_native()
         if st == MPSolverStatus.ABNORMAL:
             # numerically stuck basis: rebuild from scratch once
             self._sx = sx = RevisedSimplex(self.qp)
