@@ -206,8 +206,10 @@ class LcgSolver:
 _SUPPORTED = frozenset([
     "bool_or", "bool_and", "at_most_one", "exactly_one", "bool_xor",
     "linear", "interval", "no_overlap", "lin_max", "all_diff", "cumulative",
-    "no_overlap_2d",
+    "no_overlap_2d", "table", "element",
 ])
+
+_MAX_TABLE_CELLS = 60_000   # tuples x width budget per table constraint
 
 _MAX_PAIRS = 30_000        # no_overlap pairwise budget
 _MAX_ALLDIFF = 40          # pairwise all_diff width
@@ -313,6 +315,10 @@ class LcgProgram:
                 self._add_no_overlap_2d(a.x_intervals, a.y_intervals)
             elif kind == "lin_max":
                 self._add_lin_max(a, enf, neg_enf)
+            elif kind == "table":
+                self._add_table(a, enf, neg_enf)
+            elif kind == "element":
+                self._add_element(a, enf, neg_enf)
             elif kind == "all_diff":
                 self._add_all_diff(a.exprs, enf)
             elif kind == "cumulative":
@@ -426,6 +432,110 @@ class LcgProgram:
                 self.add_expr_le(ex_j, sx_i, both + [sels[1]])  # i right
                 self.add_expr_le(ey_i, sy_j, both + [sels[2]])  # i below
                 self.add_expr_le(ey_j, sy_i, both + [sels[3]])  # i above
+
+    def _add_expr_eq(self, e: ir.LinearExprIR, value: int,
+                     enf: Sequence[int]) -> None:
+        xs, cs, const = self._merge_expr([(e, 1)])
+        self.s.add_linear(enf, xs, cs, value - const, value - const)
+
+    def _eq_lit(self, e: ir.LinearExprIR, value: int) -> int:
+        """External literal equivalent to expr == value (single positive
+        unit-coefficient variable: conjunction of two bound literals via
+        an aux; general exprs raise)."""
+        if not e.vars:
+            return TRUE_EXT if e.offset == value else FALSE_EXT
+        if len(e.vars) == 1 and e.coeffs[0] == 1:
+            x = self.xs[e.vars[0]]
+            v = value - e.offset
+            ge = self.s.ge(x, v)
+            le = self.s.le(x, v)
+            if ge in (TRUE_EXT, FALSE_EXT) or le in (TRUE_EXT, FALSE_EXT):
+                if ge == FALSE_EXT or le == FALSE_EXT:
+                    return FALSE_EXT
+                return le if ge == TRUE_EXT else ge
+            b = self.s.ge(self.s.new_bool01(), 1)
+            self.s.add_clause([-b, ge])
+            self.s.add_clause([-b, le])
+            self.s.add_clause([b, -ge, -le])
+            return b
+        raise _Unsupported("eq literal on a general expression")
+
+    def _add_table(self, a: ir.TableArgs, enf: List[int],
+                   neg_enf: List[int]) -> None:
+        """Positive table via tuple selectors (reference
+        cp_model_expand.cc ExpandPositiveTable role, on the learning
+        core); negative table as per-tuple blocking clauses."""
+        width = len(a.exprs)
+        if width * max(1, len(a.values)) > _MAX_TABLE_CELLS:
+            raise _Unsupported("table too wide")
+        doms = [v.domain for v in self.model.variables]
+        if a.negated:
+            # forbid each tuple: OR_i (expr_i != v_i)
+            for tup in a.values:
+                lits = []
+                feasible = True
+                for e, v in zip(a.exprs, tup):
+                    eq = self._eq_lit(e, int(v))
+                    if eq == TRUE_EXT:
+                        continue  # this column always matches
+                    if eq == FALSE_EXT:
+                        feasible = False
+                        break
+                    lits.append(-eq)
+                if not feasible:
+                    continue  # tuple can never be taken: nothing to do
+                self.s.add_clause(neg_enf + lits)
+            return
+        sels = []
+        for tup in a.values:
+            ok = all(ir.expr_domain(e, doms).contains(int(v))
+                     for e, v in zip(a.exprs, tup))
+            if not ok:
+                continue
+            b = self.s.ge(self.s.new_bool01(), 1)
+            sels.append(b)
+            for e, v in zip(a.exprs, tup):
+                self._add_expr_eq(e, int(v), enf + [b])
+        if not sels:
+            for e in neg_enf:
+                self.s.add_clause([e])
+            if not neg_enf:
+                self.s.infeasible = True
+            return
+        self.s.add_clause(neg_enf + sels)
+
+    def _add_element(self, a: ir.ElementArgs, enf: List[int],
+                     neg_enf: List[int]) -> None:
+        """exprs[index] == target through index-value selectors (the
+        element role of cp_model_expand.cc, on the learning core)."""
+        doms = [v.domain for v in self.model.variables]
+        idx_dom = ir.expr_domain(a.index, doms)
+        if idx_dom.size() > 4096:
+            raise _Unsupported("element index domain too large")
+        vals = [v for lo, hi in idx_dom.intervals()
+                for v in range(lo, hi + 1)]
+        sels = []
+        for k in vals:
+            if not (0 <= k < len(a.exprs)):
+                continue
+            eq = self._eq_lit(a.index, int(k))
+            if eq == FALSE_EXT:
+                continue
+            sels.append(eq)
+            # eq -> target == exprs[k]
+            xs, cs, const = self._merge_expr([(a.target, 1),
+                                              (a.exprs[int(k)], -1)])
+            e2 = enf + ([eq] if eq != TRUE_EXT else [])
+            self.s.add_linear(e2, xs, cs, -const, -const)
+        # index must take one of the valid positions
+        live = [s for s in sels if s != TRUE_EXT]
+        if len(live) == len(sels):
+            self.s.add_clause(neg_enf + live)
+        if not sels:
+            for e in neg_enf:
+                self.s.add_clause([e])
+            if not neg_enf:
+                self.s.infeasible = True
 
     def _add_lin_max(self, a: ir.LinMaxArgs, enf: List[int],
                      neg_enf: List[int]) -> None:

@@ -306,3 +306,101 @@ def test_no_overlap_2d_direct_compile():
     # two 2x2 squares in a 4x4 area: must separate on an axis
     assert (vals[0] + 2 <= vals[2] or vals[2] + 2 <= vals[0]
             or vals[1] + 2 <= vals[3] or vals[3] + 2 <= vals[1])
+
+
+def test_lcg_table_element_automaton():
+    """table / element (and automaton via its table expansion) ride the
+    learning core instead of the no-learning DFS (reference
+    cp_model_expand.cc table/element roles on the LCG architecture)."""
+    import time
+
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+    from ortools_tpu.sat.checker import solution_is_feasible
+    from ortools_tpu.sat.lcg import solve_lcg
+
+    m = CpModel()
+    x = m.new_int_var(0, 5, "x")
+    y = m.new_int_var(0, 5, "y")
+    z = m.new_int_var(0, 5, "z")
+    m.add_allowed_assignments([x, y, z], [(1, 2, 3), (2, 3, 4), (5, 0, 1)])
+    m.minimize(x + y + z)
+    r = solve_lcg(m.ir, deadline=time.perf_counter() + 20)
+    assert r is not None and r[0] == 1 and sum(r[1][:3]) == 6
+
+    m2 = CpModel()
+    a2 = m2.new_int_var(0, 2, "a")
+    b2 = m2.new_int_var(0, 2, "b")
+    m2.add_forbidden_assignments([a2, b2], [(0, 0), (0, 1), (0, 2), (1, 0)])
+    m2.minimize(a2 + b2)
+    r2 = solve_lcg(m2.ir, deadline=time.perf_counter() + 20)
+    assert r2 is not None and r2[0] == 1 and sum(r2[1][:2]) == 2
+
+    m3 = CpModel()
+    i3 = m3.new_int_var(0, 3, "i")
+    t3 = m3.new_int_var(0, 50, "t")
+    m3.add_element(i3, [7, 3, 9, 3], t3)
+    m3.minimize(10 * t3 - i3)
+    r3 = solve_lcg(m3.ir, deadline=time.perf_counter() + 20)
+    assert r3 is not None and r3[0] == 1
+    assert r3[1][1] == 3 and r3[1][0] == 3  # picks the LAST value-3 slot
+
+    m4 = CpModel()
+    xs = [m4.new_int_var(0, 1, f"b{i}") for i in range(6)]
+    m4.add_automaton(xs, 0, [0, 1], [(0, 0, 0), (0, 1, 1), (1, 0, 0)])
+    m4.maximize(sum(xs))
+    s4 = CpSolver()
+    s4.parameters.max_time_in_seconds = 30
+    st4 = s4.solve(m4)
+    vals4 = [s4.value(v) for v in xs]
+    assert s4.status_name(st4) == "OPTIMAL"
+    assert s4.objective_value == 3  # no two adjacent ones in 6 slots
+    assert solution_is_feasible(m4.ir, vals4)
+
+
+def test_lcg_table_element_fuzz_vs_bruteforce():
+    """Random small table/element models: LCG optimum == brute force."""
+    import itertools
+    import random
+    import time
+
+    from ortools_tpu.sat import model_ir as ir
+    from ortools_tpu.sat.lcg import solve_lcg
+    from ortools_tpu.utils.domain import Domain
+
+    rng = random.Random(0)
+    for trial in range(40):
+        n = rng.randint(2, 4)
+        dom = rng.randint(2, 4)
+        model = ir.CpModelIR()
+        for v in range(n):
+            model.variables.append(
+                ir.IntegerVariableIR(f"v{v}", Domain(0, dom - 1)))
+        exprs = [ir.LinearExprIR([v], [1], 0) for v in range(n)]
+        if rng.random() < 0.5:
+            tuples = sorted({tuple(rng.randrange(dom) for _ in range(n))
+                             for _ in range(rng.randint(2, 8))})
+            model.constraints.append(ir.ConstraintIR(
+                "table", ir.TableArgs(exprs, [tuple(t) for t in tuples],
+                                      negated=rng.random() < 0.4)))
+        else:
+            tgt = ir.LinearExprIR([0], [1], 0)
+            model.constraints.append(ir.ConstraintIR(
+                "element", ir.ElementArgs(ir.LinearExprIR([1], [1], 0),
+                                          tgt, exprs)))
+        coeffs = [rng.randint(-3, 3) for _ in range(n)]
+        model.objective = ir.ObjectiveIR(list(range(n)), coeffs, 0, False)
+        r = solve_lcg(model, deadline=time.perf_counter() + 10)
+        # brute force
+        from ortools_tpu.sat.checker import solution_is_feasible
+        best = None
+        for vals in itertools.product(range(dom), repeat=n):
+            if solution_is_feasible(model, list(vals)):
+                obj = sum(c * v for c, v in zip(coeffs, vals))
+                best = obj if best is None else min(best, obj)
+        assert r is not None, trial
+        if best is None:
+            assert r[0] == 0, (trial, r)
+        else:
+            assert r[0] == 1, (trial, r, best)
+            got = sum(c * v for c, v in zip(coeffs, r[1][:n]))
+            assert got == best, (trial, got, best)
