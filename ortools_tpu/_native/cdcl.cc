@@ -133,6 +133,13 @@ class Solver {
         restart_limit = conflicts_ + 64 * Luby(++restart_seq);
         BacktrackTo(assump_level);
         placed = CountPlacedAssumptions(&assump_level);
+        // inprocessing: new root facts since the last pass let clauses
+        // shrink mid-search (reference sat_inprocessing.cc role)
+        if (assump_level == 0 &&
+            (i32)trail_.size() > root_simplified_trail_) {
+          InprocessRootSimplify();
+          if (!ok_) return 0;
+        }
         continue;
       }
       if (placed < assumptions_.size()) {
@@ -205,6 +212,7 @@ class Solver {
   double var_inc_ = 1.0;
   double cla_inc_ = 1.0;
   i64 learnts_since_reduce_ = 0;
+  i32 root_simplified_trail_ = 0;  // trail size at the last inprocessing
   i64 reduce_threshold_ = 2000;
   // binary max-heap on activity
   std::vector<i32> heap_;
@@ -502,6 +510,68 @@ class Solver {
   }
 
   // ---- clause DB reduction ----------------------------------------------
+  // Mid-search inprocessing (reference sat/sat_inprocessing.cc role,
+  // scoped to level-0 fact simplification): at a restart that lands on
+  // the root level, delete clauses satisfied by a root fact and strip
+  // root-falsified literals in place (DRAT: add the strengthened clause,
+  // then delete the original).  Shrinking to a unit enqueues a new root
+  // fact, which the next Propagate() extends to fixpoint.
+  void InprocessRootSimplify() {
+    if (Level() != 0 || !ok_) return;
+    auto clean = [this](std::vector<u32>& list) {
+      for (u32 cref : list) {
+        if (ClauseDead(cref) || IsReason(cref)) continue;
+        i32* lits = &arena_[cref + 3];
+        int sz = ClauseSize(cref);
+        bool sat = false;
+        int n_false = 0;
+        for (int k = 0; k < sz; ++k) {
+          uint8_t v = Value((u32)lits[k]);
+          if (v == kTrue) {
+            sat = true;
+            break;
+          }
+          if (v == kFalse) ++n_false;
+        }
+        if (sat) {
+          arena_[cref] |= 2;  // dead: satisfied forever by a root fact
+          if (proof_enabled_) {
+            proof_buf_.clear();
+            for (int k = 0; k < sz; ++k) proof_buf_.push_back((u32)lits[k]);
+            RecordProof(proof_buf_, /*deletion=*/true);
+          }
+          continue;
+        }
+        if (n_false == 0) continue;
+        std::vector<u32> old_lits(lits, lits + sz);
+        int out = 0;
+        for (int k = 0; k < sz; ++k)
+          if (Value((u32)lits[k]) != kFalse) lits[out++] = lits[k];
+        if (out == 0) {  // fully falsified at root: UNSAT
+          ok_ = false;
+          if (proof_enabled_) proof_.push_back(0);
+          return;
+        }
+        // shrink header size, keep learnt/activity bits
+        arena_[cref] = (out << 2) | (arena_[cref] & 3);
+        if (proof_enabled_) {
+          proof_buf_.assign(lits, lits + out);
+          RecordProof(proof_buf_, /*deletion=*/false);
+          RecordProof(old_lits, /*deletion=*/true);
+        }
+        if (out == 1) {
+          if (Value((u32)lits[0]) == kUnassigned)
+            Enqueue((u32)lits[0], kNoReason);
+          arena_[cref] |= 2;  // dead: the fact lives on the trail now
+        }
+      }
+    };
+    clean(clauses_);
+    if (ok_) clean(learnts_);
+    if (ok_) RebuildWatchesAndLists();
+    root_simplified_trail_ = (i32)trail_.size();
+  }
+
   void ReduceDB() {
     learnts_since_reduce_ = 0;
     reduce_threshold_ += 500;

@@ -185,13 +185,16 @@ class NativeSmallLp:
         rho.(A x - s) = sum_j alpha_j x_j - sum_i rho_i s_i over the box."""
         alpha = self.at @ rho  # structural coefficients
         lo = hi = 0.0
-        for coef, l, u in ((alpha, vlb, vub), (-rho, self.cl, self.cu)):
-            a_pos = coef > 1e-14
-            a_neg = coef < -1e-14
-            lo_t = np.where(a_pos, coef * l, np.where(a_neg, coef * u, 0.0))
-            hi_t = np.where(a_pos, coef * u, np.where(a_neg, coef * l, 0.0))
-            lo += float(lo_t.sum())
-            hi += float(hi_t.sum())
+        with np.errstate(invalid="ignore"):  # 0 * inf rows are masked out
+            for coef, l, u in ((alpha, vlb, vub), (-rho, self.cl, self.cu)):
+                a_pos = coef > 1e-14
+                a_neg = coef < -1e-14
+                lo_t = np.where(a_pos, coef * l,
+                                np.where(a_neg, coef * u, 0.0))
+                hi_t = np.where(a_pos, coef * u,
+                                np.where(a_neg, coef * l, 0.0))
+                lo += float(lo_t.sum())
+                hi += float(hi_t.sum())
         scale = 1.0 + float(np.abs(alpha).max(initial=0.0)) \
             + float(np.abs(rho).max(initial=0.0))
         return lo > tol * scale or hi < -tol * scale

@@ -404,3 +404,32 @@ def test_lcg_table_element_fuzz_vs_bruteforce():
             assert r[0] == 1, (trial, r, best)
             got = sum(c * v for c, v in zip(coeffs, r[1][:n]))
             assert got == best, (trial, got, best)
+
+
+def test_lcg_pb_opb_rows_learn():
+    """OPB pseudo-Boolean rows ride the LCG core: general-coefficient
+    linear rows over booleans get counter propagation WITH clause
+    learning (the watched-sum role of pb_constraint.h; PB-resolution
+    conflict analysis is the reference's stronger variant)."""
+    import itertools
+    import time
+
+    from ortools_tpu.sat.checker import solution_is_feasible
+    from ortools_tpu.sat.lcg import solve_lcg
+    from ortools_tpu.sat.sat_io import read_opb
+
+    opb = """* #variable= 6 #constraint= 3
+min: 2 x1 3 x2 1 x3 4 x4 1 x5 2 x6 ;
+3 x1 2 x2 4 x3 >= 5 ;
+2 x2 3 x4 2 x5 >= 4 ;
+1 x1 1 x6 >= 1 ;
+"""
+    m = read_opb(opb)
+    r = solve_lcg(m, deadline=time.perf_counter() + 10)
+    assert r is not None and r[0] == 1
+    best = None
+    for vals in itertools.product((0, 1), repeat=6):
+        if solution_is_feasible(m, list(vals)):
+            obj = sum(c * v for c, v in zip([2, 3, 1, 4, 1, 2], vals))
+            best = obj if best is None else min(best, obj)
+    assert r[2] == best == 6
