@@ -131,6 +131,7 @@ def presolve_model(model: ir.CpModelIR,
     out = setppc_dominance(out)
     if not preserve_all_solutions:
         out = pure_literal_fixing(out)
+        out = dual_bound_fixing(out)
     out = merge_cliques(out)
     out = merge_parallel_linear(out)
     if out is None:
@@ -606,3 +607,89 @@ def merge_cliques(model: ir.CpModelIR) -> ir.CpModelIR:
         kept.append(ir.ConstraintIR("at_most_one", ir.BoolArgs(
             list(clique))))
     return dataclasses.replace(model, constraints=kept)
+
+
+_BIG_DOM = 2**50
+
+
+def dual_bound_fixing(model: ir.CpModelIR) -> ir.CpModelIR:
+    """Integer dual fixing (the DualBoundStrengthening core of the
+    reference's ``sat/var_domination.cc``): a variable whose every linear
+    occurrence is direction-safe — raising it can only RELAX each row
+    (positive coefficient with no row upper bound, negative with no row
+    lower bound) — and whose objective coefficient does not oppose the
+    move, can be fixed at its bound without changing the optimal value.
+    Mirrored for the downward direction.  Optimality-preserving only, so
+    the caller gates it off for solution enumeration (like
+    pure_literal_fixing)."""
+    n = len(model.variables)
+    up_safe = [True] * n
+    dn_safe = [True] * n
+    seen = [False] * n
+    obj = model.objective
+    sense = -1 if (obj is not None and obj.maximize) else 1
+    ocoef: dict = {}
+    if obj is not None:
+        for v, c in zip(obj.vars, obj.coeffs):
+            ocoef[v] = ocoef.get(v, 0) + sense * c
+        for v, c in ocoef.items():
+            if c > 0:
+                up_safe[v] = False
+            if c < 0:
+                dn_safe[v] = False
+            seen[v] = True
+    for lit in getattr(model, "assumptions", ()) or ():
+        v = ir.literal_index(lit)
+        up_safe[v] = dn_safe[v] = False
+    for item in (getattr(model, "solution_hint", ()) or ()):
+        v = item[0] if isinstance(item, (tuple, list)) else item
+        if isinstance(v, int) and 0 <= v < n:
+            up_safe[v] = dn_safe[v] = False
+    for ds in getattr(model, "search_strategies", ()) or ():
+        for v in getattr(ds, "variables", ()):
+            if isinstance(v, int) and 0 <= v < n:
+                up_safe[v] = dn_safe[v] = False
+    for ct in model.constraints:
+        for l in ct.enforcement_literals:
+            v = ir.literal_index(l)
+            up_safe[v] = dn_safe[v] = False
+        if ct.kind == "linear":
+            dom = ct.args.domain
+            single = dom.num_intervals() == 1
+            no_ub = single and dom.max() >= _BIG_DOM
+            no_lb = single and dom.min() <= -_BIG_DOM
+            for v, c in zip(ct.args.vars, ct.args.coeffs):
+                seen[v] = True
+                if c > 0:
+                    if not no_ub:
+                        up_safe[v] = False
+                    if not no_lb:
+                        dn_safe[v] = False
+                elif c < 0:
+                    if not no_lb:
+                        up_safe[v] = False
+                    if not no_ub:
+                        dn_safe[v] = False
+        else:
+            for v in _ct_vars(model, ct):
+                if 0 <= v < n:
+                    up_safe[v] = dn_safe[v] = False
+    fixes = {}
+    for v in range(n):
+        d = model.variables[v].domain
+        if d.is_fixed() or not seen[v]:
+            continue
+        if abs(d.min()) > _BIG_DOM or abs(d.max()) > _BIG_DOM:
+            continue
+        if up_safe[v]:
+            fixes[v] = int(d.max())
+        elif dn_safe[v]:
+            fixes[v] = int(d.min())
+    if not fixes:
+        return model
+    new_vars = [
+        ir.IntegerVariableIR(var.name, Domain(fixes[i], fixes[i]))
+        if i in fixes else var
+        for i, var in enumerate(model.variables)
+    ]
+    return dataclasses.replace(model, variables=new_vars)

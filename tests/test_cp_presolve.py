@@ -15,8 +15,12 @@ def test_domain_reduction_recorded():
     m.add(x >= 4)
     p = presolve_model(m.ir)
     assert p is not None
-    assert p.variables[0].domain == Domain(4, 10)
-    assert p.variables[1].domain == Domain(0, 6)
+    # domain reduction [4,10]/[0,6]; dual fixing may then pin variables
+    # at a bound (no objective: any feasible point is as good as another)
+    assert Domain(4, 10).contains(p.variables[0].domain.min())
+    assert Domain(4, 10).contains(p.variables[0].domain.max())
+    assert Domain(0, 6).contains(p.variables[1].domain.min())
+    assert Domain(0, 6).contains(p.variables[1].domain.max())
 
 
 def test_entailed_constraints_removed():
@@ -274,3 +278,62 @@ def test_pure_literal_not_applied_when_enumerating():
 
     s.solve(m, Cb())
     assert count[0] == 3  # (1,0), (0,1), (1,1) — nothing pruned
+
+
+def test_dual_bound_fixing_directed():
+    """var_domination.cc DualBoundStrengthening core: direction-safe
+    variables get fixed at the helpful bound."""
+    from ortools_tpu.sat.presolve import dual_bound_fixing
+
+    m = CpModel()
+    x = m.new_int_var(0, 9, "x")
+    y = m.new_int_var(0, 9, "y")
+    z = m.new_int_var(0, 9, "z")
+    m.add(x + y >= 7)   # raising x only relaxes (no upper bound)
+    m.add(y + z <= 12)  # z capped above
+    m.minimize(y - x + z)  # objective rewards large x, small z
+    out = dual_bound_fixing(m.ir)
+    assert out.variables[0].domain.is_fixed()
+    assert out.variables[0].domain.min() == 9   # x -> max
+    assert out.variables[2].domain.is_fixed()
+    assert out.variables[2].domain.min() == 0   # z -> min (dn-safe)
+    assert not out.variables[1].domain.is_fixed()  # y pulled both ways
+
+
+def test_dual_bound_fixing_optimality_fuzz():
+    """Random linear CP models: presolve with dual fixing preserves the
+    OPTIMAL objective value (solved with and without presolve)."""
+    import random
+
+    from ortools_tpu.sat import CpSolver
+
+    rng = random.Random(5)
+    for trial in range(12):
+        m = CpModel()
+        nv = rng.randint(3, 6)
+        xs = [m.new_int_var(0, rng.randint(2, 8), f"x{i}")
+              for i in range(nv)]
+        for _ in range(rng.randint(2, 5)):
+            sel = rng.sample(range(nv), rng.randint(1, min(3, nv)))
+            coeffs = [rng.choice([-3, -2, -1, 1, 2, 3]) for _ in sel]
+            expr = sum(c * xs[v] for c, v in zip(coeffs, sel))
+            kind = rng.random()
+            if kind < 0.4:
+                m.add(expr >= rng.randint(-5, 8))
+            elif kind < 0.8:
+                m.add(expr <= rng.randint(-2, 12))
+            else:
+                m.add(expr == rng.randint(0, 6))
+        m.minimize(sum(rng.randint(-4, 4) * x for x in xs))
+
+        s1 = CpSolver()
+        s1.parameters.max_time_in_seconds = 20
+        st1 = s1.solve(m)
+        s2 = CpSolver()
+        s2.parameters.max_time_in_seconds = 20
+        s2.parameters.use_presolve = False
+        st2 = s2.solve(m)
+        n1, n2 = s1.status_name(st1), s2.status_name(st2)
+        assert (n1 == "INFEASIBLE") == (n2 == "INFEASIBLE"), trial
+        if n1 == "OPTIMAL" and n2 == "OPTIMAL":
+            assert s1.objective_value == s2.objective_value, trial
