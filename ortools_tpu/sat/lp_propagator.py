@@ -145,7 +145,85 @@ def extract_relaxation(work: ir.CpModelIR):
                 add_row(coeffs, float(e.offset) - float(tgt.offset),
                         np.inf)
             covered += 1
-        # every other kind: relaxed away
+        # every other kind: relaxed away below, except the scheduling
+        # ENERGY rows added after this loop
+
+    # scheduling completion-time cuts (reference sat/scheduling_cuts.cc
+    # CreateCompletionTimeCuts / cumulative variant), via the mean-busy-
+    # time bound: a resource of capacity C processes at most C energy per
+    # unit time from r = min earliest start, so the energy-weighted mean
+    # busy moment satisfies  sum e_i (s_i + d_i/2) >= E (r + E/(2C)),
+    # i.e.  sum e_i s_i >= r E + E^2/(2C) - sum e_i d_i / 2,
+    # with e_i = d_i (disjunctive, C = 1) or d_i * dem_i (cumulative).
+    intervals: dict = {}
+    for idx, ct in enumerate(work.constraints):
+        if ct.kind == "interval" and not ct.enforcement_literals:
+            intervals[idx] = ct.args
+
+    def fixed_size(args) -> Optional[int]:
+        e = args.size
+        if e.vars:
+            return None
+        return int(e.offset)
+
+    def start_lb(args) -> float:
+        lo = float(args.start.offset)
+        for v, c in zip(args.start.vars, args.start.coeffs):
+            lo += c * (var_lb[v] if c > 0 else var_ub[v])
+        return lo
+
+    def add_energy_row(members, energies, durs, cap: float) -> None:
+        coeffs: dict = {}
+        const = 0.0
+        r = math.inf
+        for args, e in zip(members, energies):
+            const += e * float(args.start.offset)
+            for v, c in zip(args.start.vars, args.start.coeffs):
+                coeffs[v] = coeffs.get(v, 0.0) + e * float(c)
+            r = min(r, start_lb(args))
+        if not coeffs or not math.isfinite(r):
+            return
+        total = float(sum(energies))
+        ed = float(sum(e * d for e, d in zip(energies, durs)))
+        rhs = r * total + total * total / (2.0 * cap) - ed / 2.0 - const
+        add_row(coeffs, rhs, np.inf)
+
+    for ct in work.constraints:
+        if ct.enforcement_literals:
+            continue
+        if ct.kind == "no_overlap":
+            members, durs = [], []
+            for k in ct.args.intervals:
+                args = intervals.get(k)
+                if args is None:
+                    continue
+                d = fixed_size(args)
+                if d is None or d <= 0:
+                    continue
+                members.append(args)
+                durs.append(float(d))
+            if len(members) >= 2:
+                add_energy_row(members, durs, durs, 1.0)
+        elif ct.kind == "cumulative":
+            a = ct.args
+            if a.capacity.vars:
+                continue
+            cap = float(a.capacity.offset)
+            if cap <= 0:
+                continue
+            members, energies, durs = [], [], []
+            for k, dem in zip(a.intervals, a.demands):
+                args = intervals.get(k)
+                if args is None or dem.vars:
+                    continue
+                d = fixed_size(args)
+                if d is None or d <= 0 or dem.offset <= 0:
+                    continue
+                members.append(args)
+                durs.append(float(d))
+                energies.append(float(d) * float(dem.offset))
+            if len(members) >= 2:
+                add_energy_row(members, energies, durs, cap)
 
     if not lbs:
         return None

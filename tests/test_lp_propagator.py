@@ -201,3 +201,77 @@ def test_node_lp_inside_engine_search_preserves_optimum():
     ms = Solver("mip")
     ms.solve(mb)
     assert abs(s.objective_value - ms.objective_value) < 1e-6
+
+
+def test_scheduling_energy_rows_valid_and_tight():
+    """Completion-time energy rows (reference sat/scheduling_cuts.cc):
+    valid for every feasible schedule (brute-forced) and tight for a
+    packed single-machine instance."""
+    import itertools
+
+    import numpy as np
+
+    from ortools_tpu.sat.cp_model import CpModel
+    from ortools_tpu.sat.lp_propagator import extract_relaxation
+
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        n = int(rng.integers(2, 5))
+        durs = rng.integers(1, 6, size=n)
+        rel = rng.integers(0, 4, size=n)
+        m = CpModel()
+        ivs, ss = [], []
+        h = int(durs.sum() + rel.max() + 5)
+        for i in range(n):
+            s = m.new_int_var(int(rel[i]), h, f"s{i}")
+            ss.append(s)
+            ivs.append(m.new_interval_var(s, int(durs[i]),
+                                          s + int(durs[i])))
+        m.add_no_overlap(ivs)
+        a, rl, _ru, _vl, _vu, _cov = extract_relaxation(m.ir)
+        arow = a.toarray()[-1]
+        lo = rl[-1]
+        for perm in itertools.permutations(range(n)):
+            t = 0
+            sched = [0] * n
+            for i in perm:
+                sched[i] = max(t, int(rel[i]))
+                t = sched[i] + int(durs[i])
+            x = np.zeros(a.shape[1])
+            for i, s in enumerate(ss):
+                x[s.index] = sched[i]
+            assert arow @ x >= lo - 1e-9
+
+    # tightness: releases 0, the greedy packing attains the bound
+    m = CpModel()
+    durs = [3, 2, 4]
+    ivs, ss = [], []
+    for i, d in enumerate(durs):
+        s = m.new_int_var(0, 20, f"s{i}")
+        ss.append(s)
+        ivs.append(m.new_interval_var(s, d, s + d))
+    m.add_no_overlap(ivs)
+    a, rl, *_ = extract_relaxation(m.ir)
+    arow = a.toarray()[-1]
+    d_tot = sum(durs)
+    expected = (d_tot * d_tot - sum(d * d for d in durs)) / 2.0
+    assert rl[-1] == expected
+    # schedule in the order 0,1,2: starts 0,3,5
+    x = np.zeros(a.shape[1])
+    for s, st in zip(ss, (0, 3, 5)):
+        x[s.index] = st
+    # some order attains equality for unit-interchangeable weights
+    best = min(
+        sum(w * s for w, s in zip(
+            durs, _starts_for(perm, durs)))
+        for perm in itertools.permutations(range(3)))
+    assert abs(best - expected) < 1e-9
+
+
+def _starts_for(perm, durs):
+    t = 0
+    starts = [0] * len(durs)
+    for i in perm:
+        starts[i] = t
+        t += durs[i]
+    return starts
