@@ -1102,7 +1102,13 @@ def sc_iterated_greedy(rows_of_col, cols_of_row, cost, deadline: float,
     prune(chosen, cover_count)
     best = set(chosen)
     best_cost = float(cost[list(best)].sum())
+    # stop early once improvement dries up: a flat budget taxes easy
+    # instances whose tree would close the gap faster than more LS
+    last_improve = _time.perf_counter()
+    stale_window = max(2.0, 0.25 * (deadline - last_improve))
     while _time.perf_counter() < deadline:
+        if _time.perf_counter() - last_improve > stale_window:
+            break
         # destroy 10-35% of the current cover
         cur = set(best)
         cc = np.zeros(m, dtype=np.int32)
@@ -1121,6 +1127,7 @@ def sc_iterated_greedy(rows_of_col, cols_of_row, cost, deadline: float,
         c_cur = float(cost[list(cur)].sum())
         if c_cur < best_cost - 1e-12:
             best, best_cost = set(cur), c_cur
+            last_improve = _time.perf_counter()
     x = np.zeros(n)
     x[list(best)] = 1.0
     return x
