@@ -26,11 +26,16 @@ from ortools_tpu.models.generators import block_random_lp
 from ortools_tpu.pdlp import solver as S
 from ortools_tpu.pdlp.params import PdhgParams
 
-M = N = 16384
-NUM_BLOCKS = 4096
+import sys as _sys
+
+# "small" keeps every transfer/compile tunnel-friendly (the full size
+# wedges the remote-TPU tunnel for tens of minutes; measured round 4)
+_SMALL = len(_sys.argv) > 1 and _sys.argv[1] == "small"
+M = N = 8192 if _SMALL else 16384
+NUM_BLOCKS = 2048 if _SMALL else 4096
 BLOCK = (8, 128)
-MAJORS = 64
-REPS = 3
+MAJORS = 32 if _SMALL else 64
+REPS = 2 if _SMALL else 3
 
 
 def sync(arr):
@@ -85,8 +90,10 @@ def main():
               f"({iters/best:,.0f} iter/s)")
 
     # 3. solve parity (smaller problem so it converges quickly)
-    qp2 = block_random_lp(4096, 4096, num_blocks=1024, block_shape=BLOCK,
-                          seed=3)
+    qp2 = block_random_lp(2048 if _SMALL else 4096,
+                          2048 if _SMALL else 4096,
+                          num_blocks=512 if _SMALL else 1024,
+                          block_shape=BLOCK, seed=3)
     for mode in ("exact", "auto"):
         p = PdhgParams(dtype=jnp.float32, block_shape=BLOCK,
                        stream_precision=mode, iteration_limit=200_000)
