@@ -99,6 +99,21 @@ class NativeSmallLp:
         except Exception:
             pass
 
+    def seed_all_slack(self) -> bool:
+        """Cold start: all-slack basis with nonbasic structural columns
+        placed at the bound that makes their reduced cost (= cost, since
+        y = 0 for a zero-cost slack basis) dual feasible.  Valid whenever
+        every negative-cost structural has a finite upper bound and every
+        positive-cost one a finite lower bound — always true for the
+        boxed relaxations B&B feeds this core.  Returns False when a
+        free column with nonzero cost makes the start dual-infeasible
+        (the caller should use the featureful Python simplex instead)."""
+        basis = np.arange(self.n, self.n + self.m, dtype=np.int32)
+        nbstat = np.zeros(self.n + self.m, dtype=np.int8)
+        nbstat[: self.n][self.c < 0] = 1  # AT_UPPER
+        self.seed_basis(basis, nbstat)
+        return True
+
     def seed_basis(self, basis: np.ndarray, nb_status: np.ndarray) -> None:
         b = np.ascontiguousarray(basis, dtype=np.int32)
         s = np.ascontiguousarray(nb_status, dtype=np.int8)

@@ -104,14 +104,34 @@ class MipParams:
     # binaries.  0 disables.
     local_branching_interval: int = 36
     local_branching_k: int = 12
-    local_branching_max_nodes: int = 1500
-    local_branching_time_limit_sec: float = 10.0
+    local_branching_max_nodes: int = 5000
+    local_branching_time_limit_sec: float = 14.0
+    # VNS escalation (variable neighborhood search around the incumbent,
+    # Hansen-Mladenovic; reference role: the LNS ladder of
+    # cp_model_lns.h): when a Hamming ball is solved to PROVEN
+    # optimality without improving, enlarge k by `vns_k_step` up to
+    # `vns_k_max` instead of stopping; any improvement recenters and
+    # resets k.  Unproven no-improvement stops the loop.
+    local_branching_vns: bool = True
+    vns_k_start: int = 8
+    vns_k_step: int = 4
+    vns_k_max: int = 16
+    vns_time_share: float = 0.6  # of the remaining budget per invocation
     # Root cutting planes (mip/cuts.py).
     cut_rounds: int = 5
     max_cuts_per_round: int = 100
     # Pseudo-cost branching; falls back to most-fractional while a
     # variable has no observations (reliability 1).
     use_pseudo_costs: bool = True
+    # Reliability branching (Achterberg-Koch-Martin; reference role
+    # sat/pseudo_costs.h + strong branching in integer_search.cc): on the
+    # simplex backend, candidates whose pseudo-costs have fewer than
+    # `sb_reliability` observations per direction get their two child LPs
+    # actually solved (cheap warm dual-simplex re-solves) and the measured
+    # gains initialize the pseudo-costs.  0 disables.
+    sb_reliability: int = 4
+    sb_max_candidates: int = 8
+    sb_node_limit: int = 2000
     # Warm start: a candidate solution tried as the first incumbent
     # (re-verified by the feasibility checker like every incumbent);
     # the warm-start pattern of LNS/local-branching sub-solves.
@@ -168,6 +188,17 @@ class _PseudoCosts:
         else:
             frac = max(1.0 - node.branch_frac, 1e-6)
             self.sum_up[j] += gain / frac
+            self.cnt_up[j] += 1
+
+    def observe(self, j: int, d: int, gain: float, frac: float) -> None:
+        """Record a directly measured child-LP gain (strong branching)."""
+        if not math.isfinite(gain):
+            return
+        if d < 0:
+            self.sum_dn[j] += gain / max(frac, 1e-6)
+            self.cnt_dn[j] += 1
+        else:
+            self.sum_up[j] += gain / max(1.0 - frac, 1e-6)
             self.cnt_up[j] += 1
 
     def select(self, cand: np.ndarray, frac: np.ndarray) -> int:
@@ -344,37 +375,113 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             try_incumbent(r.solution)
 
     lb_seen: set = set()
+    # Diverse verified solutions worth exploring as VNS centers (filled
+    # by the structure-detected heuristics; different greedy basins lead
+    # the ball ladders to different optima).
+    center_pool: List[np.ndarray] = []
 
     def run_local_branching() -> None:
-        """Local branching (Fischetti-Lodi 2003): add the Hamming-ball
-        row sum_{x*=0} x_j + sum_{x*=1} (1 - x_j) <= k around the
-        incumbent's binaries and solve the sub-MIP briefly; RECENTER on
-        improvement (the classic outer loop).  Any solution of the
-        restriction is feasible for the original problem."""
-        for _ in range(3):
-            before = incumbent_obj
-            _local_branching_once()
-            if incumbent_obj is None or before == incumbent_obj:
+        """Local branching (Fischetti-Lodi 2003) with VNS escalation
+        (Hansen-Mladenovic): add the Hamming-ball row
+        sum_{x*=0} x_j + sum_{x*=1} (1 - x_j) <= k around a center's
+        binaries and solve the sub-MIP; RECENTER on improvement (k
+        resets), ENLARGE k when the ball is solved to proven optimality
+        without improvement, stop after two unproven misses.  Ladders run
+        around the incumbent first, then around diverse heuristic covers
+        (center_pool) — different basins reach different optima.  Any
+        solution of the restriction is feasible for the original
+        problem, and every candidate passes try_incumbent's checker."""
+        if incumbent_x is None:
+            return
+        if not params.local_branching_vns:
+            for _ in range(3):
+                before = incumbent_obj
+                _local_branching_once(incumbent_x,
+                                      params.local_branching_k)
+                if incumbent_x is None or before == incumbent_obj:
+                    return
+            return
+        loop_deadline = min(
+            start + params.time_limit_sec,
+            time.perf_counter() + params.vns_time_share * max(
+                params.time_limit_sec - (time.perf_counter() - start), 0.0))
+        centers = [incumbent_x]
+        for c in center_pool:
+            if not any(np.array_equal(c, e) for e in centers):
+                centers.append(c)
+        centers = centers[:4]
+        # proportional budget split so a fruitless first ladder cannot
+        # starve the other basins
+        for idx, center in enumerate(centers):
+            now = time.perf_counter()
+            if now > loop_deadline - 4.0:
                 return
+            share = (loop_deadline - now) / (len(centers) - idx)
+            _vns_ladder(center, min(loop_deadline, now + max(share, 16.0)),
+                        loop_deadline)
 
-    def _local_branching_once() -> None:
-        if incumbent_x is None or not len(int_idx):
-            return
-        remaining = params.time_limit_sec - (time.perf_counter() - start)
+    def _vns_ladder(center: np.ndarray, soft_deadline: float,
+                    hard_deadline: float) -> None:
+        """One ball ladder.  `soft_deadline` is this ladder's fair share
+        of the VNS budget; a ladder that keeps improving earns
+        extensions up to `hard_deadline` (a walk in progress beats
+        starting over from a worse basin)."""
+        cen = center
+        cen_obj = qp_min.objective_value(cen)
+        if params.verbosity >= 1:
+            print(f"vns ladder: center obj={cen_obj:.6f} "
+                  f"t={time.perf_counter() - start:.1f}s")
+        k = params.vns_k_start
+        fails = 0
+        while (time.perf_counter() < soft_deadline - 2.0
+               and k <= params.vns_k_max):
+            st, sol, obj = _local_branching_once(cen, k, hard_deadline)
+            if st is None:
+                return
+            if sol is not None and obj < cen_obj - 1e-12:
+                cen, cen_obj = sol, obj  # walk the ladder's own chain
+                k = params.vns_k_start
+                fails = 0
+                soft_deadline = min(
+                    hard_deadline,
+                    max(soft_deadline, time.perf_counter() + 32.0))
+            elif st == MPSolverStatus.OPTIMAL:
+                k += params.vns_k_step  # proven empty ball: widen
+            else:
+                # unproven and no improvement: tolerate one miss (the
+                # wider ball often contains an improving solution found
+                # quickly even without a proof), then stop
+                fails += 1
+                if fails >= 2:
+                    return
+                k += params.vns_k_step
+
+    def _local_branching_once(center: np.ndarray, k: int,
+                              loop_deadline: float = math.inf):
+        """Solve one Hamming-ball sub-MIP around `center`.  Returns
+        (status, solution, objective) — solution/objective from the
+        sub-solve when feasible, else (status, None, inf); (None, None,
+        inf) when skipped."""
+        none3 = (None, None, math.inf)
+        if center is None or not len(int_idx):
+            return none3
+        remaining = min(
+            params.time_limit_sec - (time.perf_counter() - start),
+            loop_deadline - time.perf_counter())
         if remaining < 1.0:
-            return
+            return none3
         lbv, ubv = qp_min.variable_lower, qp_min.variable_upper
         bin_idx = int_idx[(lbv[int_idx] >= -1e-9)
                           & (ubv[int_idx] <= 1.0 + 1e-9)]
         if len(bin_idx) < 10:
-            return
-        fp = (incumbent_obj, incumbent_x[bin_idx].tobytes())
+            return none3
+        fp = (k, center[bin_idx].tobytes())
         if fp in lb_seen:
-            return
+            return none3
         lb_seen.add(fp)
-        ones = incumbent_x[bin_idx] >= 0.5
+        ones = center[bin_idx] >= 0.5
         coeffs = np.where(ones, -1.0, 1.0)
-        rhs = float(params.local_branching_k) - float(ones.sum())
+        rhs = float(k) - float(ones.sum())
         row = sp.csr_matrix(
             (coeffs, (np.zeros(len(bin_idx), dtype=int), bin_idx)),
             shape=(1, qp_min.num_variables))
@@ -389,19 +496,32 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                 [qp_min.constraint_upper, [rhs]]),
             constraint_names=None,
         )
+        # wider balls earn proportionally more time (a k=12 proof costs
+        # more nodes than a k=8 one, and proofs are what drive the VNS
+        # ladder onward)
+        ball_budget = params.local_branching_time_limit_sec * max(
+            1.0, k / max(params.vns_k_start, 1))
         sub_params = dataclasses.replace(
             params,
             max_nodes=params.local_branching_max_nodes,
-            time_limit_sec=min(params.local_branching_time_limit_sec,
-                               remaining),
-            cut_rounds=0, rins_interval=0, tree_cut_interval=0,
+            time_limit_sec=min(ball_budget, remaining),
+            cut_rounds=2, rins_interval=0, tree_cut_interval=0,
             local_branching_interval=0, fj_root_seconds=0.0,
             verbosity=0,
-            initial_solution=incumbent_x,  # don't rediscover the center
+            initial_solution=center,  # don't rediscover the center
         )
         r = solve(sub_qp, sub_params)
+        sol = None
+        obj = math.inf
         if r.status in (MPSolverStatus.OPTIMAL, MPSolverStatus.FEASIBLE):
             try_incumbent(r.solution)
+            sol = r.solution
+            obj = float(r.objective_value)
+        if params.verbosity >= 1:
+            print(f"local branching k={k}: {r.status.name} "
+                  f"obj={r.objective_value:.6f} nodes={r.num_nodes} "
+                  f"t={time.perf_counter() - start:.1f}s")
+        return r.status, sol, obj
 
     def run_dive(x_lp: np.ndarray, lb_d: np.ndarray, ub_d: np.ndarray
                  ) -> None:
@@ -457,13 +577,32 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
         sc = detect_set_cover(qp_min)
         if sc is not None:
             rows_of_col, cols_of_row, sc_cost = sc
-            sc_deadline = min(
-                start + 0.35 * params.time_limit_sec,
-                time.perf_counter() + 25.0)
-            sx_cand = sc_iterated_greedy(rows_of_col, cols_of_row,
-                                         sc_cost, sc_deadline)
-            if sx_cand is not None:
-                try_incumbent(sx_cand)
+            # two independent greedy seeds: different random restarts
+            # land in different basins, and basin diversity is what the
+            # VNS ladders below need (a single cover's k<=16 ball can be
+            # provably empty while another basin walks to the optimum)
+            for sc_seed in (0, 1):
+                sc_deadline = min(
+                    start + 0.25 * params.time_limit_sec,
+                    time.perf_counter() + 10.0)
+                sx_cand = sc_iterated_greedy(rows_of_col, cols_of_row,
+                                             sc_cost, sc_deadline,
+                                             seed=sc_seed)
+                if sx_cand is not None:
+                    try_incumbent(sx_cand)
+                    center_pool.append(
+                        np.asarray(sx_cand, dtype=np.float64))
+            # CFT-style Lagrangian cover: one more basin
+            # (mip/heuristics.py::sc_lagrangian)
+            from ortools_tpu.mip.heuristics import sc_lagrangian
+
+            lx_cand, _sc_elites = sc_lagrangian(
+                rows_of_col, cols_of_row, sc_cost,
+                min(start + 0.3 * params.time_limit_sec,
+                    time.perf_counter() + 5.0))
+            if lx_cand is not None:
+                try_incumbent(lx_cand)
+                center_pool.append(np.asarray(lx_cand, dtype=np.float64))
 
     if len(int_idx) and params.cut_rounds > 0:
         # snapshot of the state before the latest append, for rolling
@@ -777,6 +916,56 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             elif params.use_pseudo_costs:
                 cand = int_idx[frac > params.integrality_tol]
                 fr = x_lp[cand] - np.floor(x_lp[cand])
+                # Reliability branching: measure unreliable candidates'
+                # child LPs with warm dual-simplex re-solves before
+                # trusting the product rule (Achterberg et al.; reference
+                # strong-branching role in sat/integer_search.cc).
+                if (is_simplex and params.sb_reliability > 0
+                        and num_nodes <= params.sb_node_limit
+                        and time.perf_counter() - start
+                        < 0.75 * params.time_limit_sec):
+                    unrel_mask = (np.minimum(pcosts.cnt_dn[cand],
+                                             pcosts.cnt_up[cand])
+                                  < params.sb_reliability)
+                    if unrel_mask.any():
+                        # most promising unreliable candidates first
+                        order = np.argsort(
+                            -np.minimum(fr, 1.0 - fr)[unrel_mask])
+                        todo = cand[unrel_mask][order]
+                        todo = todo[:params.sb_max_candidates]
+                        sb_deadline = min(
+                            start + 0.8 * params.time_limit_sec,
+                            time.perf_counter() + 5.0)
+                        for jj in todo:
+                            if time.perf_counter() > sb_deadline:
+                                break
+                            xjj = float(x_lp[jj])
+                            fjj = xjj - math.floor(xjj)
+                            for d, lo, hi in (
+                                (-1, None, math.floor(xjj)),
+                                (+1, math.ceil(xjj), None),
+                            ):
+                                clb = np.array(nd.lb)
+                                cub = np.array(nd.ub)
+                                if hi is not None:
+                                    cub[jj] = min(cub[jj], hi)
+                                if lo is not None:
+                                    clb[jj] = max(clb[jj], lo)
+                                st, _, _, obj = backend.resolve_raw(
+                                    clb, cub, deadline=sb_deadline)
+                                if st == MPSolverStatus.OPTIMAL:
+                                    pcosts.observe(
+                                        int(jj), d,
+                                        max(obj - node_bound, 0.0), fjj)
+                                elif st == MPSolverStatus.INFEASIBLE:
+                                    # child infeasible: a very large
+                                    # measured gain (drives selection
+                                    # toward this variable)
+                                    big = (incumbent_obj - node_bound
+                                           if math.isfinite(incumbent_obj)
+                                           else abs(node_bound) + 1.0)
+                                    pcosts.observe(int(jj), d,
+                                                   max(big, 1.0), fjj)
                 j = int(cand[pcosts.select(cand, fr)])
                 xj = x_lp[j]
             else:

@@ -459,6 +459,105 @@ def _vub_substitute(idx: np.ndarray, val: np.ndarray, is_int: np.ndarray,
     return uidx, uval
 
 
+def _flow_cover_on_row(idx: np.ndarray, val: np.ndarray,
+                       rhs: float,
+                       var_lb: np.ndarray,
+                       is_int: np.ndarray,
+                       x_lp: np.ndarray,
+                       vub_cap: np.ndarray, vub_y: np.ndarray,
+                       min_violation: float
+                       ) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
+    """Simple flow-cover cut on a single-node flow row (reference role:
+    flow covers in ``ortools/sat/cuts.cc`` and the fixed-charge
+    strengthening of ``implied_bounds.h``; inequality per
+    Padberg--Van Roy--Wolsey 1985).
+
+    The row must read ``sum_j a_j f_j <= b`` with every ``f_j``
+    continuous, ``a_j > 0``, ``lb(f_j) = 0`` and a variable upper bound
+    ``f_j <= cap_j y_j`` (binary ``y_j``).  Scaling ``f'_j = a_j f_j``
+    gives capacities ``C_j = a_j cap_j``.  For a cover ``S`` with
+    ``lambda = sum_S C_j - b > 0`` the simple flow-cover inequality is
+
+        sum_S f'_j + sum_S (C_j - lambda)^+ (1 - y_j) <= b
+
+    returned in original space as
+    ``sum_S a_j f_j - sum_S (C_j-lambda)^+ y_j <= b - sum_S (C_j-lambda)^+``.
+
+    Separation is greedy over two orders with exact violation
+    re-evaluation per prefix (heuristic per Gu-Nemhauser-Savelsbergh).
+    """
+    k = len(idx)
+    if k < 2 or not math.isfinite(rhs):
+        return None
+    # every term: continuous, positive coefficient, lb 0, has a VUB
+    if np.any(is_int[idx]):
+        return None
+    if np.any(val <= _EPS) or np.any(var_lb[idx] < -1e-9):
+        return None
+    yv = vub_y[idx]
+    if np.any(yv < 0):
+        return None
+    cap_s = val * vub_cap[idx]  # C_j (scaled capacities)
+    if not np.all(np.isfinite(cap_s)):
+        return None
+    f_s = val * x_lp[idx]  # f'_j at the LP point
+    y_s = np.clip(x_lp[yv], 0.0, 1.0)
+
+    def eval_cover(sel: np.ndarray):
+        lam = float(cap_s[sel].sum()) - rhs
+        if lam <= _EPS:
+            return None
+        bonus = np.maximum(cap_s[sel] - lam, 0.0)
+        viol = float(f_s[sel].sum() + (bonus * (1.0 - y_s[sel])).sum()) - rhs
+        norm = math.sqrt(float((val[sel] ** 2).sum())
+                         + float((bonus ** 2).sum()))
+        return viol / max(norm, _EPS), lam, bonus
+
+    best = None  # (scaled_viol, sel, lam, bonus)
+    orders = [
+        np.argsort(-(f_s - (1.0 - y_s) * cap_s), kind="stable"),
+        np.argsort(-np.where(f_s > _EPS, cap_s, -np.inf), kind="stable"),
+    ]
+    for order in orders:
+        csum = 0.0
+        for t in range(k):
+            csum += cap_s[order[t]]
+            if csum <= rhs + _EPS:
+                continue
+            sel = order[: t + 1]
+            out = eval_cover(sel)
+            if out is not None and (best is None or out[0] > best[0]):
+                best = (out[0], sel, out[1], out[2])
+    if best is None or best[0] <= min_violation:
+        return None
+    _, sel, lam, bonus = best
+    # assemble in original space, merging duplicate y columns
+    cols: List[int] = []
+    coefs: List[float] = []
+    for t, j in enumerate(idx[sel]):
+        cols.append(int(j))
+        coefs.append(float(val[sel][t]))
+    d = rhs
+    for t, j in enumerate(yv[sel]):
+        if bonus[t] > _EPS:
+            cols.append(int(j))
+            coefs.append(-float(bonus[t]))
+            d -= float(bonus[t])
+    order2 = np.argsort(cols, kind="stable")
+    ui: List[int] = []
+    uv: List[float] = []
+    for t in order2:
+        if ui and ui[-1] == cols[t]:
+            uv[-1] += coefs[t]
+        else:
+            ui.append(cols[t])
+            uv.append(coefs[t])
+    gidx = np.array(ui, dtype=np.int64)
+    gval = np.array(uv)
+    keep = gval != 0.0
+    return gidx[keep], gval[keep], float(d)
+
+
 def _clique_cuts(a: sp.csr_matrix, con_ub: np.ndarray, var_lb, var_ub,
                  is_int: np.ndarray, x_lp: np.ndarray,
                  min_violation: float,
@@ -774,6 +873,17 @@ def generate_cuts(
         ):
             if not np.isfinite(row_rhs):
                 continue
+            if not row_has_int:
+                # single-node flow row candidate (continuous + VUBs)
+                fc = _flow_cover_on_row(idx, row_val, float(row_rhs),
+                                        var_lb, is_int, x_lp,
+                                        vub_cap, vub_y, min_violation)
+                if fc is not None:
+                    cidx, cval, crhs = fc
+                    norm = max(float(np.linalg.norm(cval)), _EPS)
+                    viol = (float(cval @ x_lp[cidx]) - crhs) / norm
+                    if viol > min_violation:
+                        found.append((viol, cidx, cval / norm, crhs / norm))
             variants = [(idx, row_val)] if row_has_int else []
             sub = _vub_substitute(idx, row_val, is_int, vub_cap, vub_y)
             if sub is not None:

@@ -1131,3 +1131,146 @@ def sc_iterated_greedy(rows_of_col, cols_of_row, cost, deadline: float,
     x = np.zeros(n)
     x[list(best)] = 1.0
     return x
+
+
+def sc_lagrangian(rows_of_col, cols_of_row, cost, deadline: float,
+                  seed: int = 0,
+                  max_iters: int = 20000,
+                  n_elite: int = 12):
+    """CFT-style Lagrangian heuristic for weighted set covering
+    (Caprara-Fischetti-Toth 1999; reference role: the set-cover
+    primal/dual engines of ``ortools/algorithms/set_cover.h``).
+
+    Subgradient optimization of the Lagrangian dual
+    ``L(u) = sum_i u_i + sum_j min(c_j - sum_{i in rows(j)} u_i, 0)``
+    interleaved with greedy cover construction on the Lagrangian reduced
+    costs and redundancy pruning.  The dual multipliers steer the greedy
+    toward columns the LP wants — covers that plain cost-greedy restarts
+    miss.  When the step collapses, the multipliers are perturbed and the
+    schedule restarts (CFT's re-optimization phases).
+
+    Returns ``(best_x, elites)`` where ``best_x`` is the best 0/1 cover
+    (or None) and ``elites`` is a list of up to ``n_elite`` distinct
+    (cost, column-index-array) covers found — the restricted-master pool.
+    """
+    import time as _time
+
+    rng = np.random.default_rng(seed)
+    m = len(cols_of_row)
+    n = len(rows_of_col)
+    if m == 0 or n == 0:
+        return None, []
+    cost = np.asarray(cost, dtype=np.float64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    for j in range(n):
+        indptr[j + 1] = indptr[j] + len(rows_of_col[j])
+    indices = np.concatenate(rows_of_col) if n else np.zeros(0, int)
+    a = sp.csc_matrix((np.ones(len(indices)), indices, indptr),
+                      shape=(m, n))  # rows x cols
+    at = a.T.tocsr()
+    col_sz = np.maximum(np.diff(indptr), 1)
+
+    # u_i init: cheapest cost-per-row share among covering columns
+    with np.errstate(divide="ignore"):
+        share = cost / col_sz
+    u = np.full(m, np.inf)
+    for j in range(n):
+        np.minimum.at(u, rows_of_col[j], share[j])
+    u[~np.isfinite(u)] = 0.0
+
+    def greedy_from(rc: np.ndarray, noise: float) -> Optional[np.ndarray]:
+        """Greedy cover scored by Lagrangian costs; prune redundant."""
+        chosen: List[int] = []
+        covered = np.zeros(m, dtype=bool)
+        cc = np.zeros(m, dtype=np.int32)
+        while not covered.all():
+            unc = (~covered).astype(np.float64)
+            gains = at @ unc
+            cov = gains > 0
+            if chosen:
+                cov[chosen] = False
+            if not cov.any():
+                return None
+            score = np.full(n, np.inf)
+            pos = cov & (rc > 0)
+            score[pos] = rc[pos] / gains[pos]
+            neg = cov & (rc <= 0)
+            score[neg] = rc[neg] * gains[neg]
+            if noise:
+                fin = np.isfinite(score)
+                score[fin] += noise * rng.random(int(fin.sum())) * (
+                    np.abs(score[fin]) + 1e-3)
+            j = int(np.argmin(score))
+            chosen.append(j)
+            covered[rows_of_col[j]] = True
+            cc[rows_of_col[j]] += 1
+        for j in sorted(chosen, key=lambda t: -cost[t]):
+            rs = rows_of_col[j]
+            if len(rs) and (cc[rs] >= 2).all():
+                chosen.remove(j)
+                cc[rs] -= 1
+        x = np.zeros(n)
+        x[chosen] = 1.0
+        return x
+
+    best_x = None
+    best_ub = math.inf
+    best_lb = -math.inf
+    elites: dict = {}  # frozenset(cols) -> cost
+    lam = 2.0
+    stall = 0
+
+    def record(x: np.ndarray) -> None:
+        nonlocal best_x, best_ub
+        cx = float(cost @ x)
+        key = frozenset(np.nonzero(x)[0].tolist())
+        if key not in elites:
+            elites[key] = cx
+            if len(elites) > 4 * n_elite:
+                for k in sorted(elites, key=elites.get)[4 * n_elite:]:
+                    del elites[k]
+        if cx < best_ub - 1e-12:
+            best_ub = cx
+            best_x = x
+
+    for it in range(max_iters):
+        if _time.perf_counter() > deadline:
+            break
+        rc = cost - (at @ u)  # Lagrangian reduced costs
+        xneg = rc < 0
+        lb = float(u.sum() + rc[xneg].sum())
+        if lb > best_lb + 1e-9:
+            best_lb = lb
+            stall = 0
+        else:
+            stall += 1
+            if stall >= 30:
+                lam *= 0.5
+                stall = 0
+        if lam < 1e-3:
+            # CFT re-optimization phase: perturb multipliers, restart step
+            u = u * rng.uniform(0.9, 1.1, m)
+            lam = 1.5
+        g = 1.0 - (a @ xneg.astype(np.float64))
+        gnorm = float(g @ g)
+        if gnorm < 1e-12:
+            record_x = greedy_from(rc, 0.0)
+            if record_x is not None:
+                record(record_x)
+            u = u * rng.uniform(0.95, 1.05, m)
+            continue
+        ub_ref = best_ub if math.isfinite(best_ub) else max(1.5 * lb,
+                                                            lb + 1.0)
+        t = lam * max(ub_ref - lb, 1e-6) / gnorm
+        u = np.maximum(0.0, u + t * g)
+        if it % 2 == 0:
+            x = greedy_from(rc, 0.0 if it % 10 else 0.3)
+            if x is not None:
+                record(x)
+        if math.isfinite(best_ub) and best_ub - best_lb <= 1e-9 * (
+                1 + abs(best_ub)):
+            break
+    elite_list = sorted(((c, np.array(sorted(k), dtype=np.int64))
+                         for k, c in elites.items()),
+                        key=lambda t: t[0])[:n_elite]
+    return best_x, elite_list

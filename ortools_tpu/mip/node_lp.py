@@ -111,6 +111,11 @@ class SimplexNodeBackend:
             from ortools_tpu.glop.native_simplex import NativeSmallLp
 
             self._native = NativeSmallLp(qp_min)
+            # cold all-slack dual-feasible start: the native core can
+            # solve from scratch, so node LPs never have to wait for a
+            # Python-simplex OPTIMAL to seed the basis
+            if self._native.seed_all_slack():
+                self._native_seeded = True
         except Exception:
             self._native = None
 
@@ -127,7 +132,18 @@ class SimplexNodeBackend:
             return st, x, y, obj
         if st == MPSolverStatus.INFEASIBLE:
             return st, None, None, math.nan
-        # ABNORMAL / unverified: Python fallback, then re-seed
+        # ABNORMAL from a warm basis: retry once from the cold all-slack
+        # dual-feasible start before paying for the Python fallback
+        try:
+            if self._native.seed_all_slack():
+                st, x, y, obj, _bound = self._native.resolve(lb, ub)
+                if st == MPSolverStatus.OPTIMAL:
+                    return st, x, y, obj
+                if st == MPSolverStatus.INFEASIBLE:
+                    return st, None, None, math.nan
+        except Exception:
+            pass
+        # unverified: Python fallback, then re-seed
         self._native_seeded = False
         return None
 

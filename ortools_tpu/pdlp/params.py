@@ -4,11 +4,13 @@ Capability parity: ``ortools/pdlp/solvers.proto`` (PrimalDualHybridGradientParam
 and TerminationCriteria).  Defaults reproduce the reference's proto defaults
 (solvers.proto:102-395) except where noted:
 
-- restart strategy: the reference default ADAPTIVE_HEURISTIC evaluates a
-  trust-region "localized duality gap"; round 1 implements an adaptive
-  restart on the weighted KKT error (the scheme of cuPDLP, PAPERS.md
-  arXiv:2312.14832) with the same sufficient/necessary reduction constants.
-  The trust-region variant is planned (see pdlp/trust_region.py TODO).
+- restart strategy: both adaptive schemes are implemented.
+  ADAPTIVE_HEURISTIC evaluates the reference's trust-region "localized
+  duality gap" criterion (primal_dual_hybrid_gradient.cc:1904,
+  pdlp/trust_region.py, exercised in tests/test_trust_region.py);
+  ADAPTIVE_KKT restarts on the weighted KKT error (the cuPDLP scheme,
+  PAPERS.md arXiv:2312.14832) with the same sufficient/necessary
+  reduction constants, and is this package's default.
 """
 
 from __future__ import annotations

@@ -294,3 +294,140 @@ def test_zero_half_with_bound_rows():
     assert set(gi.tolist()) == {0, 1}
     np.testing.assert_allclose(gv / gv[0], np.ones(2))
     np.testing.assert_allclose(gr / gv[0], 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Flow-cover cuts (reference role: sat/cuts.cc flow covers,
+# Padberg-Van Roy-Wolsey single-node fixed-charge inequalities)
+# ---------------------------------------------------------------------------
+
+
+def _snf_instance(rng, k):
+    """A single-node flow set: sum f_j <= b, f_j <= cap_j y_j.
+    Variables ordered [f_0..f_{k-1}, y_0..y_{k-1}]."""
+    cap = rng.integers(3, 12, k).astype(float)
+    b = float(np.floor(cap.sum() * rng.uniform(0.4, 0.8)))
+    rows, cols, vals = [], [], []
+    # row 0: sum f <= b
+    for j in range(k):
+        rows.append(0); cols.append(j); vals.append(1.0)
+    cl = [-np.inf]
+    cu = [b]
+    # VUB rows: f_j - cap_j y_j <= 0
+    for j in range(k):
+        r = 1 + j
+        rows.append(r); cols.append(j); vals.append(1.0)
+        rows.append(r); cols.append(k + j); vals.append(-cap[j])
+        cl.append(-np.inf); cu.append(0.0)
+    a = sp.csr_matrix((vals, (rows, cols)), shape=(1 + k, 2 * k))
+    lb = np.zeros(2 * k)
+    ub = np.concatenate([cap, np.ones(k)])
+    integ = np.zeros(2 * k, dtype=bool)
+    integ[k:] = True
+    return a, np.array(cl), np.array(cu), lb, ub, integ, cap, b
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_flow_cover_validity_exhaustive(seed):
+    """For every binary y, the flow-cover cut must hold at the f-vertex
+    maximizing the cut LHS (checked by LP over the true feasible set)."""
+    rng = np.random.default_rng(100 + seed)
+    k = 5
+    a, cl, cu, lb, ub, integ, cap, b = _snf_instance(rng, k)
+    # an LP point that typically violates flow covers: saturate cheap
+    # arcs fractionally
+    y_frac = rng.uniform(0.2, 0.95, k)
+    f_pt = np.minimum(cap * y_frac, cap)
+    # scale f down to satisfy sum f <= b
+    if f_pt.sum() > b:
+        f_pt *= b / f_pt.sum() * 0.999
+        y_frac = np.minimum(1.0, f_pt / cap + 1e-9)
+    x_lp = np.concatenate([f_pt, y_frac])
+    pool = generate_cuts(a, cl, cu, lb, ub, integ, x_lp,
+                         max_cuts=30, min_violation=1e-6)
+    if pool is None:
+        return  # nothing separated at this point — fine
+    rows = pool.rows.toarray()
+    for yv in np.array(np.meshgrid(*[[0, 1]] * k)).reshape(k, -1).T:
+        ubi = np.concatenate([cap * yv, yv.astype(float)])
+        lbi = np.concatenate([np.zeros(k), yv.astype(float)])
+        for g, d in zip(rows, pool.rhs):
+            # maximize g.x over {sum f <= b, 0 <= f <= cap*y, y = yv}
+            res = linprog(-g, A_ub=np.ones((1, 2 * k)) * (np.arange(2 * k)
+                          < k), b_ub=[b], bounds=list(zip(lbi, ubi)),
+                          method="highs")
+            assert res.status == 0
+            assert -res.fun <= d + 1e-7, (
+                f"flow cover cut violated at y={yv}: {-res.fun} > {d}")
+
+
+def test_flow_cover_separates_fractional_point():
+    """The canonical example: 2 arcs cap 10 each, b = 15; LP point
+    f = (10, 5), y = (1, 0.5) violates the cover {1,2}:
+    f1 + f2 + 5(1-y1) + 5(1-y2) <= 15."""
+    k = 2
+    cap = np.array([10.0, 10.0])
+    b = 15.0
+    rows, cols, vals = [], [], []
+    for j in range(k):
+        rows.append(0); cols.append(j); vals.append(1.0)
+    for j in range(k):
+        r = 1 + j
+        rows.append(r); cols.append(j); vals.append(1.0)
+        rows.append(r); cols.append(k + j); vals.append(-cap[j])
+    a = sp.csr_matrix((vals, (rows, cols)), shape=(1 + k, 2 * k))
+    cl = np.array([-np.inf] * 3)
+    cu = np.array([b, 0.0, 0.0])
+    lb = np.zeros(4)
+    ub = np.array([10.0, 10.0, 1.0, 1.0])
+    integ = np.array([False, False, True, True])
+    x_lp = np.array([10.0, 5.0, 1.0, 0.5])
+    pool = generate_cuts(a, cl, cu, lb, ub, integ, x_lp,
+                         max_cuts=10, min_violation=1e-6)
+    assert pool is not None
+    # some returned cut must cut off the LP point
+    viol = pool.rows @ x_lp - pool.rhs
+    assert viol.max() > 1e-6
+
+
+def test_flow_cover_improves_fixed_charge_root():
+    """Root LP bound improves on a small fixed-charge instance."""
+    from ortools_tpu.models.mip_generators import fixed_charge
+
+    qp = fixed_charge(30, seed=7).as_minimization()
+    a = sp.csr_matrix(qp.constraint_matrix)
+    c = qp.objective_vector
+    bounds = list(zip(qp.variable_lower, qp.variable_upper))
+    import scipy.optimize as sopt
+    res = sopt.linprog(
+        c, A_ub=sp.vstack([a, -a]).toarray(),
+        b_ub=np.concatenate([
+            np.where(np.isfinite(qp.constraint_upper),
+                     qp.constraint_upper, 1e12),
+            np.where(np.isfinite(qp.constraint_lower),
+                     -qp.constraint_lower, 1e12)]),
+        bounds=bounds, method="highs")
+    assert res.status == 0
+    x_lp = res.x
+    root0 = res.fun
+    pool = generate_cuts(a, qp.constraint_lower, qp.constraint_upper,
+                         qp.variable_lower, qp.variable_upper,
+                         np.asarray(qp.integrality, dtype=bool), x_lp,
+                         max_cuts=60, min_violation=1e-5)
+    assert pool is not None
+    qp2 = append_cuts(qp, pool)
+    a2 = sp.csr_matrix(qp2.constraint_matrix)
+    res2 = sopt.linprog(
+        qp2.objective_vector,
+        A_ub=sp.vstack([a2, -a2]).toarray(),
+        b_ub=np.concatenate([
+            np.where(np.isfinite(qp2.constraint_upper),
+                     qp2.constraint_upper, 1e12),
+            np.where(np.isfinite(qp2.constraint_lower),
+                     -qp2.constraint_lower, 1e12)]),
+        bounds=list(zip(qp2.variable_lower, qp2.variable_upper)),
+        method="highs")
+    assert res2.status == 0
+    assert res2.fun > root0 + 1e-6, (
+        f"flow covers did not move the fixed-charge root bound "
+        f"({root0} -> {res2.fun})")
