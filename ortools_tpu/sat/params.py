@@ -49,6 +49,11 @@ class SatParameters:
     # linear_propagation.h:176; sat/lcg.py + _native/lcg.cc).  Tried
     # before the eager encoding; falls through on unsupported fragments.
     use_lcg: bool = True
+    # pure pseudo-Boolean models (all-boolean linear rows, e.g. the OPB
+    # path) route to the cutting-planes PB-resolution core
+    # (_native/pbsat.cc; reference pb_constraint.h:526 ResolvePBConflict)
+    # whenever at least one true PB row is present
+    use_pb_resolution: bool = True
     # eager order-encoding of general integer models onto the CDCL core
     # (reference integer.h literal encoding + cp_model_loader.cc, done
     # eagerly; sat/integer_encoding.py)

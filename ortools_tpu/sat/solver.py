@@ -273,6 +273,40 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
             if solution_is_feasible(model, values):
                 hint_solution = values
 
+    # Pure-PB special case (reference pb_constraint.h:526
+    # ResolvePBConflict): all-boolean models with at least one true
+    # linear row route to the cutting-planes PB-resolution core
+    # (sat/pb_bridge.py -> _native/pbsat.cc).  Clause-only models stay
+    # on the CDCL path below, where watched-literal propagation wins.
+    if (params.use_pb_resolution and not params.enumerate_all_solutions
+            and params.num_workers <= 1 and callback is None
+            and not model.solution_hint
+            and any(ct.kind == "linear" for ct in work.constraints)):
+        from ortools_tpu.sat.pb_bridge import try_pure_pb
+
+        pb = try_pure_pb(work, params, deadline, should_stop)
+        if pb is not None:
+            st, values, obj_val, bound, ncf = pb
+            if st in ("OPTIMAL", "FEASIBLE") and values is not None:
+                values = values[:n_orig]
+                if solution_is_feasible(model, values):
+                    true_obj = (_objective_value(obj, values)
+                                if obj is not None else math.nan)
+                    return resp(SolveStatus[st], values, obj=true_obj,
+                                bound=bound, conflicts=ncf)
+                # verification surprise: distrust the PB core, fall
+                # through to the general engines
+            elif st == "INFEASIBLE":
+                return resp(
+                    SolveStatus.INFEASIBLE,
+                    bound=math.inf if obj and not obj.maximize
+                    else -math.inf,
+                    conflicts=ncf, core=model.assumptions)
+            # UNKNOWN: deadline expired inside the PB core — report it
+            # rather than starting another engine with no budget left
+            elif st == "UNKNOWN" and time.perf_counter() > deadline:
+                return resp(SolveStatus.UNKNOWN, conflicts=ncf)
+
     # Feasibility jump: violation-guided local search on linear-representable
     # models (reference feasibility_jump.h portfolio worker) — used as a
     # fast first-solution engine; every output re-checked before use.
