@@ -303,6 +303,97 @@ class Solver {
     }
   }
 
+  // ---- shared clauses (reference synchronization.h:538) -----------------
+  // Export descriptors are model-level: 4 i64 per literal
+  // (type 0 = plain bool var / 1 = bound literal [x >= v]; var; value;
+  // sign), 8 per clause (second literal type = -1 for unit facts).
+  // Only literals over the SHARED model prefix (plain bools below
+  // export_bool_limit_, int vars below export_int_limit_) are exported —
+  // worker-private auxiliaries (e.g. a shaving worker's objective var)
+  // must not leak across instances.
+
+  void SetExportLimits(int nbools, int nints) {
+    export_bool_limit_ = nbools;
+    export_int_limit_ = nints;
+  }
+
+  bool DescribeLit(u32 l, i64* d) {
+    int v = Var(l);
+    d[3] = (l & 1u) ? 1 : 0;
+    int x = v < (int)bvar_int_.size() ? bvar_int_[v] : -1;
+    if (x >= 0) {
+      if (x >= export_int_limit_) return false;
+      d[0] = 1;
+      d[1] = x;
+      d[2] = bvar_bound_[v];
+    } else {
+      if (v >= export_bool_limit_) return false;
+      d[0] = 0;
+      d[1] = v;
+      d[2] = 0;
+    }
+    return true;
+  }
+
+  void RecordShared(const std::vector<u32>& lits) {
+    if (lits.empty() || lits.size() > 2) return;
+    if (shared_out_.size() >= 8 * 4096) return;  // bounded buffer
+    i64 d[8] = {0, 0, 0, 0, -1, 0, 0, 0};
+    if (!DescribeLit(lits[0], d)) return;
+    if (lits.size() == 2 && !DescribeLit(lits[1], d + 4)) return;
+    shared_out_.insert(shared_out_.end(), d, d + 8);
+  }
+
+  int ExportShared(i64* out, int max_clauses) {
+    int n = std::min<int>(max_clauses, (int)(shared_out_.size() / 8));
+    std::memcpy(out, shared_out_.data(), (size_t)n * 8 * sizeof(i64));
+    shared_out_.erase(shared_out_.begin(), shared_out_.begin() + n * 8);
+    return n;
+  }
+
+  // Import clauses previously exported by a sibling built from the SAME
+  // model prefix.  Must be called at level 0 (between solves).
+  bool ImportShared(const i64* descs, int n_clauses) {
+    if (Level() != 0) return ok_;
+    for (int i = 0; i < n_clauses && ok_; ++i) {
+      const i64* c = descs + 8 * i;
+      tmp_clause_.clear();
+      bool skip = false;
+      for (int k = 0; k < 2; ++k) {
+        const i64* d = c + 4 * k;
+        if (d[0] < 0) break;  // unit fact
+        u32 l;
+        if (d[0] == 1) {
+          if (d[1] < 0 || d[1] >= NumIntVars()) {
+            skip = true;
+            break;
+          }
+          l = GeLit((int)d[1], d[2]);
+          if (d[3]) l = NegSent(l);
+        } else {
+          if (d[1] < 0 || d[1] >= NumBoolVars()) {
+            skip = true;
+            break;
+          }
+          l = MkLit((int)d[1], d[3] != 0);
+        }
+        if (l == kLitTrue) {
+          skip = true;  // clause already satisfied by root domains
+          break;
+        }
+        if (l == kLitFalse) continue;  // literal false at root: drop
+        tmp_clause_.push_back(l);
+      }
+      if (skip) continue;
+      ++shared_imported_;
+      AddClauseInternal();
+      if (PropagateAll() != kNoReason) ok_ = false;
+    }
+    return ok_;
+  }
+
+  i64 NumSharedImported() const { return shared_imported_; }
+
   void SetPhase(int v, bool positive) {
     if (v >= 0 && v < (int)phase_.size()) phase_[v] = positive ? 0 : 1;
   }
@@ -334,6 +425,11 @@ class Solver {
   std::vector<i32> heap_, heap_pos_;
   std::vector<u32> tmp_clause_, learnt_buf_;
   std::vector<uint8_t> seen_, occurs_;
+  // shared-clause machinery (see SetExportLimits/ExportShared above)
+  std::vector<i64> shared_out_;
+  int export_bool_limit_ = INT32_MAX;
+  int export_int_limit_ = INT32_MAX;
+  i64 shared_imported_ = 0;
   std::vector<i32> seen_vars_, lbd_levels_;
   u32 pending_confl_ = kNoReason;
 
@@ -1026,6 +1122,10 @@ class Solver {
     ClearSeen();
 
     *asserting = learnt_buf_[0];
+    // short learnt clauses are worth exporting to sibling workers
+    // (reference SharedClausesManager, synchronization.h:538 — binary
+    // clauses + unit facts cross workers at synchronization points)
+    if (learnt_buf_.size() <= 2) RecordShared(learnt_buf_);
     if (learnt_buf_.size() == 1) {
       *bt_level = 0;
       return kNoReason;
@@ -1268,6 +1368,24 @@ i64 lcg_num_propagations(void* s) {
 }
 i64 lcg_num_bound_literals(void* s) {
   return static_cast<Solver*>(s)->NumBoundLits();
+}
+
+i32 lcg_num_ints(void* s) {
+  return static_cast<Solver*>(s)->NumIntVars();
+}
+
+// ---- shared clauses (reference SharedClausesManager) ----
+void lcg_set_export_limits(void* s, i32 nbools, i32 nints) {
+  static_cast<Solver*>(s)->SetExportLimits(nbools, nints);
+}
+i32 lcg_export_shared(void* s, i64* out, i32 max_clauses) {
+  return static_cast<Solver*>(s)->ExportShared(out, max_clauses);
+}
+i32 lcg_import_shared(void* s, const i64* descs, i32 n_clauses) {
+  return static_cast<Solver*>(s)->ImportShared(descs, n_clauses) ? 0 : 1;
+}
+i64 lcg_num_shared_imported(void* s) {
+  return static_cast<Solver*>(s)->NumSharedImported();
 }
 
 }  // extern "C"

@@ -81,6 +81,14 @@ def _lib() -> ctypes.CDLL:
             ("lcg_num_conflicts", c.c_int64, [c.c_void_p]),
             ("lcg_num_propagations", c.c_int64, [c.c_void_p]),
             ("lcg_num_bound_literals", c.c_int64, [c.c_void_p]),
+            ("lcg_num_ints", c.c_int32, [c.c_void_p]),
+            ("lcg_set_export_limits", None,
+             [c.c_void_p, c.c_int32, c.c_int32]),
+            ("lcg_export_shared", c.c_int32,
+             [c.c_void_p, c.POINTER(c.c_int64), c.c_int32]),
+            ("lcg_import_shared", c.c_int32,
+             [c.c_void_p, c.POINTER(c.c_int64), c.c_int32]),
+            ("lcg_num_shared_imported", c.c_int64, [c.c_void_p]),
         ]
         for name, res, args in sigs:
             f = getattr(lib, name)
@@ -189,6 +197,44 @@ class LcgSolver:
             return False
         v = self._lib.lcg_bool_value(self._handle, abs(lit) - 1)
         return bool(v) if lit > 0 else not v
+
+    # -- shared clauses (reference SharedClausesManager,
+    # synchronization.h:538): binary clauses + unit facts described at
+    # model level (plain bool / [x >= v] bound literal) so instances
+    # built from the same model prefix can exchange them ----------------
+    def set_export_limits(self, n_bools: int, n_ints: int) -> None:
+        self._lib.lcg_set_export_limits(self._handle, n_bools, n_ints)
+
+    def export_shared(self, max_clauses: int = 1024):
+        import numpy as np
+
+        buf = np.zeros(8 * max_clauses, dtype=np.int64)
+        n = self._lib.lcg_export_shared(
+            self._handle,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            max_clauses)
+        return buf[: 8 * n].reshape(n, 8).copy()
+
+    def import_shared(self, descs) -> None:
+        import numpy as np
+
+        descs = np.ascontiguousarray(descs, dtype=np.int64)
+        if descs.size == 0:
+            return
+        n = descs.shape[0]
+        r = self._lib.lcg_import_shared(
+            self._handle,
+            descs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n)
+        if r != 0:
+            self.infeasible = True
+
+    @property
+    def num_shared_imported(self) -> int:
+        return self._lib.lcg_num_shared_imported(self._handle)
+
+    @property
+    def num_ints(self) -> int:
+        return self._lib.lcg_num_ints(self._handle)
 
     @property
     def num_conflicts(self) -> int:
@@ -626,6 +672,12 @@ def compile_model(model: ir.CpModelIR) -> Optional[LcgProgram]:
     try:
         prog = LcgProgram(model)
         prog.compile()
+        # shared-clause scope: only literals over the deterministic
+        # compile-time prefix cross workers — bools/ints created later
+        # (worker-private objective vars, lazily created bound literals
+        # translate by (var, bound) value, which is instance-independent)
+        prog.s.set_export_limits(
+            prog.s._lib.lcg_num_bools(prog.s._handle), prog.s.num_ints)
         return prog
     except _Unsupported:
         return None

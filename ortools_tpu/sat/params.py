@@ -54,6 +54,11 @@ class SatParameters:
     # (_native/pbsat.cc; reference pb_constraint.h:526 ResolvePBConflict)
     # whenever at least one true PB row is present
     use_pb_resolution: bool = True
+    # exchange short learnt clauses (binary + units) between the
+    # portfolio's LCG-core workers at synchronization points (reference
+    # SharedClausesManager, synchronization.h:538); deterministic in
+    # interleaved mode
+    share_binary_clauses: bool = True
     # eager order-encoding of general integer models onto the CDCL core
     # (reference integer.h literal encoding + cp_model_loader.cc, done
     # eagerly; sat/integer_encoding.py)

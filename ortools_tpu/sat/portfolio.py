@@ -565,6 +565,9 @@ class PortfolioOutcome:
     proven_bound: Optional[float] = None
     # worker attribution: which worker produced each improvement/bound
     wins: Optional[dict] = None
+    # clauses exchanged between LCG-core workers (SharedClausesManager
+    # parity; binary + unit facts)
+    num_shared_clauses: int = 0
 
 
 class ShavingWorker:
@@ -806,7 +809,9 @@ class LbTreeWorker:
 class InterleavedPortfolio:
     def __init__(self, work: ir.CpModelIR, num_workers: int,
                  deadline: float, max_branches: int,
-                 num_lns: int = 0, use_shaving: bool = True) -> None:
+                 num_lns: int = 0, use_shaving: bool = True,
+                 share_clauses: bool = True) -> None:
+        self.share_clauses = share_clauses
         self.work = work
         n_tree = max(1, num_workers - num_lns)
         self.configs = [
@@ -827,6 +832,7 @@ class InterleavedPortfolio:
             cand = ShavingWorker(work, deadline)
             if cand.ok:
                 self.shaver = cand
+        self.num_shared_clauses = 0
         self.lb_tree: Optional[LbTreeWorker] = None
         if use_shaving and work.objective is not None and num_workers >= 3:
             cand2 = LbTreeWorker(work, deadline)
@@ -840,7 +846,8 @@ class InterleavedPortfolio:
         return PortfolioOutcome(status, self.num_branches,
                                 self.num_conflicts,
                                 proven_bound=self.proven_bound,
-                                wins=dict(self.wins))
+                                wins=dict(self.wins),
+                                num_shared_clauses=self.num_shared_clauses)
 
     def _build_engines(self, bound_ct: Optional[ir.ConstraintIR]
                        ) -> List[Engine]:
@@ -974,6 +981,23 @@ class InterleavedPortfolio:
                                 self.proven_bound >= best_obj:
                             self._accumulate(engines)
                             return self._outcome("optimal")
+            # clause sharing (reference SharedClausesManager,
+            # synchronization.h:538): at this fixed synchronization
+            # point the LCG-core workers swap their short learnt
+            # clauses (binary + units, described model-level).  The
+            # exchange point is deterministic in interleaved mode —
+            # same rounds, same clauses, same order.
+            if self.share_clauses and self.shaver is not None \
+                    and self.lb_tree is not None \
+                    and self.shaver.ok and self.lb_tree.ok:
+                from_shaver = self.shaver.s.export_shared()
+                from_lbtree = self.lb_tree.s.export_shared()
+                if len(from_lbtree):
+                    self.shaver.s.import_shared(from_lbtree)
+                if len(from_shaver):
+                    self.lb_tree.s.import_shared(from_shaver)
+                self.num_shared_clauses += (
+                    len(from_shaver) + len(from_lbtree))
             if restart[0]:
                 self._accumulate(engines)
                 engines = self._build_engines(bound_ct_builder())

@@ -72,7 +72,7 @@ def _solve_portfolio(model, work, obj, params, callback, deadline,
     if params.interleave_search:
         pf = InterleavedPortfolio(
             work, params.num_workers, deadline, params.max_branches,
-            num_lns=num_lns,
+            num_lns=num_lns, share_clauses=params.share_binary_clauses,
         )
     else:
         from ortools_tpu.sat.parallel_portfolio import ParallelPortfolio
