@@ -35,15 +35,24 @@ from ortools_tpu.routing.index_manager import RoutingIndexManager
 
 
 class FirstSolutionStrategy(enum.Enum):
+    """Reference: routing_enums.proto:38-100 (same member numbering)."""
+
     AUTOMATIC = 0
     PATH_CHEAPEST_ARC = 3
     PARALLEL_CHEAPEST_INSERTION = 8
+    LOCAL_CHEAPEST_INSERTION = 9
+    SAVINGS = 10
+    SWEEP = 11
 
 
 class LocalSearchMetaheuristic(enum.Enum):
+    """Reference: routing_enums.proto:130-140."""
+
     AUTOMATIC = 0
     GREEDY_DESCENT = 1
     GUIDED_LOCAL_SEARCH = 2
+    SIMULATED_ANNEALING = 3
+    TABU_SEARCH = 4
 
 
 @dataclasses.dataclass
@@ -68,6 +77,15 @@ class RoutingSearchParameters:
     # LS solution when it is at least as good.  0 disables; otherwise
     # the share of the time budget reserved for certification.
     cp_sat_certification_share: float = 0.0
+
+
+def _sa_accept(delta: float, temp: float) -> float:
+    import math as _math
+
+    try:
+        return _math.exp(-delta / max(temp, 1e-9))
+    except OverflowError:
+        return 0.0
 
 
 def default_routing_search_parameters() -> RoutingSearchParameters:
@@ -430,7 +448,19 @@ class RoutingModel:
         elif self._pd_pairs:
             result = self._first_solution_pd(visits, cost, dims, optional)
         else:
-            result = self._first_solution(visits, cost, dims, optional)
+            strat = params.first_solution_strategy
+            if strat == FirstSolutionStrategy.SAVINGS:
+                result = self._fs_savings(visits, cost, dims, optional)
+            elif strat == FirstSolutionStrategy.SWEEP:
+                result = self._fs_sweep(visits, cost, dims, optional)
+            elif strat == FirstSolutionStrategy.LOCAL_CHEAPEST_INSERTION:
+                result = self._fs_local_cheapest_insertion(
+                    visits, cost, dims, optional)
+            else:
+                result = None
+            if result is None:
+                result = self._first_solution(visits, cost, dims,
+                                              optional)
         if result is None:
             # no heuristic start: the exact CP path may still find one
             # (reference routing_sat.cc role as a fallback solver)
@@ -711,17 +741,244 @@ class RoutingModel:
             routes[v] = routes[v][:pos] + [i] + routes[v][pos:]
         return routes, dropped
 
+    # -- first-solution catalogue (routing_enums.proto:38-100) -----------
+
+    def _fs_local_cheapest_insertion(self, visits, cost, dims, optional):
+        """LOCAL_CHEAPEST_INSERTION: visits inserted one by one (model
+        order) at the cheapest feasible position found so far — O(n) per
+        visit vs the O(n^2) global scan of parallel cheapest insertion."""
+        mgr = self.manager
+        nv = mgr.num_vehicles
+        routes: List[List[int]] = [[] for _ in range(nv)]
+        dropped: List[int] = []
+        for i in visits:
+            best = None
+            for v in range(nv):
+                r = routes[v]
+                seq = [mgr._starts[v]] + r + [mgr._ends[v]]
+                for pos in range(len(r) + 1):
+                    a, b = seq[pos], seq[pos + 1]
+                    delta = (int(cost[v][a, i]) + int(cost[v][i, b])
+                             - int(cost[v][a, b]))
+                    if i in optional and delta >= optional[i]:
+                        continue
+                    if best is not None and delta >= best[0]:
+                        continue
+                    cand = r[:pos] + [i] + r[pos:]
+                    if self._route_feasible(cand, v, dims):
+                        best = (delta, v, pos)
+            if best is None:
+                if i in optional:
+                    dropped.append(i)
+                    continue
+                return None
+            _, v, pos = best
+            routes[v] = routes[v][:pos] + [i] + routes[v][pos:]
+        return routes, dropped
+
+    def _fs_savings(self, visits, cost, dims, optional):
+        """SAVINGS (Clarke-Wright): every visit starts in its own route;
+        route pairs merge end-to-start in decreasing order of
+        s(i, j) = c(i, end) + c(start, j) - c(i, j), capacity/window
+        checked by the route filter on the merged candidate."""
+        mgr = self.manager
+        nv = mgr.num_vehicles
+        if nv == 0 or not visits:
+            return None
+        # seed: each visit alone (only nv routes can survive; extras are
+        # merged or dropped below).  Use vehicle-0 matrices for savings
+        # ranking (the classic homogeneous-fleet formulation); final
+        # feasibility uses the true per-vehicle data.
+        c0 = cost[0]
+        s0, e0 = mgr._starts[0], mgr._ends[0]
+        singles = [i for i in visits]
+        routes: List[List[int]] = [[i] for i in singles]
+        savings = []
+        for i in singles:
+            for j in singles:
+                if i != j:
+                    s = int(c0[i, e0]) + int(c0[s0, j]) - int(c0[i, j])
+                    savings.append((s, i, j))
+        savings.sort(key=lambda t: -t[0])
+        route_of = {i: k for k, i in enumerate(singles)}
+        for s, i, j in savings:
+            ri, rj = route_of[i], route_of[j]
+            if ri == rj:
+                continue
+            # merge only tail(i) -> head(j)
+            if routes[ri][-1] != i or routes[rj][0] != j:
+                continue
+            merged = routes[ri] + routes[rj]
+            if not self._route_feasible(merged, 0, dims):
+                continue
+            routes[ri] = merged
+            for x in routes[rj]:
+                route_of[x] = ri
+            routes[rj] = []
+        built = [r for r in routes if r]
+        # assign the built routes to vehicles, largest first; leftovers
+        # go through cheapest insertion / drop
+        built.sort(key=len, reverse=True)
+        out: List[List[int]] = [[] for _ in range(nv)]
+        leftover: List[int] = []
+        vi = 0
+        for r in built:
+            placed = False
+            while vi < nv:
+                if self._route_feasible(r, vi, dims):
+                    out[vi] = r
+                    vi += 1
+                    placed = True
+                    break
+                vi += 1
+            if not placed:
+                leftover.extend(r)
+        dropped: List[int] = []
+        for i in leftover:
+            best = None
+            for v in range(nv):
+                r = out[v]
+                seq = [mgr._starts[v]] + r + [mgr._ends[v]]
+                for pos in range(len(r) + 1):
+                    a, b = seq[pos], seq[pos + 1]
+                    delta = (int(cost[v][a, i]) + int(cost[v][i, b])
+                             - int(cost[v][a, b]))
+                    if best is not None and delta >= best[0]:
+                        continue
+                    cand = r[:pos] + [i] + r[pos:]
+                    if self._route_feasible(cand, v, dims):
+                        best = (delta, v, pos)
+            if best is None:
+                if i in optional:
+                    dropped.append(i)
+                    continue
+                return None
+            _, v, pos = best
+            out[v] = out[v][:pos] + [i] + out[v][pos:]
+        return out, dropped
+
+    def _fs_sweep(self, visits, cost, dims, optional):
+        """SWEEP: cluster visits by polar angle around the depot, then
+        build each cluster's route by cheapest insertion.  Node
+        coordinates are not available (only cost callbacks), so angles
+        are recovered from distances via the two-landmark embedding
+        x ~ d(depot, i), y ~ d(A, i) - d(B, i) with far-apart landmarks
+        A, B — exact up to reflection for Euclidean data, a serviceable
+        proxy otherwise."""
+        import math as _math
+
+        mgr = self.manager
+        nv = mgr.num_vehicles
+        if nv == 0 or not visits:
+            return None
+        c0 = cost[0]
+        dep = mgr._starts[0]
+        a_lm = max(visits, key=lambda i: int(c0[dep, i]))
+        b_lm = max(visits, key=lambda i: int(c0[a_lm, i]))
+        ang = {}
+        for i in visits:
+            x = float(c0[a_lm, i]) - float(c0[b_lm, i])
+            y = float(c0[dep, i])
+            ang[i] = _math.atan2(y, x)
+        order = sorted(visits, key=lambda i: ang[i])
+        # contiguous angular slices, one per vehicle
+        k = max(1, (len(order) + nv - 1) // nv)
+        routes: List[List[int]] = [[] for _ in range(nv)]
+        leftover: List[int] = []
+        for v in range(nv):
+            cluster = order[v * k:(v + 1) * k]
+            for i in cluster:
+                r = routes[v]
+                seq = [mgr._starts[v]] + r + [mgr._ends[v]]
+                best = None
+                for pos in range(len(r) + 1):
+                    a, b = seq[pos], seq[pos + 1]
+                    delta = (int(cost[v][a, i]) + int(cost[v][i, b])
+                             - int(cost[v][a, b]))
+                    if best is not None and delta >= best[0]:
+                        continue
+                    cand = r[:pos] + [i] + r[pos:]
+                    if self._route_feasible(cand, v, dims):
+                        best = (delta, pos)
+                if best is None:
+                    leftover.append(i)
+                else:
+                    routes[v] = r[:best[1]] + [i] + r[best[1]:]
+        dropped: List[int] = []
+        for i in leftover:
+            best = None
+            for v in range(nv):
+                r = routes[v]
+                seq = [mgr._starts[v]] + r + [mgr._ends[v]]
+                for pos in range(len(r) + 1):
+                    a, b = seq[pos], seq[pos + 1]
+                    delta = (int(cost[v][a, i]) + int(cost[v][i, b])
+                             - int(cost[v][a, b]))
+                    if best is not None and delta >= best[0]:
+                        continue
+                    cand = r[:pos] + [i] + r[pos:]
+                    if self._route_feasible(cand, v, dims):
+                        best = (delta, v, pos)
+            if best is None:
+                if i in optional:
+                    dropped.append(i)
+                    continue
+                return None
+            _, v, pos = best
+            routes[v] = routes[v][:pos] + [i] + routes[v][pos:]
+        return routes, dropped
+
+    def _route_cost(self, v: int, r: List[int], cost) -> int:
+        """True cost of one route (the per-route term of _objective)."""
+        mgr = self.manager
+        if not r and mgr._starts[v] == mgr._ends[v]:
+            return 0
+        total = self._fixed_vehicle_cost[v] if r else 0
+        prev = mgr._starts[v]
+        for i in r:
+            total += int(cost[v][prev, i])
+            prev = i
+        total += int(cost[v][prev, mgr._ends[v]])
+        return total
+
     def _improve(self, routes, dropped, cost, dims, optional, params,
                  deadline):
-        mgr = self.manager
-        use_gls = (params.local_search_metaheuristic
-                   == LocalSearchMetaheuristic.GUIDED_LOCAL_SEARCH)
-        penalties: Dict[Tuple[int, int], int] = {}
-        best_routes = [list(r) for r in routes]
-        best_dropped = list(dropped)
-        best_obj = self._objective(routes, dropped, cost, optional)
+        """Local search over the route set.
 
-        def penalized(v, a, b):
+        Reference roles: the LocalSearchOperator/PathOperator zoo
+        (constraint_solveri.h:912-1300), LocalSearchFilter incremental
+        feasibility (:1756), and the GLS / tabu / SA metaheuristic
+        monitors (routing_enums.proto:130-140).  Redesigned around
+        per-route incremental evaluation: the objective is separable by
+        route, so a move touching k routes costs O(route length * k),
+        never O(model); route feasibility is memoized (the filter role —
+        (vehicle, route) feasibility is solve-invariant)."""
+        import random as _random
+
+        mgr = self.manager
+        meta = params.local_search_metaheuristic
+        use_gls = meta == LocalSearchMetaheuristic.GUIDED_LOCAL_SEARCH
+        use_sa = meta == LocalSearchMetaheuristic.SIMULATED_ANNEALING
+        use_tabu = meta == LocalSearchMetaheuristic.TABU_SEARCH
+        rng = _random.Random(12421)
+        penalties: Dict[Tuple[int, int], int] = {}
+        has_global_filters = bool(self._pd_pairs) or bool(
+            self._resource_groups)
+        feas_cache: Dict[Tuple[int, Tuple[int, ...]], bool] = {}
+
+        def feas(v: int, r: List[int]) -> bool:
+            key = (v, tuple(r))
+            val = feas_cache.get(key)
+            if val is None:
+                val = self._route_feasible(r, v, dims)
+                if len(feas_cache) < 300_000:
+                    feas_cache[key] = val
+            return val
+
+        def rc(v: int, r: List[int]) -> int:
+            return self._route_cost(v, r, cost)
+
+        def penal(v, a, b):
             c = int(cost[v][a, b])
             if use_gls:
                 c += int(params.gls_penalty_factor
@@ -730,89 +987,124 @@ class RoutingModel:
 
         cur = [list(r) for r in routes]
         cur_dropped = list(dropped)
-        # which node belongs to which disjunction penalty (make-inactive /
-        # make-active operator support; reference MakeActiveOperator /
-        # MakeInactiveOperator, constraint_solveri.h:912-1300)
+        cur_cost = [rc(v, r) for v, r in enumerate(cur)]
+        drop_pen = sum(optional[i] for i in cur_dropped)
+        best_routes = [list(r) for r in cur]
+        best_dropped = list(cur_dropped)
+        best_obj = sum(cur_cost) + drop_pen
+
         node_penalty: Dict[int, int] = {}
         for idxs, pen in self._disjunctions:
             for i in idxs:
                 node_penalty[i] = pen
 
-        def trial_ok(trial, touched) -> bool:
-            """Filter-style acceptance: only the TOUCHED routes re-check
-            dimension feasibility (the others are unchanged), then the
-            global pickup&delivery / resource filters run."""
-            for v in touched:
-                if not self._route_feasible(trial[v], v, dims):
-                    return False
+        def global_ok(changes: Dict[int, List[int]]) -> bool:
+            if not has_global_filters:
+                return True
+            trial = [changes.get(v, cur[v]) for v in range(len(cur))]
             return self._pd_ok(trial) and self._resources_ok(trial, dims)
+
+        def commit(changes: Dict[int, List[int]],
+                   drop_add: Optional[int] = None,
+                   drop_rm: Optional[int] = None) -> bool:
+            """Feasibility-check + true-delta-check + apply.  Returns
+            True when the move strictly improved the true objective."""
+            nonlocal drop_pen
+            for v, r in changes.items():
+                if not feas(v, r):
+                    return False
+            if not global_ok(changes):
+                return False
+            delta = 0
+            new_costs = {}
+            for v, r in changes.items():
+                new_costs[v] = rc(v, r)
+                delta += new_costs[v] - cur_cost[v]
+            if drop_add is not None:
+                delta += optional.get(drop_add, node_penalty.get(
+                    drop_add, 0))
+            if drop_rm is not None:
+                delta -= optional.get(drop_rm, node_penalty.get(
+                    drop_rm, 0))
+            if delta >= 0:
+                return False
+            for v, r in changes.items():
+                cur[v] = r
+                cur_cost[v] = new_costs[v]
+            if drop_add is not None:
+                cur_dropped.append(drop_add)
+                drop_pen += optional.get(drop_add,
+                                         node_penalty.get(drop_add, 0))
+            if drop_rm is not None:
+                cur_dropped.remove(drop_rm)
+                drop_pen -= optional.get(drop_rm,
+                                         node_penalty.get(drop_rm, 0))
+            return True
 
         def two_opt_pass() -> bool:
             improved = False
-            for v, r in enumerate(cur):
+            for v in range(len(cur)):
+                r = cur[v]
                 n = len(r)
                 if n < 2:
                     continue
                 seq = [mgr._starts[v]] + r + [mgr._ends[v]]
-                for i in range(n - 1):
-                    for j in range(i + 1, n):
+                i = 0
+                while i < n - 1:
+                    j = i + 1
+                    hit = False
+                    while j < n:
                         a, b = seq[i], seq[i + 1]
                         c, d = seq[j + 1], seq[j + 2]
-                        delta = (penalized(v, a, c) + penalized(v, b, d)
-                                 - penalized(v, a, b) - penalized(v, c, d))
-                        if delta >= 0:
-                            continue
-                        cand = r[:i] + r[i:j + 1][::-1] + r[j + 1:]
-                        trial = [list(x) for x in cur]
-                        trial[v] = cand
-                        if not trial_ok(trial, [v]):
-                            continue
-                        if self._objective(trial, cur_dropped, cost,
-                                           optional) < \
-                                self._objective(cur, cur_dropped, cost,
-                                                optional):
-                            cur[v] = cand
-                            r = cand
-                            seq = [mgr._starts[v]] + r + [mgr._ends[v]]
-                            improved = True
+                        if (penal(v, a, c) + penal(v, b, d)
+                                - penal(v, a, b) - penal(v, c, d)) < 0:
+                            cand = r[:i] + r[i:j + 1][::-1] + r[j + 1:]
+                            if commit({v: cand}):
+                                r = cur[v]
+                                n = len(r)
+                                seq = ([mgr._starts[v]] + r
+                                       + [mgr._ends[v]])
+                                improved = True
+                                hit = True
+                                break
+                        j += 1
+                    i = 0 if hit else i + 1
             return improved
 
         def or_opt_pass(seg_len: int) -> bool:
-            """Chain relocate (Or-opt): move a segment of ``seg_len``
-            consecutive visits, intra- or inter-route (reference
-            RELOCATE/OROPT path operators)."""
-            base_obj = self._objective(cur, cur_dropped, cost, optional)
             for v1 in range(len(cur)):
                 r1 = cur[v1]
+                s1_node, e1_node = mgr._starts[v1], mgr._ends[v1]
+                seq1 = [s1_node] + r1 + [e1_node]
                 for pos1 in range(len(r1) - seg_len + 1):
                     seg = r1[pos1:pos1 + seg_len]
+                    a, b = seq1[pos1], seq1[pos1 + seg_len + 1]
+                    gain = (penal(v1, a, seg[0])
+                            + penal(v1, seg[-1], b) - penal(v1, a, b))
+                    if gain <= 0:
+                        continue  # removing this segment frees nothing
                     removed = r1[:pos1] + r1[pos1 + seg_len:]
                     for v2 in range(len(cur)):
                         base2 = removed if v2 == v1 else cur[v2]
+                        seq2 = ([mgr._starts[v2]] + base2
+                                + [mgr._ends[v2]])
                         for pos2 in range(len(base2) + 1):
                             if v2 == v1 and pos2 == pos1:
                                 continue
-                            r2 = base2[:pos2] + seg + base2[pos2:]
-                            trial = [list(r) for r in cur]
-                            if v2 == v1:
-                                trial[v1] = r2
-                                touched = [v1]
-                            else:
-                                trial[v1] = removed
-                                trial[v2] = r2
-                                touched = [v1, v2]
-                            if not trial_ok(trial, touched):
+                            c, d = seq2[pos2], seq2[pos2 + 1]
+                            add = (penal(v2, c, seg[0])
+                                   + penal(v2, seg[-1], d)
+                                   - penal(v2, c, d))
+                            if add >= gain and v2 == v1:
                                 continue
-                            if self._objective(trial, cur_dropped, cost,
-                                               optional) < base_obj:
-                                cur[:] = trial
+                            r2 = base2[:pos2] + seg + base2[pos2:]
+                            changes = ({v1: r2} if v2 == v1
+                                       else {v1: removed, v2: r2})
+                            if commit(changes):
                                 return True
             return False
 
         def cross_exchange_pass() -> bool:
-            """Swap segments (length 1..2) between two routes (reference
-            CROSS/EXCHANGE operators, constraint_solveri.h:912)."""
-            base_obj = self._objective(cur, cur_dropped, cost, optional)
             nv = len(cur)
             for v1 in range(nv):
                 for v2 in range(v1 + 1, nv):
@@ -825,56 +1117,28 @@ class RoutingModel:
                                     s2 = r2[p2:p2 + l2]
                                     n1 = r1[:p1] + s2 + r1[p1 + l1:]
                                     n2 = r2[:p2] + s1 + r2[p2 + l2:]
-                                    trial = [list(r) for r in cur]
-                                    trial[v1], trial[v2] = n1, n2
-                                    if not trial_ok(trial, [v1, v2]):
-                                        continue
-                                    if self._objective(
-                                            trial, cur_dropped, cost,
-                                            optional) < base_obj:
-                                        cur[:] = trial
+                                    if commit({v1: n1, v2: n2}):
                                         return True
             return False
 
         def make_active_pass() -> bool:
-            """Re-insert a dropped (disjunction) node at its cheapest
-            feasible position when that beats paying the penalty."""
-            if not cur_dropped:
-                return False
-            base_obj = self._objective(cur, cur_dropped, cost, optional)
             for node in list(cur_dropped):
                 for v in range(len(cur)):
                     r = cur[v]
                     for pos in range(len(r) + 1):
-                        trial = [list(x) for x in cur]
-                        trial[v] = r[:pos] + [node] + r[pos:]
-                        if not trial_ok(trial, [v]):
-                            continue
-                        nd = [d for d in cur_dropped if d != node]
-                        if self._objective(trial, nd, cost,
-                                           optional) < base_obj:
-                            cur[:] = trial
-                            cur_dropped.remove(node)
+                        if commit({v: r[:pos] + [node] + r[pos:]},
+                                  drop_rm=node):
                             return True
             return False
 
         def make_inactive_pass() -> bool:
-            """Drop an optional node whose detour exceeds its penalty."""
-            base_obj = self._objective(cur, cur_dropped, cost, optional)
             for v in range(len(cur)):
                 r = cur[v]
                 for pos, node in enumerate(r):
                     if node not in node_penalty:
                         continue
-                    trial = [list(x) for x in cur]
-                    trial[v] = r[:pos] + r[pos + 1:]
-                    if not trial_ok(trial, [v]):
-                        continue
-                    nd = cur_dropped + [node]
-                    if self._objective(trial, nd, cost,
-                                       optional) < base_obj:
-                        cur[:] = trial
-                        cur_dropped.append(node)
+                    if commit({v: r[:pos] + r[pos + 1:]},
+                              drop_add=node):
                         return True
             return False
 
@@ -888,6 +1152,96 @@ class RoutingModel:
                          cross_exchange_pass,
                          make_active_pass,
                          make_inactive_pass]
+
+        # ---- metaheuristic monitors (stall handlers) -------------------
+        sa_temp = [max(1.0, 0.02 * best_obj)]
+        tabu_until: Dict[int, int] = {}
+        tabu_iter = [0]
+        tenure = max(4, (sum(len(r) for r in cur) or 1) // 4)
+
+        def record_best() -> None:
+            nonlocal best_obj, best_routes, best_dropped
+            obj = sum(cur_cost) + drop_pen
+            if obj < best_obj:
+                best_obj = obj
+                best_routes = [list(r) for r in cur]
+                best_dropped = list(cur_dropped)
+
+        def restore_best() -> None:
+            nonlocal drop_pen
+            cur[:] = [list(r) for r in best_routes]
+            cur_dropped[:] = list(best_dropped)
+            for v in range(len(cur)):
+                cur_cost[v] = rc(v, cur[v])
+            drop_pen = sum(optional[i] for i in cur_dropped)
+
+        def sa_kick() -> None:
+            """Perturb: random segment relocation (double-bridge style on
+            single routes); Metropolis acceptance happens at the NEXT
+            stall by comparing against the recorded best."""
+            nonzero = [v for v in range(len(cur)) if len(cur[v]) >= 2]
+            if not nonzero:
+                return
+            for _ in range(1 + rng.randrange(2)):
+                v = rng.choice(nonzero)
+                r = cur[v]
+                if len(r) >= 4 and rng.random() < 0.5:
+                    # double bridge
+                    p = sorted(rng.sample(range(1, len(r)), 3))
+                    cand = (r[:p[0]] + r[p[1]:p[2]] + r[p[0]:p[1]]
+                            + r[p[2]:])
+                else:
+                    i = rng.randrange(len(r))
+                    node = r[i]
+                    rest = r[:i] + r[i + 1:]
+                    j = rng.randrange(len(rest) + 1)
+                    cand = rest[:j] + [node] + rest[j:]
+                if feas(v, cand) and global_ok({v: cand}):
+                    cur[v] = cand
+                    cur_cost[v] = rc(v, cand)
+
+        def tabu_step() -> bool:
+            """Apply the best non-tabu relocate even if worsening
+            (aspiration: tabu allowed when it would beat the best)."""
+            tabu_iter[0] += 1
+            it = tabu_iter[0]
+            best_move = None  # (delta, v1, pos1, v2, pos2, node)
+            for v1 in range(len(cur)):
+                r1 = cur[v1]
+                for pos1, node in enumerate(r1):
+                    removed = r1[:pos1] + r1[pos1 + 1:]
+                    for v2 in range(len(cur)):
+                        base2 = removed if v2 == v1 else cur[v2]
+                        for pos2 in range(len(base2) + 1):
+                            if v2 == v1 and pos2 == pos1:
+                                continue
+                            r2 = base2[:pos2] + [node] + base2[pos2:]
+                            changes = ({v1: r2} if v2 == v1
+                                       else {v1: removed, v2: r2})
+                            delta = sum(
+                                rc(v, r) - cur_cost[v]
+                                for v, r in changes.items())
+                            is_tabu = tabu_until.get(node, 0) > it
+                            aspire = (sum(cur_cost) + drop_pen + delta
+                                      < best_obj)
+                            if is_tabu and not aspire:
+                                continue
+                            if best_move is None or delta < best_move[0]:
+                                if all(feas(v, r)
+                                       for v, r in changes.items())                                         and global_ok(changes):
+                                    best_move = (delta, changes, node)
+            if best_move is None:
+                return False
+            _, changes, node = best_move
+            nonlocal_drop = None
+            for v, r in changes.items():
+                cur[v] = r
+                cur_cost[v] = rc(v, r)
+            del nonlocal_drop
+            tabu_until[node] = it + tenure
+            return True
+
+        stalls = 0
         while time.perf_counter() < deadline:
             improved = False
             for op in operators:
@@ -895,27 +1249,41 @@ class RoutingModel:
                     break
                 if op():
                     improved = True
-            obj = self._objective(cur, cur_dropped, cost, optional)
-            if obj < best_obj:
-                best_obj = obj
-                best_routes = [list(r) for r in cur]
-                best_dropped = list(cur_dropped)
-            if not improved:
-                if not use_gls:
-                    break
-                # GLS: penalize the longest arcs of the current solution
+            record_best()
+            if improved:
+                stalls = 0
+                continue
+            stalls += 1
+            if use_gls:
                 worst = None
                 for v, r in enumerate(cur):
                     seq = [mgr._starts[v]] + r + [mgr._ends[v]]
                     for a, b in zip(seq, seq[1:]):
-                        util = cost[v][a, b] / (1 + penalties.get((a, b), 0))
+                        util = cost[v][a, b] / (
+                            1 + penalties.get((a, b), 0))
                         if worst is None or util > worst[0]:
                             worst = (util, a, b)
                 if worst is None:
                     break
                 penalties[(worst[1], worst[2])] = (
-                    penalties.get((worst[1], worst[2]), 0) + 1
-                )
+                    penalties.get((worst[1], worst[2]), 0) + 1)
+            elif use_sa:
+                # Metropolis on the current local optimum
+                obj = sum(cur_cost) + drop_pen
+                delta = obj - best_obj
+                if delta > 0 and rng.random() >= _sa_accept(
+                        delta, sa_temp[0]):
+                    restore_best()
+                sa_temp[0] = max(1e-6, sa_temp[0] * 0.92)
+                sa_kick()
+            elif use_tabu:
+                if not tabu_step():
+                    break
+                if stalls > 200:
+                    break
+            else:
+                break
+        record_best()
         return best_routes, best_dropped
 
     def __str__(self):

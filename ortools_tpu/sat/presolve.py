@@ -83,6 +83,17 @@ def presolve_model(model: ir.CpModelIR,
                 enf = []
             else:
                 ct = reduced
+        if ct.kind in ("int_prod", "int_div"):
+            # PresolveIntProd / PresolveIntDiv (reference
+            # cp_model_presolve.cc): with every factor but one fixed the
+            # product is affine, and a fixed positive divisor with a
+            # sign-definite numerator linearizes exactly — both rewrites
+            # move the constraint from the no-learning DFS engine onto
+            # the linear/LCG path.
+            rewritten = _rewrite_prod_div(ct, doms)
+            if rewritten is not None:
+                ct = dataclasses.replace(rewritten,
+                                         enforcement_literals=enf)
         if ct.kind == "linear" and not enf:
             a = ct.args
             live = [(v, c) for v, c in zip(a.vars, a.coeffs) if c != 0]
@@ -133,6 +144,11 @@ def presolve_model(model: ir.CpModelIR,
         out = pure_literal_fixing(out)
         out = dual_bound_fixing(out)
     out = merge_cliques(out)
+    # DetectAndProcessAtMostOneInLinear: clique-aware activity bounds
+    # (uses the cliques merge_cliques just built)
+    out = amo_aware_linear_tightening(out)
+    if out is None:
+        return None
     out = merge_parallel_linear(out)
     if out is None:
         return None
@@ -150,6 +166,167 @@ def presolve_model(model: ir.CpModelIR,
 
         out = add_symmetry_breaking(out)
     return out
+
+
+def _expr_fixed(e: ir.LinearExprIR, doms) -> Optional[int]:
+    """Value of the expression when every variable in it is fixed."""
+    total = e.offset
+    for v, c in zip(e.vars, e.coeffs):
+        if not doms[v].is_fixed():
+            return None
+        total += c * doms[v].fixed_value()
+    return total
+
+
+def _linear_eq(lhs_terms, rhs: int) -> ir.ConstraintIR:
+    """Build `sum terms == rhs` with merged duplicate variables."""
+    merged: Dict[int, int] = {}
+    for v, c in lhs_terms:
+        merged[v] = merged.get(v, 0) + c
+    vs = [v for v, c in merged.items() if c != 0]
+    cs = [merged[v] for v in vs]
+    return ir.ConstraintIR("linear", ir.LinearArgs(
+        vs, cs, Domain(rhs, rhs)))
+
+
+def _rewrite_prod_div(ct: ir.ConstraintIR, doms
+                      ) -> Optional[ir.ConstraintIR]:
+    """Affine rewrites of int_prod / int_div (see call site)."""
+    a = ct.args
+    if ct.kind == "int_prod":
+        k = 1
+        free = None
+        for e in a.exprs:
+            val = _expr_fixed(e, doms)
+            if val is None:
+                if free is not None:
+                    return None  # two+ free factors: truly nonlinear
+                free = e
+            else:
+                k *= val
+        t = a.target
+        if free is None:
+            # fully constant product: target == k
+            return _linear_eq(list(zip(t.vars, t.coeffs)), k - t.offset)
+        # target == k * free
+        terms = [(v, c * k) for v, c in zip(free.vars, free.coeffs)]
+        terms += [(v, -c) for v, c in zip(t.vars, t.coeffs)]
+        return _linear_eq(terms, t.offset - k * free.offset)
+    # int_div: target == num / den, truncated toward zero
+    den = _expr_fixed(a.den, doms)
+    if den is None or den <= 0:
+        return None
+    num = a.num
+    n_lo = num.offset + sum(
+        min(c * doms[v].min(), c * doms[v].max())
+        for v, c in zip(num.vars, num.coeffs))
+    n_hi = num.offset + sum(
+        max(c * doms[v].min(), c * doms[v].max())
+        for v, c in zip(num.vars, num.coeffs))
+    t = a.target
+    # truncation toward zero == floor only on a sign-definite numerator
+    if n_lo >= 0:
+        lo_r, hi_r = 0, den - 1
+    elif n_hi <= 0:
+        lo_r, hi_r = -(den - 1), 0
+    else:
+        return None
+    # num - den*target in [lo_r, hi_r]
+    merged: Dict[int, int] = {}
+    for v, c in zip(num.vars, num.coeffs):
+        merged[v] = merged.get(v, 0) + c
+    for v, c in zip(t.vars, t.coeffs):
+        merged[v] = merged.get(v, 0) - den * c
+    vs = [v for v, c in merged.items() if c != 0]
+    cs = [merged[v] for v in vs]
+    const = num.offset - den * t.offset
+    return ir.ConstraintIR("linear", ir.LinearArgs(
+        vs, cs, Domain(lo_r - const, hi_r - const)))
+
+
+def amo_aware_linear_tightening(model: ir.CpModelIR
+                                ) -> Optional[ir.CpModelIR]:
+    """DetectAndProcessAtMostOneInLinear (reference
+    cp_model_presolve.cc): activity bounds of linear rows over binaries
+    computed CLIQUE-AWARE — variables covered by one at_most_one
+    contribute max-of-positive (at most one fires), not sum-of-positive.
+    Rows whose clique-aware activity range fits inside their domain are
+    entailed and dropped; rows proving a binary forced fix it (emitted
+    as unit bool_or facts).  Returns None on proven infeasibility."""
+    n = len(model.variables)
+    is_bin = [v.domain.min() >= 0 and v.domain.max() <= 1
+              for v in model.variables]
+    # var -> clique id over POSITIVE binary literals
+    clique_of: Dict[int, int] = {}
+    n_cliques = 0
+    for ct in model.constraints:
+        if ct.kind not in ("at_most_one", "exactly_one") \
+                or ct.enforcement_literals:
+            continue
+        members = [l for l in ct.args.literals if l >= 0]
+        members = [v for v in members if v < n and is_bin[v]
+                   and v not in clique_of]
+        if len(members) >= 2:
+            for v in members:
+                clique_of[v] = n_cliques
+            n_cliques += 1
+    if not n_cliques:
+        return model
+    kept: List[ir.ConstraintIR] = []
+    new_units: List[ir.ConstraintIR] = []
+    changed = False
+    for ct in model.constraints:
+        if ct.kind != "linear" or ct.enforcement_literals:
+            kept.append(ct)
+            continue
+        a = ct.args
+        if not all(v < n and is_bin[v] for v in a.vars) \
+                or len(set(a.vars)) != len(a.vars):
+            kept.append(ct)
+            continue
+        # clique-aware activity bounds
+        by_clique: Dict[int, List[int]] = {}
+        lone_max = 0
+        lone_min = 0
+        for v, c in zip(a.vars, a.coeffs):
+            q = clique_of.get(v)
+            if q is None:
+                lone_max += max(c, 0)
+                lone_min += min(c, 0)
+            else:
+                by_clique.setdefault(q, []).append(c)
+        act_max = lone_max + sum(max(0, max(cs)) for cs in
+                                 by_clique.values())
+        act_min = lone_min + sum(min(0, min(cs)) for cs in
+                                 by_clique.values())
+        lo, hi = a.domain.min(), a.domain.max()
+        if act_min > hi or act_max < lo:
+            return None  # clique-aware bounds prove infeasibility
+        if (a.domain.num_intervals() == 1 and act_min >= lo
+                and act_max <= hi):
+            changed = True
+            continue  # entailed: every clique-consistent point satisfies
+        # forcing: x_j = 0 makes act_max' < lo  ->  x_j must be 1
+        for v, c in zip(a.vars, a.coeffs):
+            if c <= 0:
+                continue
+            q = clique_of.get(v)
+            if q is None:
+                without = act_max - c
+            else:
+                cs = by_clique[q]
+                others = [x for x in cs]
+                others.remove(c)
+                without = (act_max - max(0, max(cs))
+                           + (max(0, max(others)) if others else 0))
+            if without < lo:
+                new_units.append(ir.ConstraintIR(
+                    "bool_or", ir.BoolArgs([v])))
+                changed = True
+        kept.append(ct)
+    if not changed:
+        return model
+    return dataclasses.replace(model, constraints=kept + new_units)
 
 
 def merge_parallel_linear(model: ir.CpModelIR

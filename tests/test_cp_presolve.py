@@ -337,3 +337,129 @@ def test_dual_bound_fixing_optimality_fuzz():
         assert (n1 == "INFEASIBLE") == (n2 == "INFEASIBLE"), trial
         if n1 == "OPTIMAL" and n2 == "OPTIMAL":
             assert s1.objective_value == s2.objective_value, trial
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: int_prod/int_div affine rewrites + AMO-aware linear tightening
+# (reference cp_model_presolve.cc PresolveIntProd / PresolveIntDiv /
+# DetectAndProcessAtMostOneInLinear)
+# ---------------------------------------------------------------------------
+
+
+def test_int_prod_constant_factor_becomes_linear():
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+    from ortools_tpu.sat.presolve import presolve_model
+    from ortools_tpu.sat import expand
+
+    m = CpModel()
+    x = m.new_int_var(0, 50, "x")
+    k = m.new_int_var(3, 3, "k")  # fixed factor
+    t = m.new_int_var(0, 200, "t")
+    m.add_multiplication_equality(t, [k, x])
+    m.add(x >= 7)
+    m.minimize(t)
+    work = presolve_model(expand.expand_model(m.ir))
+    assert work is not None
+    assert all(ct.kind != "int_prod" for ct in work.constraints), \
+        "constant-factor product should have been linearized"
+    s = CpSolver()
+    assert s.status_name(s.solve(m)) == "OPTIMAL"
+    assert s.value(t) == 21 and s.value(x) == 7
+
+
+def test_int_div_fixed_divisor_becomes_linear():
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+    from ortools_tpu.sat.presolve import presolve_model
+    from ortools_tpu.sat import expand
+
+    m = CpModel()
+    x = m.new_int_var(0, 100, "x")
+    t = m.new_int_var(0, 100, "t")
+    m.add_division_equality(t, x, 7)
+    m.add(x == 45)
+    work = presolve_model(expand.expand_model(m.ir))
+    assert work is not None
+    assert all(ct.kind != "int_div" for ct in work.constraints), \
+        "fixed-divisor division should have been linearized"
+    s = CpSolver()
+    assert s.status_name(s.solve(m)) in ("OPTIMAL", "FEASIBLE")
+    assert s.value(t) == 45 // 7
+
+
+def test_int_prod_div_rewrites_fuzz():
+    """Rewritten models agree with brute force on all solutions."""
+    import numpy as np
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        m = CpModel()
+        x = m.new_int_var(0, 6, "x")
+        kv = int(rng.integers(1, 5))
+        k = m.new_int_var(kv, kv, "k")
+        t = m.new_int_var(-5, 40, "t")
+        if trial % 2 == 0:
+            m.add_multiplication_equality(t, [k, x])
+        else:
+            m.add_division_equality(t, x, kv)
+        w1 = int(rng.integers(1, 4))
+        m.minimize(w1 * t - x)
+        s = CpSolver()
+        st = s.solve(m)
+        assert s.status_name(st) == "OPTIMAL"
+        best = None
+        for xv in range(7):
+            tv = kv * xv if trial % 2 == 0 else xv // kv
+            if not (-5 <= tv <= 40):
+                continue
+            obj = w1 * tv - xv
+            if best is None or obj < best:
+                best = obj
+        assert s.objective_value == best, (trial, s.objective_value, best)
+
+
+def test_amo_aware_tightening_drops_entailed_row():
+    from ortools_tpu.sat import model_ir as ir
+    from ortools_tpu.sat.presolve import amo_aware_linear_tightening
+    from ortools_tpu.utils.domain import Domain
+
+    # x0+x1+x2 at_most_one; row: 3*x0 + 2*x1 + x2 <= 3 is entailed
+    # clique-aware (max contribution 3) but NOT by plain activity (6)
+    model = ir.CpModelIR(
+        name="t",
+        variables=[ir.IntegerVariableIR(f"x{i}", Domain(0, 1))
+                   for i in range(3)],
+        constraints=[
+            ir.ConstraintIR("at_most_one", ir.BoolArgs([0, 1, 2])),
+            ir.ConstraintIR("linear", ir.LinearArgs(
+                [0, 1, 2], [3, 2, 1], Domain(-10**9, 3))),
+        ],
+    )
+    out = amo_aware_linear_tightening(model)
+    assert out is not None
+    kinds = [ct.kind for ct in out.constraints]
+    assert kinds.count("linear") == 0, "entailed row should be dropped"
+
+
+def test_amo_aware_tightening_forces_variable():
+    from ortools_tpu.sat import model_ir as ir
+    from ortools_tpu.sat.presolve import amo_aware_linear_tightening
+    from ortools_tpu.utils.domain import Domain
+
+    # clique {x1, x2} contributes at most 2; row 5*x0 + 2*x1 + 2*x2 >= 6
+    # forces x0 = 1 clique-aware (without x0: max 2 < 6)
+    model = ir.CpModelIR(
+        name="t",
+        variables=[ir.IntegerVariableIR(f"x{i}", Domain(0, 1))
+                   for i in range(3)],
+        constraints=[
+            ir.ConstraintIR("at_most_one", ir.BoolArgs([1, 2])),
+            ir.ConstraintIR("linear", ir.LinearArgs(
+                [0, 1, 2], [5, 2, 2], Domain(6, 10**9))),
+        ],
+    )
+    out = amo_aware_linear_tightening(model)
+    assert out is not None
+    units = [ct for ct in out.constraints
+             if ct.kind == "bool_or" and ct.args.literals == [0]]
+    assert units, "x0 should be forced true"

@@ -468,3 +468,76 @@ def test_cp_sat_certification_improves_tight_cvrp():
     assert cert.objective_value() <= ls.objective_value()
     for r in cert.routes():
         assert all(1 <= i <= 6 for i in r[1:-1]), r
+
+
+# ---------------------------------------------------------------------------
+# First-solution catalogue (routing_enums.proto:38-100) + metaheuristics
+# ---------------------------------------------------------------------------
+
+
+def _cvrp_instance(seed=3, n=16, nv=3):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 100, (n, 2))
+    pts[0] = (50, 50)
+    d = np.round(np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+                 ).astype(np.int64)
+    demand = rng.integers(1, 8, n)
+    demand[0] = 0
+    cap = int(demand.sum() / nv * 1.6)
+    mgr = RoutingIndexManager(n, nv, 0)
+    routing = RoutingModel(mgr)
+    cb = routing.register_transit_callback(lambda f, t: int(d[f, t]))
+    routing.set_arc_cost_evaluator_of_all_vehicles(cb)
+    dem = routing.register_unary_transit_callback(lambda f: int(demand[f]))
+    routing.add_dimension_with_vehicle_capacity(
+        dem, 0, [cap] * nv, True, "load")
+    return routing, d, demand, cap, mgr
+
+
+@pytest.mark.parametrize("strategy", [
+    FirstSolutionStrategy.SAVINGS,
+    FirstSolutionStrategy.SWEEP,
+    FirstSolutionStrategy.LOCAL_CHEAPEST_INSERTION,
+    FirstSolutionStrategy.PARALLEL_CHEAPEST_INSERTION,
+])
+def test_first_solution_strategies_feasible(strategy):
+    """Every catalogue strategy yields a capacity-feasible solution that
+    visits all nodes."""
+    routing, d, demand, cap, mgr = _cvrp_instance()
+    params = default_routing_search_parameters()
+    params.first_solution_strategy = strategy
+    params.time_limit_seconds = 8.0
+    sol = routing.solve_with_parameters(params)
+    assert sol is not None
+    visited = set()
+    for r in sol.routes():
+        load = 0
+        for idx in r[1:-1]:
+            node = mgr.index_to_node(idx)
+            visited.add(node)
+            load += int(demand[node])
+        assert load <= cap
+    assert visited == set(range(1, d.shape[0]))
+
+
+@pytest.mark.parametrize("meta", [
+    LocalSearchMetaheuristic.GUIDED_LOCAL_SEARCH,
+    LocalSearchMetaheuristic.SIMULATED_ANNEALING,
+    LocalSearchMetaheuristic.TABU_SEARCH,
+])
+def test_metaheuristics_never_worse_than_descent(meta):
+    """SA / tabu / GLS keep a best-solution record: the result is never
+    worse than plain greedy descent under the same budget."""
+    routing, *_ = _cvrp_instance(seed=5)
+    params = default_routing_search_parameters()
+    params.local_search_metaheuristic = LocalSearchMetaheuristic.GREEDY_DESCENT
+    params.time_limit_seconds = 4.0
+    base = routing.solve_with_parameters(params)
+    assert base is not None
+    routing2, *_ = _cvrp_instance(seed=5)
+    params2 = default_routing_search_parameters()
+    params2.local_search_metaheuristic = meta
+    params2.time_limit_seconds = 4.0
+    got = routing2.solve_with_parameters(params2)
+    assert got is not None
+    assert got.objective_value() <= base.objective_value() * 1.001
