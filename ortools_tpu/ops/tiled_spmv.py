@@ -139,12 +139,18 @@ def _choose_layout(br: np.ndarray, bc: np.ndarray, row_blocks: int,
         # exact per-(sr, sc)-group block counts for this super-row height
         keys = (br // (128 * srh)) * nsc + bc // 128
         _, counts = np.unique(keys, return_counts=True)
-        for c in (128, 256, 512):
+        for c in (128, 256, 512, 1024):
             nchunk = int(np.ceil(counts / c).sum()) if nb else 1
             bytes_total = nchunk * c * block_bytes
-            # scatter penalty: extra one-hot width per extra 128 lanes of
-            # super-row height (hits the fast stream's single pass most)
-            scatter_pen = nchunk * (srh - 1) * c * 2048
+            # Round-5 re-fit against the TRUE in-dispatch ceiling
+            # (artifacts/ROOFLINE_r05.json, 684 GB/s): once per-dispatch
+            # tunnel tax is subtracted, large chunks with tall
+            # super-rows WIN — on the bench matrix (1024, 4) runs the
+            # fast stream 24% faster than (128, 1) at equal padding, so
+            # the old scatter penalty (2048 B/lane) was an artifact of
+            # overhead-polluted timings; a residual 256 B/lane keeps
+            # degenerate tall-narrow choices out.
+            scatter_pen = nchunk * (srh - 1) * c * 256
             cost = bytes_total + nchunk * _STEP_OVERHEAD_BYTES + scatter_pen
             if best is None or cost < best[0]:
                 best = (cost, c, srh)
