@@ -465,11 +465,14 @@ class RoutingModel:
             # no heuristic start: the exact CP path may still find one
             # (reference routing_sat.cc role as a fallback solver)
             if params.cp_sat_certification_share > 0:
-                from ortools_tpu.routing.sat_path import solve_with_cp_sat
+                from ortools_tpu.routing.sat_path import (
+                    certify_lazy_sec, solve_with_cp_sat)
 
                 budget = max(1.0, params.time_limit_seconds
                              * params.cp_sat_certification_share)
-                cert = solve_with_cp_sat(self, time_limit_sec=budget)
+                cert = certify_lazy_sec(self, time_limit_sec=budget)
+                if cert is None:
+                    cert = solve_with_cp_sat(self, time_limit_sec=budget)
                 if cert is not None:
                     return cert[0]
             return None
@@ -493,12 +496,16 @@ class RoutingModel:
             # exact certification through the CP stack (reference
             # routing_sat.cc role); keeps the LS solution unless the CP
             # solve matches or improves it
-            from ortools_tpu.routing.sat_path import solve_with_cp_sat
+            from ortools_tpu.routing.sat_path import (
+                certify_lazy_sec, solve_with_cp_sat)
 
             budget = max(1.0, params.time_limit_seconds
                          * params.cp_sat_certification_share)
-            cert = solve_with_cp_sat(self, time_limit_sec=budget,
-                                     warm_routes=routes)
+            cert = certify_lazy_sec(self, time_limit_sec=budget,
+                                    warm_routes=routes)
+            if cert is None:
+                cert = solve_with_cp_sat(self, time_limit_sec=budget,
+                                         warm_routes=routes)
             if cert is not None and cert[0].objective_value() <= obj:
                 return cert[0]
         return Assignment(self, internal, obj)

