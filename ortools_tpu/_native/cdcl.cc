@@ -140,6 +140,15 @@ class Solver {
           InprocessRootSimplify();
           if (!ok_) return 0;
         }
+        // vivification + deferred on-the-fly-subsumption deletions:
+        // budgeted batch each root restart (sat_inprocessing.h:160-210)
+        if (assump_level == 0 && inprocess_enabled_ &&
+            conflicts_ - last_vivify_conflicts_ >= 4000) {
+          last_vivify_conflicts_ = conflicts_;
+          FlushOtfSubsumed();
+          VivifyClauses(/*max_clauses=*/64, /*prop_budget=*/20000);
+          if (!ok_) return 0;
+        }
         continue;
       }
       if (placed < assumptions_.size()) {
@@ -174,6 +183,9 @@ class Solver {
   }
 
   void EnableProof() { proof_enabled_ = true; }
+  void SetInprocessing(bool on) { inprocess_enabled_ = on; }
+  i64 NumVivified() const { return vivified_; }
+  i64 NumOtfSubsumed() const { return otf_subsumed_; }
 
   // Seed the saved phase of a variable (hint-guided value ordering;
   // reference sat/sat_decision.h SetAssignmentPreference).  phase_
@@ -207,6 +219,7 @@ class Solver {
   std::vector<u32> assumptions_;
   std::vector<u32> core_;
   bool ok_ = true;
+  bool inprocess_enabled_ = true;
   i64 conflicts_ = 0;
   i64 propagations_ = 0;
   double var_inc_ = 1.0;
@@ -396,6 +409,7 @@ class Solver {
   // unit learnt) and the asserting literal; caller backtracks to *bt_level
   // and enqueues the asserting literal with the returned reason.
   u32 AnalyzeConflict(u32 confl, int* bt_level, u32* asserting) {
+    const u32 confl0 = confl;
     learnt_buf_.clear();
     learnt_buf_.push_back(0);  // slot 0: asserting literal
     int counter = 0;
@@ -467,6 +481,32 @@ class Solver {
         max_i = i;
     std::swap(learnt_buf_[1], learnt_buf_[max_i]);
     *bt_level = level_[Var(learnt_buf_[1])];
+
+    // on-the-fly subsumption (reference sat_inprocessing.cc role): when
+    // the fresh learnt clause's literals are a subset of the clause it
+    // refuted, the longer original is redundant.  Deletion is DEFERRED
+    // to the next root-restart rebuild (a clause may not vanish while
+    // watches/reasons can still reference it mid-search).
+    if (ClauseLearnt(confl0) && !ClauseDead(confl0) &&
+        (int)learnt_buf_.size() < ClauseSize(confl0) &&
+        learnt_buf_.size() >= 2) {
+      bool subsumed = true;
+      const i32* cl0 = &arena_[confl0 + 3];
+      const int cs0 = ClauseSize(confl0);
+      for (u32 l : learnt_buf_) {
+        bool found = false;
+        for (int k = 0; k < cs0; ++k)
+          if ((u32)cl0[k] == l) {
+            found = true;
+            break;
+          }
+        if (!found) {
+          subsumed = false;
+          break;
+        }
+      }
+      if (subsumed) otf_pending_.push_back(confl0);
+    }
 
     u32 cref = AttachNew(learnt_buf_, /*learnt=*/true);
     lbd_levels_.clear();
@@ -570,6 +610,140 @@ class Solver {
     if (ok_) clean(learnts_);
     if (ok_) RebuildWatchesAndLists();
     root_simplified_trail_ = (i32)trail_.size();
+  }
+
+  // Clause vivification (reference sat/sat_inprocessing.h:160-210): at a
+  // root restart, re-derive a budgeted batch of long learnt clauses by
+  // assuming the negations of their literals in order under full unit
+  // propagation:
+  //   - literal already TRUE under the prefix -> clause closes at the
+  //     kept prefix + this literal (RUP: assuming all of them false is
+  //     contradictory);
+  //   - literal already FALSE -> redundant, dropped (under the full
+  //     negated-kept assumption it still propagates false, so the
+  //     original clause itself conflicts: RUP);
+  //   - propagation conflict -> clause closes at the kept prefix.
+  // A strictly shorter result replaces the original (DRAT: add the
+  // strengthened clause, then delete the original).  Deriving THROUGH
+  // the clause itself is sound: the shorter clause implies the longer
+  // one, so the rewritten formula is equivalent.
+  size_t vivify_cursor_ = 0;
+  i64 vivified_ = 0;
+  i64 last_vivify_conflicts_ = 0;
+  std::vector<u32> otf_pending_;  // subsumed clauses awaiting deletion
+  i64 otf_subsumed_ = 0;
+
+  void FlushOtfSubsumed() {
+    if (otf_pending_.empty() || Level() != 0) return;
+    bool any = false;
+    for (u32 cref : otf_pending_) {
+      if (ClauseDead(cref) || IsReason(cref)) continue;
+      arena_[cref] |= 2;
+      ++otf_subsumed_;
+      any = true;
+      if (proof_enabled_) {
+        proof_buf_.clear();
+        const i32* lits = &arena_[cref + 3];
+        for (int k = 0; k < ClauseSize(cref); ++k)
+          proof_buf_.push_back((u32)lits[k]);
+        RecordProof(proof_buf_, /*deletion=*/true);
+      }
+    }
+    otf_pending_.clear();
+    if (any) RebuildWatchesAndLists();
+  }
+
+  void VivifyClauses(int max_clauses, i64 prop_budget) {
+    if (Level() != 0 || !ok_) return;
+    i64 props0 = propagations_;
+    int done = 0;
+    size_t scanned = 0;
+    const size_t n0 = learnts_.size();
+    std::vector<u32> lits, kept;
+    // SCAN with the database untouched (rewriting mid-scan would leave
+    // stale watches/blockers driving the very propagation the pass
+    // relies on), then APPLY: all strengthened-clause additions first
+    // (RUP is monotone in the database), then all deletions.
+    struct Pending {
+      u32 cref;
+      std::vector<u32> old_lits;
+      std::vector<u32> kept;
+    };
+    std::vector<Pending> pending;
+    std::vector<u32> seen_crefs;
+    while (scanned < n0 && done < max_clauses &&
+           propagations_ - props0 < prop_budget) {
+      ++scanned;
+      if (learnts_.empty()) break;
+      if (vivify_cursor_ >= learnts_.size()) vivify_cursor_ = 0;
+      u32 cref = learnts_[vivify_cursor_++];
+      if (ClauseDead(cref) || IsReason(cref)) continue;
+      bool dup = false;
+      for (u32 c0 : seen_crefs)
+        if (c0 == cref) dup = true;
+      if (dup) continue;
+      int sz = ClauseSize(cref);
+      if (sz < 3 || sz > 64) continue;
+      // target the mid-quality tier (CaDiCaL-style): glue clauses are
+      // already short and precious; very high-LBD ones die in ReduceDB
+      // anyway
+      if (ClauseLbd(cref) < 3 || ClauseLbd(cref) > 20) continue;
+      lits.assign((u32*)&arena_[cref + 3], (u32*)&arena_[cref + 3] + sz);
+      bool rooted = false;
+      for (u32 l : lits)
+        if (Value(l) != kUnassigned) rooted = true;
+      if (rooted) continue;  // the root cleaner owns those
+      ++done;
+      seen_crefs.push_back(cref);
+      kept.clear();
+      NewDecisionLevel();
+      for (u32 l : lits) {
+        uint8_t v = Value(l);
+        if (v == kTrue) {
+          kept.push_back(l);
+          break;
+        }
+        if (v == kFalse) continue;  // redundant under the kept prefix
+        kept.push_back(l);
+        Enqueue(Neg(l), kNoReason);
+        if (Propagate() != kNoReason) break;
+      }
+      BacktrackTo(0);
+      if (kept.empty() || kept.size() >= lits.size()) continue;
+      pending.push_back({cref, lits, kept});
+    }
+    if (pending.empty()) return;
+    if (proof_enabled_) {
+      for (auto& pd : pending) RecordProof(pd.kept, /*deletion=*/false);
+    }
+    std::vector<u32> new_units;
+    for (auto& pd : pending) {
+      u32 cref = pd.cref;
+      if (ClauseDead(cref) || IsReason(cref)) continue;
+      i32* dst = &arena_[cref + 3];
+      for (size_t k = 0; k < pd.kept.size(); ++k) dst[k] = (i32)pd.kept[k];
+      arena_[cref] = ((i32)pd.kept.size() << 2) | (arena_[cref] & 3);
+      ++vivified_;
+      if (proof_enabled_) RecordProof(pd.old_lits, /*deletion=*/true);
+      if (pd.kept.size() == 1) {
+        new_units.push_back(pd.kept[0]);
+        arena_[cref] |= 2;  // dead: the unit fact moves to the trail
+      }
+    }
+    RebuildWatchesAndLists();
+    for (u32 u : new_units) {
+      if (Value(u) == kFalse) {
+        ok_ = false;
+        if (proof_enabled_) proof_.push_back(0);
+        return;
+      }
+      if (Value(u) == kUnassigned) Enqueue(u, kNoReason);
+    }
+    if (Propagate() != kNoReason) {
+      ok_ = false;
+      if (proof_enabled_) proof_.push_back(0);
+      return;
+    }
   }
 
   void ReduceDB() {
@@ -706,6 +880,15 @@ class Solver {
 extern "C" {
 
 void* cdcl_new(i32 nvars) { return new Solver(nvars); }
+void cdcl_set_inprocessing(void* s, i32 on) {
+  static_cast<Solver*>(s)->SetInprocessing(on != 0);
+}
+i64 cdcl_num_vivified(void* s) {
+  return static_cast<Solver*>(s)->NumVivified();
+}
+i64 cdcl_num_otf_subsumed(void* s) {
+  return static_cast<Solver*>(s)->NumOtfSubsumed();
+}
 void cdcl_free(void* s) { delete static_cast<Solver*>(s); }
 i32 cdcl_new_var(void* s) { return static_cast<Solver*>(s)->NewVar(); }
 i32 cdcl_num_vars(void* s) { return static_cast<Solver*>(s)->NumVars(); }

@@ -270,7 +270,13 @@ def _pad_to(v, logical: int, padded: int, value: float, dtype) -> jax.Array:
 def _block_matvec(data, block_rows, block_cols, x, m_padded: int):
     bm, bn = data.shape[1], data.shape[2]
     xb = x.reshape(-1, bn)[block_cols]  # [nb, bn]
-    prod = jnp.einsum("bij,bj->bi", data, xb)  # [nb, bm]
+    # HIGHEST: this is the EXACT stream — on TPU the default einsum
+    # precision is a single bf16 pass on the MXU (~2^-8 relative), which
+    # silently caps achievable residuals far above the 1e-4..1e-8
+    # termination tolerances (found as 0/8 batched node LPs converging
+    # on-device while CPU converged 8/8)
+    prod = jnp.einsum("bij,bj->bi", data, xb,
+                      precision=jax.lax.Precision.HIGHEST)  # [nb, bm]
     y = jax.ops.segment_sum(prod, block_rows, num_segments=m_padded // bm)
     return y.reshape(m_padded)
 
@@ -283,6 +289,7 @@ def _block_matmat(data, block_rows, block_cols, x, m_padded: int):
     prod = jnp.einsum(
         "bij,bjk->bik", data, xb,
         preferred_element_type=data.dtype,
+        precision=jax.lax.Precision.HIGHEST,  # exact stream (see matvec)
     )  # [nb, bm, k]
     y = jax.ops.segment_sum(prod, block_rows, num_segments=m_padded // bm)
     return y.reshape(m_padded, k)

@@ -54,6 +54,12 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int8), ctypes.c_int32
         ]
         lib.cdcl_enable_proof.argtypes = [ctypes.c_void_p]
+        lib.cdcl_set_inprocessing.argtypes = [ctypes.c_void_p,
+                                              ctypes.c_int32]
+        lib.cdcl_num_vivified.restype = ctypes.c_int64
+        lib.cdcl_num_vivified.argtypes = [ctypes.c_void_p]
+        lib.cdcl_num_otf_subsumed.restype = ctypes.c_int64
+        lib.cdcl_num_otf_subsumed.argtypes = [ctypes.c_void_p]
         lib.cdcl_proof_size.restype = ctypes.c_int64
         lib.cdcl_proof_size.argtypes = [ctypes.c_void_p]
         lib.cdcl_get_proof.argtypes = [
@@ -201,6 +207,20 @@ class CdclSolver:
             for kind, lits in self.proof():
                 prefix = "d " if kind == "d" else ""
                 f.write(prefix + " ".join(map(str, lits)) + " 0\n")
+
+    def set_inprocessing(self, on: bool) -> None:
+        """Toggle restart-time vivification + deferred OTF-subsumption
+        deletions (reference sat_inprocessing.h:160-210); on by
+        default — the toggle exists for measured comparisons."""
+        self._lib.cdcl_set_inprocessing(self._handle, 1 if on else 0)
+
+    @property
+    def num_vivified(self) -> int:
+        return int(self._lib.cdcl_num_vivified(self._handle))
+
+    @property
+    def num_otf_subsumed(self) -> int:
+        return int(self._lib.cdcl_num_otf_subsumed(self._handle))
 
     @property
     def num_conflicts(self) -> int:
