@@ -532,6 +532,49 @@ class Solver {
   // Reason/conflict literal access across all storage kinds. ``pvar`` is
   // the variable the reason propagated (used to reconstruct channel
   // reasons; ignored for stored clauses/explanations).
+  // ---- recursive clause minimization helpers --------------------------
+  std::vector<uint8_t> min_memo_;  // 0 unknown, 1 redundant, 2 needed
+  std::vector<int> min_touched_;
+  std::vector<i32> min_scratch_;
+
+  // Is var v's assignment implied by clause literals + level-0 facts?
+  int RedundCheck(int v, int depth, int* budget) {
+    if (level_[v] == 0) return 1;
+    if (seen_[v]) return 1;  // in the learnt clause (or proven redundant)
+    if (v < (int)min_memo_.size()) {
+      if (min_memo_[v] == 1) return 1;
+      if (min_memo_[v] == 2) return 0;
+    }
+    u32 r = reason_[v];
+    if (r == kNoReason || depth > 96 || --(*budget) < 0) {
+      if (v < (int)min_memo_.size()) {
+        min_memo_[v] = 2;
+        min_touched_.push_back(v);
+      }
+      return 0;
+    }
+    int size;
+    const i32* lp = ReasonLits(r, v, &size);
+    // copy: ReasonLits may hand out a shared scratch (channel reasons)
+    std::vector<i32> local(lp, lp + size);
+    for (i32 raw : local) {
+      u32 l = (u32)raw;
+      if (Var(l) == v) continue;
+      if (!RedundCheck(Var(l), depth + 1, budget)) {
+        if (v < (int)min_memo_.size()) {
+          min_memo_[v] = 2;
+          min_touched_.push_back(v);
+        }
+        return 0;
+      }
+    }
+    if (v < (int)min_memo_.size()) {
+      min_memo_[v] = 1;
+      min_touched_.push_back(v);
+    }
+    return 1;
+  }
+
   const i32* ReasonLits(u32 ref, int pvar, int* size) {
     if (ref & kExplBit) {
       u32 off = ref & ~kExplBit;
@@ -1096,8 +1139,17 @@ class Solver {
     } while (counter > 0);
     learnt_buf_[0] = Neg(p);
 
-    // simple local minimization (see cdcl.cc): drop literals whose reason
-    // is subsumed by the rest of the learnt clause
+    // recursive minimization (ccmin-2; reference sat_solver.h:658-663
+    // minimization variants): a literal is redundant when every
+    // antecedent in its reason DAG is in the clause or at level 0 —
+    // the DAG walk memoizes per variable and carries a budget.  The
+    // shallow one-step rule this replaces left ~10-30% removable
+    // literals in jobshop conflicts.
+    for (int v : min_touched_) min_memo_[v] = 0;
+    min_touched_.clear();
+    if (min_memo_.size() < (size_t)NumBoolVars())
+      min_memo_.resize(NumBoolVars(), 0);
+    int min_budget = 2000;
     size_t out = 1;
     for (size_t i = 1; i < learnt_buf_.size(); ++i) {
       u32 q = learnt_buf_[i];
@@ -1107,10 +1159,11 @@ class Solver {
         redundant = true;
         int size;
         const i32* lits = ReasonLits(r, (int)Var(q), &size);
-        for (int k = 0; k < size; ++k) {
-          u32 l = (u32)lits[k];
-          if (Var(l) == Var(q)) continue;
-          if (!seen_[Var(l)] && level_[Var(l)] > 0) {
+        min_scratch_.assign(lits, lits + size);
+        for (i32 raw : min_scratch_) {
+          u32 l = (u32)raw;
+          if (Var(l) == (int)Var(q)) continue;
+          if (!RedundCheck(Var(l), 0, &min_budget)) {
             redundant = false;
             break;
           }

@@ -40,9 +40,12 @@ def rand3sat(nv, ratio, seed):
 
 
 def main():
-    instances = [("php7", *php(7)), ("php8", *php(8))]
-    for k in range(4):
-        instances.append((f"r3s_200_{k}", *rand3sat(200, 4.26, 10 + k)))
+    # structured family (clause quality matters consistently) + a wide
+    # random sample (single near-threshold 3-SAT runs are trajectory
+    # noise: one seed can swing 5x either way)
+    instances = [("php6", *php(6)), ("php7", *php(7)), ("php8", *php(8))]
+    for k in range(10):
+        instances.append((f"r3s_160_{k}", *rand3sat(160, 4.26, 10 + k)))
     rows = []
     proofs_ok = 0
     proofs_total = 0
@@ -81,6 +84,13 @@ def main():
         "proofs_checked": f"{proofs_ok}/{proofs_total}",
         "total_conflicts_on": sum(r["on"]["conflicts"] for r in rows),
         "total_conflicts_off": sum(r["off"]["conflicts"] for r in rows),
+        "php_conflicts_on": sum(r["on"]["conflicts"] for r in rows
+                                if r["name"].startswith("php")),
+        "php_conflicts_off": sum(r["off"]["conflicts"] for r in rows
+                                 if r["name"].startswith("php")),
+        "median_ratio_on_over_off": sorted(
+            (r["on"]["conflicts"] + 1) / (r["off"]["conflicts"] + 1)
+            for r in rows)[len(rows) // 2],
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "artifacts", "INPROCESS_r05.json")
