@@ -14,7 +14,7 @@ linearly with window width (budget-gated); the LCG core's lazy bound
 literals only materialize where search touches — the architectural win
 this battery demonstrates.
 
-Writes artifacts/SCHED_r04.json and prints a table.
+Writes artifacts/SCHED_r05.json and prints a table.
 """
 
 import json
@@ -132,7 +132,7 @@ def main():
     assert r.makespan == 43 and r.optimal
 
     out = os.path.join(os.path.dirname(__file__), "..",
-                       "artifacts", "SCHED_r04.json")
+                       "artifacts", "SCHED_r05.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump({"budget_s": BUDGET, "results": results}, f, indent=1)
