@@ -241,6 +241,10 @@ class Solver {
         int bt_level;
         u32 asserting;
         u32 learnt_ref = AnalyzeConflict(confl, &bt_level, &asserting);
+        // Glucose-style restart signal (restart.h EMA variant): fast
+        // vs slow exponential averages of learnt-clause LBD
+        lbd_fast_ += (last_lbd_ - lbd_fast_) / 32.0;
+        lbd_slow_ += (last_lbd_ - lbd_slow_) / 4096.0;
         BacktrackTo(bt_level);
         if (bt_level < assump_level)
           placed = CountPlacedAssumptions(&assump_level);
@@ -254,8 +258,17 @@ class Solver {
         if (learnts_since_reduce_ > reduce_threshold_) ReduceDB();
         continue;
       }
-      if (conflicts_ >= restart_limit && Level() > assump_level) {
+      bool want_restart = conflicts_ >= restart_limit;
+      if (restart_mode_ == 1 && !want_restart &&
+          conflicts_ >= restart_limit - 64 * Luby(restart_seq) + 50 &&
+          lbd_fast_ > 1.25 * lbd_slow_) {
+        // glucose trigger: recent learnt quality degraded — restart
+        // early (the Luby limit stays as a fallback ceiling)
+        want_restart = true;
+      }
+      if (want_restart && Level() > assump_level) {
         restart_limit = conflicts_ + 64 * Luby(++restart_seq);
+        lbd_fast_ = lbd_slow_;  // re-arm the trigger
         BacktrackTo(assump_level);
         placed = CountPlacedAssumptions(&assump_level);
         continue;
@@ -397,6 +410,7 @@ class Solver {
   void SetPhase(int v, bool positive) {
     if (v >= 0 && v < (int)phase_.size()) phase_[v] = positive ? 0 : 1;
   }
+  void SetRestartMode(int m) { restart_mode_ = m; }
   uint8_t ModelValue(int v) const { return model_[v]; }
   i64 IntModelValue(int x) const { return imodel_[x]; }
   const std::vector<u32>& Core() const { return core_; }
@@ -419,6 +433,9 @@ class Solver {
   std::vector<u32> clauses_, learnts_;
   std::vector<u32> assumptions_, core_;
   bool ok_ = true;
+  // restart policy: 0 = Luby only, 1 = Luby ceiling + glucose LBD-EMA
+  int restart_mode_ = 1;
+  double lbd_fast_ = 0.0, lbd_slow_ = 0.0, last_lbd_ = 0.0;
   i64 conflicts_ = 0, propagations_ = 0;
   double var_inc_ = 1.0, cla_inc_ = 1.0;
   i64 learnts_since_reduce_ = 0, reduce_threshold_ = 2000;
@@ -1194,6 +1211,9 @@ class Solver {
     lbd_levels_.clear();
     for (u32 l : learnt_buf_) lbd_levels_.push_back(level_[Var(l)]);
     std::sort(lbd_levels_.begin(), lbd_levels_.end());
+    last_lbd_ = (double)(int)(std::unique(lbd_levels_.begin(),
+                                          lbd_levels_.end()) -
+                              lbd_levels_.begin());
     ClauseLbd(cref) =
         (i32)(std::unique(lbd_levels_.begin(), lbd_levels_.end()) -
               lbd_levels_.begin());
@@ -1423,6 +1443,9 @@ i64 lcg_num_bound_literals(void* s) {
   return static_cast<Solver*>(s)->NumBoundLits();
 }
 
+void lcg_set_restart_mode(void* s, i32 m) {
+  static_cast<Solver*>(s)->SetRestartMode(m);
+}
 i32 lcg_num_ints(void* s) {
   return static_cast<Solver*>(s)->NumIntVars();
 }
