@@ -136,6 +136,12 @@ class MipParams:
     # (re-verified by the feasibility checker like every incumbent);
     # the warm-start pattern of LNS/local-branching sub-solves.
     initial_solution: Optional[np.ndarray] = None
+    # Device feasibility jump (sat/fj_device.py — vmapped multi-seed FJ
+    # in objective-descent mode) as a root heuristic on pure-binary
+    # models: "auto" engages only when jax's default backend is a TPU
+    # (on CPU hosts the numpy FJ path is faster); "on"/"off" force it.
+    device_fj: str = "auto"
+    device_fj_seconds: float = 10.0
 
 
 @dataclasses.dataclass
@@ -365,6 +371,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             max_nodes=params.rins_max_nodes,
             time_limit_sec=min(params.rins_time_limit_sec, remaining),
             cut_rounds=0, rins_interval=0, tree_cut_interval=0,
+            device_fj="off",
             local_branching_interval=0, fj_root_seconds=0.0,
             verbosity=0,
         )
@@ -506,6 +513,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             max_nodes=params.local_branching_max_nodes,
             time_limit_sec=min(ball_budget, remaining),
             cut_rounds=2, rins_interval=0, tree_cut_interval=0,
+            device_fj="off",
             local_branching_interval=0, fj_root_seconds=0.0,
             verbosity=0,
             initial_solution=center,  # don't rediscover the center
@@ -717,6 +725,7 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                         params.time_limit_sec
                         - (time.perf_counter() - start)),
                     cut_rounds=2, rins_interval=0, tree_cut_interval=0,
+            device_fj="off",
                     local_branching_interval=0, fj_root_seconds=0.0,
                     verbosity=0,
                 )
@@ -726,6 +735,40 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
                 if rsub.status in (MPSolverStatus.OPTIMAL,
                                    MPSolverStatus.FEASIBLE):
                     try_incumbent(rsub.solution)
+
+    # Device feasibility jump at the root (reference portfolio's
+    # FeasibilityJumpSolver recast as a vmapped multi-seed TPU kernel,
+    # sat/fj_device.py): objective-descent mode hunts a strictly better
+    # incumbent with 64 seeds advancing per jitted dispatch.  Engages on
+    # TPU backends ("auto"); every result passes try_incumbent's checker.
+    if (len(int_idx) == n and incumbent_x is not None
+            and params.device_fj != "off"
+            and np.all(qp_min.variable_lower[int_idx] >= -1e-9)
+            and np.all(qp_min.variable_upper[int_idx] <= 1 + 1e-9)):
+        use_dev = params.device_fj == "on"
+        if params.device_fj == "auto":
+            try:
+                use_dev = jax.default_backend() in ("tpu",)
+            except Exception:
+                use_dev = False
+        remaining_fj = params.time_limit_sec - (
+            time.perf_counter() - start)
+        if use_dev and remaining_fj > 8.0:
+            from ortools_tpu.sat.fj_device import (
+                device_feasibility_jump, objective_descent_system)
+
+            cutoff = incumbent_obj - max(
+                1e-6, 1e-4 * abs(incumbent_obj))
+            a2, lb2, ub2 = objective_descent_system(
+                a, qp_min.constraint_lower, qp_min.constraint_upper,
+                qp_min.objective_vector, cutoff)
+            res_fj = device_feasibility_jump(
+                a2, lb2, ub2, n_seeds=64, steps_per_round=128,
+                max_rounds=40, x0=incumbent_x,
+                deadline=time.perf_counter() + min(
+                    params.device_fj_seconds, 0.25 * remaining_fj))
+            for cand in res_fj.solutions:
+                try_incumbent(cand)
 
     # root kick: polish the first incumbent before the tree starts (a
     # Hamming ball of k around a good greedy/FJ/dive solution often
