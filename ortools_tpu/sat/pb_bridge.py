@@ -92,11 +92,12 @@ def try_pure_pb(work: ir.CpModelIR, params, deadline: float,
         else:
             s.add_leq(cf, vs, neg, d)
 
-    budget_chunk = 200_000
+    # fixed-size chunks so the wall clock / interrupt flag is polled at
+    # a bounded interval (one huge native call is uninterruptible)
+    budget_chunk = 50_000
     if obj is None:
         while True:
-            st, model = s.solve(budget_chunk * max(
-                1, int(s.num_conflicts / budget_chunk) + 1))
+            st, model = s.solve(budget_chunk)
             if st == "SAT":
                 return ("OPTIMAL", [int(x) for x in model], math.nan,
                         math.nan, s.num_conflicts)
@@ -112,7 +113,8 @@ def try_pure_pb(work: ir.CpModelIR, params, deadline: float,
     coefs = [sign * int(c) for c in obj.coeffs]
     st, model, val = minimize(
         s, coefs, list(obj.vars), deadline=deadline,
-        conflict_budget_per_call=budget_chunk)
+        conflict_budget_per_call=budget_chunk,
+        should_stop=should_stop)
     if st == "OPTIMAL" or st == "FEASIBLE":
         values = [int(x) for x in model]
         true_obj = sign * val + obj.offset

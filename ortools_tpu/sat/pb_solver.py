@@ -167,7 +167,8 @@ class PbSolver:
 def minimize(solver: PbSolver, obj_coefs: Sequence[int],
              obj_vars: Sequence[int],
              deadline: float = math.inf,
-             conflict_budget_per_call: int = 500_000,
+             conflict_budget_per_call: int = 50_000,
+             should_stop=None,
              ) -> Tuple[str, Optional[np.ndarray], float]:
     """Solution-improving search: minimize sum obj_coefs * x[obj_vars]
     by repeatedly adding the PB cutoff  obj <= incumbent - 1.
@@ -179,7 +180,8 @@ def minimize(solver: PbSolver, obj_coefs: Sequence[int],
     obj_vars = np.asarray(obj_vars, dtype=np.int64)
     best = None
     best_obj = math.inf
-    while time.perf_counter() < deadline:
+    while time.perf_counter() < deadline and not (
+            should_stop is not None and should_stop()):
         st, model = solver.solve(conflict_budget_per_call)
         if st == "SAT":
             val = int(obj_coefs @ model[obj_vars])

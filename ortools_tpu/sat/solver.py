@@ -286,7 +286,12 @@ def solve_model(model: ir.CpModelIR, params: Optional[SatParameters] = None,
     # linear row route to the cutting-planes PB-resolution core
     # (sat/pb_bridge.py -> _native/pbsat.cc).  Clause-only models stay
     # on the CDCL path below, where watched-literal propagation wins.
-    if (params.use_pb_resolution and not params.enumerate_all_solutions
+    # DECISION problems only: optimization needs the LP-bounded descent
+    # of the LCG/portfolio paths (a pure cutting-planes cutoff ladder has
+    # no bound and can burn the whole budget on e.g. knapsack objectives);
+    # the PB core's win is refutation, which is exactly the decision case.
+    if (params.use_pb_resolution and obj is None
+            and not params.enumerate_all_solutions
             and params.num_workers <= 1 and callback is None
             and not model.solution_hint
             and any(ct.kind == "linear" for ct in work.constraints)):
