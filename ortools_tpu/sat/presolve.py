@@ -21,6 +21,8 @@ infeasibility.
 from __future__ import annotations
 
 import dataclasses
+
+import numpy as np
 from typing import List, Optional
 
 from ortools_tpu.sat import model_ir as ir
@@ -143,6 +145,7 @@ def presolve_model(model: ir.CpModelIR,
     if not preserve_all_solutions:
         out = pure_literal_fixing(out)
         out = dual_bound_fixing(out)
+        out = binary_dominance(out)
     out = merge_cliques(out)
     # DetectAndProcessAtMostOneInLinear: clique-aware activity bounds
     # (uses the cliques merge_cliques just built)
@@ -327,6 +330,133 @@ def amo_aware_linear_tightening(model: ir.CpModelIR
     if not changed:
         return model
     return dataclasses.replace(model, constraints=kept + new_units)
+
+
+def binary_dominance(model: ir.CpModelIR,
+                     max_bins: int = 400) -> ir.CpModelIR:
+    """General variable domination over binaries (reference
+    var_domination.h:36 beyond the DualBoundStrengthening core): x
+    dominates y when swapping a 1 from y to x never hurts — per <=-row
+    coef(x) <= coef(y), per >=-row coef(x) >= coef(y) (two-sided rows
+    need equality), positive clause membership of y implies x's, and
+    the minimization objective prefers x.  Then some optimum satisfies
+    (~y or x), added as a clause.  Solution-pruning: callers gate off
+    for enumeration.  Ties break by index so symmetric pairs produce a
+    lex order, not a contradiction."""
+    n = len(model.variables)
+    is_bin = np.array([v.domain.min() >= 0 and v.domain.max() <= 1
+                       and not v.domain.is_fixed()
+                       for v in model.variables])
+    bins = np.nonzero(is_bin)[0]
+    if len(bins) < 2 or len(bins) > max_bins:
+        return model
+    # column signatures: var -> {row_id: (lo_coef_rule, hi_coef_rule)}
+    # plus the set of positive clauses containing it; any unsupported
+    # appearance disqualifies the variable
+    ok = {int(v): True for v in bins}
+    col: Dict[int, Dict[int, int]] = {int(v): {} for v in bins}
+    row_kind: Dict[int, Tuple[bool, bool]] = {}  # row -> (has_lo, has_hi)
+    clauses_of: Dict[int, set] = {int(v): set() for v in bins}
+    for ci, ct in enumerate(model.constraints):
+        if ct.enforcement_literals:
+            # enforcement literal vars control whether the row exists at
+            # all — flipping them is never a plain coefficient swap
+            for l in ct.enforcement_literals:
+                v = ir.literal_index(l)
+                if v in ok:
+                    ok[v] = False
+            for v in _ct_vars(model, ct):
+                if v in ok:
+                    ok[v] = False
+            continue
+        if ct.kind == "linear":
+            a = ct.args
+            lo, hi = a.domain.min(), a.domain.max()
+            row_kind[ci] = (lo > -(2**50), hi < 2**50)
+            for v, c in zip(a.vars, a.coeffs):
+                if v in ok:
+                    if v in col and ci in col[v]:
+                        ok[v] = False  # duplicate terms: bail
+                    else:
+                        col[v][ci] = int(c)
+        elif ct.kind == "bool_or":
+            lits = list(ct.args.literals)
+            if all(l >= 0 for l in lits):
+                for l in lits:
+                    if l in ok:
+                        clauses_of[l].add(ci)
+            else:
+                for l in lits:
+                    v = ir.literal_index(l)
+                    if v in ok:
+                        ok[v] = False
+        elif ct.kind in ("at_most_one", "exactly_one"):
+            # at_most_one behaves like a <=1 row over positive literals
+            lits = list(ct.args.literals)
+            if all(l >= 0 for l in lits):
+                row_kind[-ci - 1] = (ct.kind == "exactly_one", True)
+                for l in lits:
+                    if l in ok:
+                        col[l][-ci - 1] = 1
+            else:
+                for l in lits:
+                    v = ir.literal_index(l)
+                    if v in ok:
+                        ok[v] = False
+        else:
+            for v in _ct_vars(model, ct):
+                if v in ok:
+                    ok[v] = False
+    cand = [v for v in bins if ok[int(v)]]
+    if len(cand) < 2:
+        return model
+    obj = model.objective
+    oc = np.zeros(n)
+    if obj is not None:
+        sense = -1 if obj.maximize else 1
+        for v, c in zip(obj.vars, obj.coeffs):
+            oc[v] += sense * c
+
+    def dominates(x: int, y: int) -> bool:
+        if oc[x] > oc[y]:
+            return False
+        if not clauses_of[y] <= clauses_of[x]:
+            return False
+        rows = set(col[x]) | set(col[y])
+        for r in rows:
+            has_lo, has_hi = row_kind[r]
+            cx = col[x].get(r, 0)
+            cy = col[y].get(r, 0)
+            if has_lo and has_hi and cx != cy:
+                return False
+            if has_hi and not has_lo and cx > cy:
+                return False
+            if has_lo and not has_hi and cx < cy:
+                return False
+        return True
+
+    new_cts: List[ir.ConstraintIR] = []
+    for i, x in enumerate(cand):
+        for y in cand[i + 1:]:
+            dx = dominates(int(x), int(y))
+            dy = dominates(int(y), int(x))
+            if dx and dy:
+                # symmetric: lex order (smaller index at least as large)
+                new_cts.append(ir.ConstraintIR(
+                    "bool_or", ir.BoolArgs(
+                        [ir.negated_literal(int(y)), int(x)])))
+            elif dx:
+                new_cts.append(ir.ConstraintIR(
+                    "bool_or", ir.BoolArgs(
+                        [ir.negated_literal(int(y)), int(x)])))
+            elif dy:
+                new_cts.append(ir.ConstraintIR(
+                    "bool_or", ir.BoolArgs(
+                        [ir.negated_literal(int(x)), int(y)])))
+    if not new_cts:
+        return model
+    return dataclasses.replace(
+        model, constraints=list(model.constraints) + new_cts)
 
 
 def merge_parallel_linear(model: ir.CpModelIR

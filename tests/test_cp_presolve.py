@@ -463,3 +463,61 @@ def test_amo_aware_tightening_forces_variable():
     units = [ct for ct in out.constraints
              if ct.kind == "bool_or" and ct.args.literals == [0]]
     assert units, "x0 should be forced true"
+
+
+# ---------------------------------------------------------------------------
+# General binary variable domination (reference var_domination.h:36)
+# ---------------------------------------------------------------------------
+
+
+def test_binary_dominance_adds_implication():
+    from ortools_tpu.sat import model_ir as ir
+    from ortools_tpu.sat.presolve import binary_dominance
+
+    # minimize 2*x0 + 3*x1 s.t. x0 + x1 >= 1: x0 dominates x1
+    # (cheaper, same row coverage) -> clause (~x1 or x0)
+    model = ir.CpModelIR(
+        name="t",
+        variables=[ir.IntegerVariableIR(f"x{i}", Domain(0, 1))
+                   for i in range(2)],
+        constraints=[ir.ConstraintIR("linear", ir.LinearArgs(
+            [0, 1], [1, 1], Domain(1, 10**9)))],
+        objective=ir.ObjectiveIR(vars=[0, 1], coeffs=[2, 3]),
+    )
+    out = binary_dominance(model)
+    added = [ct for ct in out.constraints if ct.kind == "bool_or"]
+    assert any(sorted(ct.args.literals) == sorted(
+        [ir.negated_literal(1), 0]) for ct in added), added
+
+
+def test_binary_dominance_preserves_optima_fuzz():
+    """On random set-cover-like minimization models, presolve with
+    dominance reaches the same optimal objective as without."""
+    import numpy as np
+    from ortools_tpu.sat.cp_model import CpModel, CpSolver
+
+    rng = np.random.default_rng(4)
+    for trial in range(10):
+        n, m = 8, 5
+
+        def build():
+            mm = CpModel()
+            xs = [mm.new_bool_var(f"x{i}") for i in range(n)]
+            for r in range(m):
+                members = rng.choice(n, size=int(rng.integers(2, 5)),
+                                     replace=False)
+                mm.add(sum(xs[int(j)] for j in members) >= 1)
+            w = rng.integers(1, 9, n)
+            mm.minimize(sum(int(w[i]) * xs[i] for i in range(n)))
+            return mm
+
+        state = rng.bit_generator.state
+        m1 = build()
+        s1 = CpSolver()
+        assert s1.status_name(s1.solve(m1)) == "OPTIMAL"
+        rng.bit_generator.state = state
+        m2 = build()
+        s2 = CpSolver()
+        s2.parameters.cp_model_presolve = False
+        assert s2.status_name(s2.solve(m2)) == "OPTIMAL"
+        assert s1.objective_value == s2.objective_value, trial
