@@ -385,16 +385,31 @@ def _exact_cover_on_row(idx: np.ndarray, val: np.ndarray, rhs: float,
 
 
 def _find_vubs(a: sp.csr_matrix, con_lb, con_ub, var_lb, var_ub, is_int):
-    """Detect variable upper bounds ``f <= cap * y`` (continuous f, binary
-    y) from two-nonzero rows ``alpha f + beta y <= 0`` with alpha > 0,
-    beta < 0 (reference role: implied_bounds.h — VUB substitution is how
-    flow-cover-strength cuts arise from fixed-charge structure).
+    """Detect implied variable bounds from two-nonzero rows mixing one
+    continuous f and one binary y (reference role: implied_bounds.h —
+    implied-bound substitution is how fixed-charge / indicator structure
+    strengthens MIR and flow-cover cuts).
 
-    Returns (cap, yvar) arrays indexed by variable; yvar = -1 where no
-    VUB exists."""
+    Any row ``alpha f + beta y <= c`` (alpha > 0) gives the implied
+    UPPER bound  f <= u0 + du * y  with u0 = c/alpha, du = -beta/alpha;
+    the mirrored direction (alpha < 0, or the >= side) gives the implied
+    LOWER bound  f >= l0 + dl * y.  The classic VUB ``f <= cap * y`` is
+    the u0 = 0 special case the flow-cover separator requires.
+
+    Returns (u0, du, uy, l0, dl, ly) arrays indexed by variable;
+    uy/ly = -1 where no implied bound was found.  When several rows give
+    bounds for the same f, the one with the smallest y=1 value (upper) /
+    largest y=1 value (lower) wins — the strongest at the fractional
+    points cuts care about."""
     n = a.shape[1]
-    cap = np.full(n, np.inf)
-    yvar = np.full(n, -1, dtype=np.int64)
+    u0 = np.zeros(n)
+    du = np.zeros(n)
+    uy = np.full(n, -1, dtype=np.int64)
+    l0 = np.zeros(n)
+    dl = np.zeros(n)
+    ly = np.full(n, -1, dtype=np.int64)
+    u_at1 = np.full(n, np.inf)   # implied upper at y=1 (selection key)
+    l_at1 = np.full(n, -np.inf)
     indptr, indices, data = a.indptr, a.indices, a.data
     nnz_per_row = np.diff(indptr)
     binary = is_int & (var_lb >= 0) & (var_ub <= 1)
@@ -404,43 +419,64 @@ def _find_vubs(a: sp.csr_matrix, con_lb, con_ub, var_lb, var_ub, is_int):
         v1, v2 = data[lo], data[lo + 1]
         for (f, af), (y, ay) in (((j1, v1), (j2, v2)),
                                  ((j2, v2), (j1, v1))):
-            if is_int[f] or not binary[y]:
+            if is_int[f] or not binary[y] or af == 0:
                 continue
-            # direction a.x <= cu with cu == 0
-            if con_ub[i] == 0.0 and af > 0 and ay < 0:
-                c = -ay / af
-            # direction -a.x <= -cl with cl == 0
-            elif con_lb[i] == 0.0 and af < 0 and ay > 0:
-                c = -ay / af
-            else:
-                continue
-            if c < cap[f]:
-                cap[f] = c
-                yvar[f] = y
-    return cap, yvar
+            for rhs, sign in ((con_ub[i], 1.0), (con_lb[i], -1.0)):
+                if not np.isfinite(rhs):
+                    continue
+                # sign*(af f + ay y) <= sign*rhs
+                aa, bb, cc = sign * af, sign * ay, sign * rhs
+                if aa > 0:  # f <= cc/aa + (-bb/aa) y
+                    nu0 = cc / aa
+                    ndu = -bb / aa
+                    # only useful when it tightens below the global box
+                    # somewhere; keep the strongest at y=1
+                    if nu0 + ndu < u_at1[f] - 1e-12:
+                        u_at1[f] = nu0 + ndu
+                        u0[f], du[f], uy[f] = nu0, ndu, y
+                else:  # f >= cc/aa + (-bb/aa) y
+                    nl0 = cc / aa
+                    ndl = -bb / aa
+                    if nl0 + ndl > l_at1[f] + 1e-12:
+                        l_at1[f] = nl0 + ndl
+                        l0[f], dl[f], ly[f] = nl0, ndl, y
+    return u0, du, uy, l0, dl, ly
 
 
 def _vub_substitute(idx: np.ndarray, val: np.ndarray, is_int: np.ndarray,
-                    vub_cap: np.ndarray, vub_y: np.ndarray
-                    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """For a <=-row, replace continuous terms ``a_j f_j`` with ``a_j < 0``
-    by ``a_j cap_j y_j`` (valid: f_j <= cap_j y_j and a_j < 0 make the LHS
-    only smaller).  Returns the substituted (idx, val) with merged
-    duplicates, or None when no substitution applies or integer terms
-    would vanish."""
-    cont_neg = (~is_int[idx]) & (val < 0) & (vub_y[idx] >= 0)
-    if not np.any(cont_neg):
+                    vubs) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
+    """Implied-bound substitution on a <=-row (reference
+    implied_bounds.h): continuous terms ``a_j f_j`` are replaced by
+    their implied-bound EXPRESSIONS —
+
+      a_j < 0:  f_j <= u0 + du*y  ->  a_j f_j >= a_j u0 + a_j du y
+      a_j > 0:  f_j >= l0 + dl*y  ->  a_j f_j >= a_j l0 + a_j dl y
+
+    either way the substituted left side is <= the original, so the
+    rewritten row is implied.  The binary carries the integer structure
+    MIR/cover generators need.  Returns (idx, val, rhs_delta) with
+    merged duplicates (rhs_delta accounts for the moved constants), or
+    None when nothing substitutes or no integer term remains."""
+    u0, du, uy, l0, dl, ly = vubs
+    subst_u = (~is_int[idx]) & (val < 0) & (uy[idx] >= 0)
+    subst_l = (~is_int[idx]) & (val > 0) & (ly[idx] >= 0)
+    if not (np.any(subst_u) or np.any(subst_l)):
         return None
     new_idx: List[int] = []
     new_val: List[float] = []
+    rhs_delta = 0.0
     for j, v in zip(idx, val):
-        if not is_int[j] and v < 0 and vub_y[j] >= 0:
-            new_idx.append(int(vub_y[j]))
-            new_val.append(float(v * vub_cap[j]))
+        if not is_int[j] and v < 0 and uy[j] >= 0:
+            rhs_delta -= float(v * u0[j])
+            new_idx.append(int(uy[j]))
+            new_val.append(float(v * du[j]))
+        elif not is_int[j] and v > 0 and ly[j] >= 0:
+            rhs_delta -= float(v * l0[j])
+            new_idx.append(int(ly[j]))
+            new_val.append(float(v * dl[j]))
         else:
             new_idx.append(int(j))
             new_val.append(float(v))
-    # merge duplicate columns (a y may already appear in the row)
     order = np.argsort(new_idx, kind="stable")
     ui: List[int] = []
     uv: List[float] = []
@@ -456,7 +492,70 @@ def _vub_substitute(idx: np.ndarray, val: np.ndarray, is_int: np.ndarray,
     uidx, uval = uidx[keep], uval[keep]
     if len(uidx) == 0 or not np.any(is_int[uidx]):
         return None
-    return uidx, uval
+    return uidx, uval, rhs_delta
+
+
+def _implied_bound_cuts(a: sp.csr_matrix, con_lb, con_ub,
+                        var_lb, var_ub, is_int: np.ndarray,
+                        x_lp: np.ndarray, min_violation: float
+                        ) -> List[Tuple[float, np.ndarray, np.ndarray,
+                                        float]]:
+    """Implied-bound cuts (reference implied_bounds.h:30): for a
+    continuous f and binary y, every 2-var row linking them implies an
+    upper bound on f at y=0 and at y=1; the hull of those two boxes is
+    ``f <= u0 + (u1 - u0) y`` (and symmetrically ``f >= l0 +
+    (l1 - l0) y``), which can dominate every single row — e.g.
+    f <= 2 + 5y and f + 3y <= 6 merge to f <= 2 + y."""
+    n = a.shape[1]
+    indptr, indices, data = a.indptr, a.indices, a.data
+    nnz_per_row = np.diff(indptr)
+    binary = is_int & (var_lb >= 0) & (var_ub <= 1)
+    # (f, y) -> [u_at0, u_at1, l_at0, l_at1]
+    pair: dict = {}
+    for i in np.nonzero(nnz_per_row == 2)[0]:
+        lo = indptr[i]
+        j1, j2 = indices[lo], indices[lo + 1]
+        v1, v2 = data[lo], data[lo + 1]
+        for (f, af), (y, ay) in (((j1, v1), (j2, v2)),
+                                 ((j2, v2), (j1, v1))):
+            if is_int[f] or not binary[y] or af == 0:
+                continue
+            key = (int(f), int(y))
+            if key not in pair:
+                pair[key] = [var_ub[f], var_ub[f], var_lb[f], var_lb[f]]
+            box = pair[key]
+            for rhs, sign in ((con_ub[i], 1.0), (con_lb[i], -1.0)):
+                if not np.isfinite(rhs):
+                    continue
+                aa, bb, cc = sign * af, sign * ay, sign * rhs
+                if aa > 0:  # f <= (cc - bb*y)/aa
+                    box[0] = min(box[0], cc / aa)
+                    box[1] = min(box[1], (cc - bb) / aa)
+                else:  # f >= (cc - bb*y)/aa
+                    box[2] = max(box[2], cc / aa)
+                    box[3] = max(box[3], (cc - bb) / aa)
+    out: List[Tuple[float, np.ndarray, np.ndarray, float]] = []
+    for (f, y), (ub0, ub1, lb0, lb1) in pair.items():
+        fx, yx = float(x_lp[f]), float(np.clip(x_lp[y], 0.0, 1.0))
+        if np.isfinite(ub0) and np.isfinite(ub1):
+            # f - (ub1-ub0) y <= ub0
+            g = np.array([1.0, -(ub1 - ub0)])
+            viol = (fx - (ub1 - ub0) * yx - ub0) / max(
+                float(np.linalg.norm(g)), _EPS)
+            if viol > min_violation:
+                norm = max(float(np.linalg.norm(g)), _EPS)
+                out.append((viol, np.array([f, y], dtype=np.int64),
+                            g / norm, ub0 / norm))
+        if np.isfinite(lb0) and np.isfinite(lb1):
+            # f >= lb0 + (lb1-lb0) y  ->  -f + (lb1-lb0) y <= -lb0
+            g = np.array([-1.0, (lb1 - lb0)])
+            viol = (-fx + (lb1 - lb0) * yx + lb0) / max(
+                float(np.linalg.norm(g)), _EPS)
+            if viol > min_violation:
+                norm = max(float(np.linalg.norm(g)), _EPS)
+                out.append((viol, np.array([f, y], dtype=np.int64),
+                            g / norm, -lb0 / norm))
+    return out
 
 
 def _flow_cover_on_row(idx: np.ndarray, val: np.ndarray,
@@ -845,10 +944,18 @@ def generate_cuts(
     is_int = np.asarray(integrality, dtype=bool)
     if not np.any(is_int):
         return None
-    vub_cap, vub_y = _find_vubs(a, con_lb, con_ub, var_lb, var_ub, is_int)
+    vubs = _find_vubs(a, con_lb, con_ub, var_lb, var_ub, is_int)
+    u0_v, du_v, uy_v, _l0_v, _dl_v, _ly_v = vubs
+    # the flow-cover separator needs the classic zero-offset VUB form
+    fc_cap = np.where((uy_v >= 0) & (np.abs(u0_v) <= 1e-9) & (du_v > 0),
+                      du_v, np.inf)
+    fc_y = np.where((uy_v >= 0) & (np.abs(u0_v) <= 1e-9) & (du_v > 0),
+                    uy_v, -1)
     found: List[Tuple[float, np.ndarray, np.ndarray, float]] = []
     found.extend(_clique_cuts(a, con_ub, var_lb, var_ub, is_int, x_lp,
                               min_violation))
+    found.extend(_implied_bound_cuts(a, con_lb, con_ub, var_lb, var_ub,
+                                     is_int, x_lp, min_violation))
     found.extend(_odd_cycle_cuts(a, con_ub, var_lb, var_ub, is_int, x_lp,
                                  min_violation))
     if enable_zero_half:
@@ -877,21 +984,22 @@ def generate_cuts(
                 # single-node flow row candidate (continuous + VUBs)
                 fc = _flow_cover_on_row(idx, row_val, float(row_rhs),
                                         var_lb, is_int, x_lp,
-                                        vub_cap, vub_y, min_violation)
+                                        fc_cap, fc_y, min_violation)
                 if fc is not None:
                     cidx, cval, crhs = fc
                     norm = max(float(np.linalg.norm(cval)), _EPS)
                     viol = (float(cval @ x_lp[cidx]) - crhs) / norm
                     if viol > min_violation:
                         found.append((viol, cidx, cval / norm, crhs / norm))
-            variants = [(idx, row_val)] if row_has_int else []
-            sub = _vub_substitute(idx, row_val, is_int, vub_cap, vub_y)
+            variants = [(idx, row_val, 0.0)] if row_has_int else []
+            sub = _vub_substitute(idx, row_val, is_int, vubs)
             if sub is not None:
                 variants.append(sub)
-            for vidx, vval in variants:
+            for vidx, vval, vdelta in variants:
                 for gen in (_exact_cover_on_row, _cover_on_row,
                             _mir_on_row):
-                    out = gen(vidx, vval, float(row_rhs), var_lb, var_ub,
+                    out = gen(vidx, vval, float(row_rhs) + vdelta,
+                              var_lb, var_ub,
                               is_int, x_lp, min_violation)
                     if out is None:
                         continue

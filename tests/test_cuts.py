@@ -431,3 +431,83 @@ def test_flow_cover_improves_fixed_charge_root():
     assert res2.fun > root0 + 1e-6, (
         f"flow covers did not move the fixed-charge root bound "
         f"({root0} -> {res2.fun})")
+
+
+# ---------------------------------------------------------------------------
+# Implied-bound substitution (reference implied_bounds.h): offset VUB/VLB
+# expressions replace continuous terms inside MIR/cover derivations
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_implied_bound_substitution_validity(seed):
+    """Mixed models with 2-var implied-bound rows: no cut may remove a
+    feasible mixed-integer point (continuous part checked by LP)."""
+    rng = np.random.default_rng(300 + seed)
+    nb, nc = 3, 2  # binaries, continuous
+    n = nb + nc
+    rows, cl, cu = [], [], []
+    # implied-bound rows: f_k <= u0 + du*y (u0 > 0 -> offset form)
+    for k in range(nc):
+        y = rng.integers(0, nb)
+        u0 = float(rng.integers(1, 4))
+        du = float(rng.integers(1, 5))
+        r = np.zeros(n)
+        r[nb + k] = 1.0
+        r[y] = -du
+        rows.append(r); cl.append(-np.inf); cu.append(u0)
+    # general mixed rows
+    for _ in range(3):
+        r = np.round(rng.normal(size=n) * 2)
+        rows.append(r); cl.append(-np.inf)
+        cu.append(float(rng.integers(2, 8)))
+    a = sp.csr_matrix(np.array(rows))
+    lb = np.zeros(n)
+    ub = np.concatenate([np.ones(nb), np.full(nc, 10.0)])
+    integrality = np.array([True] * nb + [False] * nc)
+    x_lp = np.concatenate([rng.uniform(0, 1, nb), rng.uniform(0, 3, nc)])
+    pool = generate_cuts(a, np.array(cl), np.array(cu), lb, ub,
+                         integrality, x_lp, max_cuts=40,
+                         min_violation=1e-6)
+    if pool is None:
+        return
+    grows = pool.rows.toarray()
+    # for every binary assignment with a continuous-feasible completion,
+    # the cut must admit the LP-optimal completion maximizing each cut
+    from scipy.optimize import linprog
+    import itertools as it
+    for bits in it.product([0, 1], repeat=nb):
+        for g, d in zip(grows, pool.rhs):
+            # maximize g.x s.t. original rows, binaries fixed
+            bnds = ([(b, b) for b in bits]
+                    + [(0.0, 10.0)] * nc)
+            res = linprog(-g, A_ub=a.toarray(), b_ub=np.array(cu),
+                          bounds=bnds, method="highs")
+            if res.status != 0:
+                continue  # binary pattern infeasible: nothing to keep
+            assert -res.fun <= d + 1e-6, (bits, -res.fun, d)
+
+
+def test_offset_vub_strengthens_root():
+    """f <= 2 + 5y with cost structure the plain-VUB code could not
+    see: the substituted MIR/cover must cut the fractional point."""
+    # min -f s.t. f <= 2 + 5y, f + 3y <= 6;  LP relax: y=4/5... build a
+    # point violating the substituted row family
+    a = sp.csr_matrix(np.array([[1.0, -5.0], [1.0, 3.0]]))
+    cl = np.array([-np.inf, -np.inf])
+    cu = np.array([2.0, 6.0])
+    lb = np.zeros(2)
+    ub = np.array([10.0, 1.0])
+    integrality = np.array([False, True])
+    x_lp = np.array([4.5, 0.5])  # fractional y, f at its implied cap
+    pool = generate_cuts(a, cl, cu, lb, ub, integrality, x_lp,
+                         max_cuts=10, min_violation=1e-6)
+    assert pool is not None
+    viol = pool.rows @ x_lp - pool.rhs
+    assert viol.max() > 1e-6
+    # validity at both y values
+    for yv in (0.0, 1.0):
+        fmax = min(2.0 + 5.0 * yv, 6.0 - 3.0 * yv, 10.0)
+        for g, d in zip(pool.rows.toarray(), pool.rhs):
+            val = max(g[0] * 0.0, g[0] * fmax) + g[1] * yv
+            assert val <= d + 1e-9
