@@ -271,6 +271,16 @@ class Solver {
         lbd_fast_ = lbd_slow_;  // re-arm the trigger
         BacktrackTo(assump_level);
         placed = CountPlacedAssumptions(&assump_level);
+        // vivification at root restarts, budgeted (mirrors cdcl.cc;
+        // reference sat_inprocessing.h:160-210) — integer propagation
+        // participates in the probes, so bound-literal chains shorten
+        // scheduling clauses too
+        if (assump_level == 0 &&
+            conflicts_ - last_vivify_conflicts_ >= 4000) {
+          last_vivify_conflicts_ = conflicts_;
+          VivifyClauses(64, 20000);
+          if (!ok_) return 0;
+        }
         continue;
       }
       if (placed < assumptions_.size()) {
@@ -1244,6 +1254,105 @@ class Solver {
       }
     }
     ClearSeen();
+  }
+
+  // Clause vivification (scan-then-apply; see _native/cdcl.cc for the
+  // derivation notes — rewriting mid-scan corrupts the very propagation
+  // the pass relies on).  No proof log here (the LCG core has none);
+  // soundness rests on propagation soundness plus the shorter-implies-
+  // longer replacement argument.
+  size_t vivify_cursor_ = 0;
+  i64 vivified_ = 0;
+  i64 last_vivify_conflicts_ = 0;
+
+  void VivifyClauses(int max_clauses, i64 prop_budget) {
+    if (Level() != 0 || !ok_) return;
+    i64 props0 = propagations_;
+    int done = 0;
+    size_t scanned = 0;
+    const size_t n0 = learnts_.size();
+    std::vector<u32> lits, kept;
+    struct Pending {
+      u32 cref;
+      std::vector<u32> kept;
+    };
+    std::vector<Pending> pending;
+    std::vector<u32> seen_crefs;
+    while (scanned < n0 && done < max_clauses &&
+           propagations_ - props0 < prop_budget) {
+      ++scanned;
+      if (learnts_.empty()) break;
+      if (vivify_cursor_ >= learnts_.size()) vivify_cursor_ = 0;
+      u32 cref = learnts_[vivify_cursor_++];
+      if (ClauseDead(cref) || IsReason(cref)) continue;
+      bool dup = false;
+      for (u32 c0 : seen_crefs)
+        if (c0 == cref) dup = true;
+      if (dup) continue;
+      int sz = ClauseSize(cref);
+      if (sz < 3 || sz > 64) continue;
+      if (ClauseLbd(cref) < 3 || ClauseLbd(cref) > 20) continue;
+      lits.assign((u32*)&arena_[cref + 3], (u32*)&arena_[cref + 3] + sz);
+      bool rooted = false;
+      for (u32 l : lits)
+        if (Value(l) != kUnassigned) rooted = true;
+      if (rooted) continue;
+      ++done;
+      seen_crefs.push_back(cref);
+      kept.clear();
+      NewDecisionLevel();
+      bool aborted = false;
+      for (u32 l : lits) {
+        uint8_t v = Value(l);
+        if (v == kTrue) {
+          kept.push_back(l);
+          break;
+        }
+        if (v == kFalse) continue;
+        kept.push_back(l);
+        Enqueue(Neg(l), kNoReason);
+        u32 c2 = PropagateAll();
+        if (c2 != kNoReason) break;
+        if (pending_confl_ != kNoReason) {  // integer-side conflict
+          aborted = true;
+          break;
+        }
+      }
+      BacktrackTo(0);
+      pending_confl_ = kNoReason;
+      for (i32 ci : dirty_) in_queue_[ci] = false;
+      dirty_.clear();
+      if (aborted || kept.empty() || kept.size() >= lits.size())
+        continue;
+      pending.push_back({cref, kept});
+    }
+    if (pending.empty()) return;
+    std::vector<u32> new_units;
+    for (auto& pd : pending) {
+      u32 cref = pd.cref;
+      if (ClauseDead(cref) || IsReason(cref)) continue;
+      i32* dst = &arena_[cref + 3];
+      for (size_t k = 0; k < pd.kept.size(); ++k)
+        dst[k] = (i32)pd.kept[k];
+      arena_[cref] = ((i32)pd.kept.size() << 2) | (arena_[cref] & 3);
+      ++vivified_;
+      if (pd.kept.size() == 1) {
+        new_units.push_back(pd.kept[0]);
+        arena_[cref] |= 2;
+      }
+    }
+    RebuildWatchesAndLists();
+    for (u32 u : new_units) {
+      if (Value(u) == kFalse) {
+        ok_ = false;
+        return;
+      }
+      if (Value(u) == kUnassigned) Enqueue(u, kNoReason);
+    }
+    if (PropagateAll() != kNoReason || pending_confl_ != kNoReason) {
+      ok_ = false;
+      return;
+    }
   }
 
   void ReduceDB() {
