@@ -781,7 +781,6 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
     heapq.heappush(frontier, _Node(root_bound, seq, lb0, ub0,
                                    warm_x=root_warm_x, warm_y=root_warm_y))
 
-    final_intensify_done = False
     while frontier:
         if num_nodes >= params.max_nodes or (
             time.perf_counter() - start > params.time_limit_sec
@@ -789,26 +788,6 @@ def solve(qp: QuadraticProgram, params: Optional[MipParams] = None,
             status = MPSolverStatus.FEASIBLE if incumbent_x is not None \
                 else MPSolverStatus.NOT_SOLVED
             break
-        # End-of-budget intensification (pure-integer models): when the
-        # tree will clearly not close, the last slice of the budget buys
-        # more as local search around the CURRENT incumbent than as a
-        # handful more best-bound nodes — scale-1.5 mknap misses sit
-        # 0.02-0.07% away, inside a (1,2)-exchange / small-k ball.
-        remaining = params.time_limit_sec - (time.perf_counter() - start)
-        if (not final_intensify_done and incumbent_x is not None
-                and math.isfinite(params.time_limit_sec)
-                and len(int_idx) == n
-                and remaining < 0.18 * params.time_limit_sec
-                and remaining > 4.0):
-            final_intensify_done = True
-            ex = one_two_exchange(
-                qp_min, incumbent_x, params.feasibility_tol,
-                deadline=min(start + params.time_limit_sec,
-                             time.perf_counter() + remaining / 3.0))
-            if ex is not None:
-                try_incumbent(ex)
-            if params.local_branching_interval:
-                run_local_branching()
         # Best-bound batch selection.
         is_simplex = isinstance(backend, SimplexNodeBackend)
         pop_size = (params.simplex_batch_size if is_simplex
