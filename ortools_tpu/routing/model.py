@@ -466,11 +466,13 @@ class RoutingModel:
             # (reference routing_sat.cc role as a fallback solver)
             if params.cp_sat_certification_share > 0:
                 from ortools_tpu.routing.sat_path import (
-                    certify_lazy_sec, solve_with_cp_sat)
+                    certify_hetero, certify_lazy_sec, solve_with_cp_sat)
 
                 budget = max(1.0, params.time_limit_seconds
                              * params.cp_sat_certification_share)
                 cert = certify_lazy_sec(self, time_limit_sec=budget)
+                if cert is None:
+                    cert = certify_hetero(self, time_limit_sec=budget)
                 if cert is None:
                     cert = solve_with_cp_sat(self, time_limit_sec=budget)
                 if cert is not None:
@@ -497,12 +499,15 @@ class RoutingModel:
             # routing_sat.cc role); keeps the LS solution unless the CP
             # solve matches or improves it
             from ortools_tpu.routing.sat_path import (
-                certify_lazy_sec, solve_with_cp_sat)
+                certify_hetero, certify_lazy_sec, solve_with_cp_sat)
 
             budget = max(1.0, params.time_limit_seconds
                          * params.cp_sat_certification_share)
             cert = certify_lazy_sec(self, time_limit_sec=budget,
                                     warm_routes=routes)
+            if cert is None:
+                cert = certify_hetero(self, time_limit_sec=budget,
+                                      warm_routes=routes)
             if cert is None:
                 cert = solve_with_cp_sat(self, time_limit_sec=budget,
                                          warm_routes=routes)

@@ -505,3 +505,257 @@ def certify_lazy_sec(model, time_limit_sec: float = 60.0,
                if all(i not in r for r in best_routes)]
     obj = model._objective(best_routes, dropped, cost, optional)
     return Assignment(model, internal, obj), proven
+
+
+def certify_hetero(model, time_limit_sec: float = 60.0,
+                   warm_routes: Optional[List[List[int]]] = None,
+                   max_visits: int = 16, max_vehicles: int = 4):
+    """Exact certification for HETEROGENEOUS fleets (per-vehicle cost
+    matrices / capacities) via a vehicle-indexed encoding on the LCG
+    core — the giant-tour form cannot tell which vehicle serves a node,
+    so each vehicle gets its own arc copy (reference: the
+    vehicle-indexed models of routing_sat.cc for non-interchangeable
+    vehicles).
+
+    Per vehicle v: arc bools over {start_v} + visits + {end_v},
+    serve[v,i] indicators tied to in/out degree rows, its own dimension
+    cumuls and capacities; across vehicles: each mandatory visit served
+    exactly once (optional nodes may instead pay their penalty).  Lazy
+    subtour elimination per vehicle; cutoff as assumption; UNSAT under
+    the partial SEC set proves optimality (missing rows only weaken).
+
+    Small instances only (arc count grows as vehicles * visits^2).
+    Returns (assignment, proven_optimal) or None."""
+    import time as _time
+
+    mgr = model.manager
+    deadline = _time.perf_counter() + float(time_limit_sec)
+    if model._pd_pairs or model._resource_groups:
+        return None
+    node_of, cost, dims = model._build_matrices()
+    nv = mgr.num_vehicles
+    terminal_nodes = set(mgr._starts) | set(mgr._ends)
+    visits = [i for i in range(mgr.num_nodes)
+              if node_of[i] not in terminal_nodes]
+    if len(visits) > max_visits or nv > max_vehicles:
+        return None
+    optional: Dict[int, int] = {}
+    for idxs, pen in model._disjunctions:
+        for i in idxs:
+            optional[i] = pen
+    for d, _mat in dims:
+        if d.span_cost_coefficient or d.breaks_per_vehicle:
+            return None
+
+    from ortools_tpu.sat.lcg import SAT, UNSAT, LcgSolver
+
+    s = LcgSolver()
+    starts = [mgr.vehicle_start(v) for v in range(nv)]
+    ends = [mgr.vehicle_end(v) for v in range(nv)]
+
+    xvar: Dict[Tuple[int, int, int], int] = {}  # (v, t, h) -> 0/1 int
+    arc_c: Dict[Tuple[int, int, int], int] = {}
+
+    def add_arc(v: int, t: int, h: int, c: int) -> None:
+        xvar[(v, t, h)] = s.new_bool01()
+        arc_c[(v, t, h)] = int(c)
+
+    for v in range(nv):
+        cm = cost[v]
+        sv, ev = starts[v], ends[v]
+        for j in visits:
+            add_arc(v, sv, j, cm[node_of[sv], node_of[j]])
+            add_arc(v, j, ev, cm[node_of[j], node_of[ev]])
+        add_arc(v, sv, ev,
+                cm[node_of[sv], node_of[ev]]
+                if node_of[sv] != node_of[ev] else 0)
+        for i in visits:
+            for j in visits:
+                if i != j:
+                    add_arc(v, i, j, cm[node_of[i], node_of[j]])
+    # serve indicators + skip bools for optional nodes
+    serve = {(v, i): s.new_bool01() for v in range(nv) for i in visits}
+    skip: Dict[int, int] = {}
+    for i in visits:
+        row_vars = [serve[(v, i)] for v in range(nv)]
+        coefs = [1] * nv
+        if i in optional:
+            skip[i] = s.new_bool01()
+            row_vars.append(skip[i])
+            coefs.append(1)
+        s.add_linear([], row_vars, coefs, 1, 1)
+    # degree rows per vehicle
+    for v in range(nv):
+        sv, ev = starts[v], ends[v]
+        outs_s = [xvar[(v, sv, j)] for j in visits] + [xvar[(v, sv, ev)]]
+        s.add_linear([], outs_s, [1] * len(outs_s), 1, 1)
+        ins_e = [xvar[(v, i, ev)] for i in visits] + [xvar[(v, sv, ev)]]
+        s.add_linear([], ins_e, [1] * len(ins_e), 1, 1)
+        for i in visits:
+            outs = [xvar[(v, i, j)] for j in visits if j != i] \
+                + [xvar[(v, i, ev)]]
+            ins = [xvar[(v, sv, i)]] \
+                + [xvar[(v, j, i)] for j in visits if j != i]
+            s.add_linear([], outs + [serve[(v, i)]],
+                         [1] * len(outs) + [-1], 0, 0)
+            s.add_linear([], ins + [serve[(v, i)]],
+                         [1] * len(ins) + [-1], 0, 0)
+    # fixed vehicle costs: paid unless the empty arc start->end is taken
+    fixed_terms = []
+    fixed_const = 0
+    for v in range(nv):
+        c = int(model._fixed_vehicle_cost[v])
+        if c:
+            fixed_const += c
+            arc_c[(v, starts[v], ends[v])] -= c
+    # per-vehicle dimension cumuls
+    for d, mat_any in dims:
+        for v in range(nv):
+            cap = int(d.capacities[v]) if d.capacities else (1 << 40)
+            mat = mat_any
+            cum = {}
+            for i in [starts[v]] + visits + [ends[v]]:
+                lo = int(d.cumul_lb.get(i, 0))
+                hi = min(int(d.cumul_ub.get(i, cap)), cap)
+                if i == starts[v] and d.fix_start_cumul_to_zero:
+                    lo = hi = 0
+                if lo > hi:
+                    return None
+                cum[i] = s.new_int(lo, hi)
+            slack = max(0, int(d.slack_max))
+            for (vv, t, h), x in xvar.items():
+                if vv != v or t == h:
+                    continue
+                tr = int(mat[node_of[t], node_of[h]])
+                lit = s.ge(x, 1)
+                s.add_linear([lit], [cum[h], cum[t]], [1, -1], tr, None)
+                if slack < cap:
+                    s.add_linear([lit], [cum[h], cum[t]], [1, -1],
+                                 None, tr + slack)
+    # objective
+    terms = [(x, arc_c[k]) for k, x in xvar.items() if arc_c[k]]
+    for i, pen in optional.items():
+        if i in skip:
+            terms.append((skip[i], int(pen)))
+    lo_o = sum(min(0, c) for _, c in terms)
+    hi_o = sum(max(0, c) for _, c in terms)
+    obj_x = s.new_int(int(lo_o), int(hi_o))
+    s.add_linear([], [x for x, _ in terms] + [obj_x],
+                 [c for _, c in terms] + [-1], 0, 0)
+    if s.infeasible:
+        return None
+
+    def routes_value(routes):
+        tot = fixed_const
+        placed = set()
+        for v, r in enumerate(routes):
+            seq = [starts[v]] + list(r) + [ends[v]]
+            for a_, b_ in zip(seq, seq[1:]):
+                if (v, a_, b_) not in arc_c:
+                    return None
+                tot += arc_c[(v, a_, b_)]
+            placed.update(r)
+        for i in visits:
+            if i not in placed:
+                if i not in optional:
+                    return None
+                tot += optional[i]
+        return tot
+
+    best_routes = None
+    best_obj = None
+    if warm_routes is not None:
+        wv = routes_value(warm_routes)
+        if wv is not None:
+            best_routes = [list(r) for r in warm_routes]
+            best_obj = wv - fixed_const
+        for v, r in enumerate(warm_routes or []):
+            seq = [starts[v]] + list(r) + [ends[v]]
+            nxt_w = dict(zip(seq, seq[1:]))
+            for (vv, t, h), x in xvar.items():
+                if vv == v and nxt_w.get(t) == h:
+                    s.set_int_hint(x, 1)
+
+    proven = False
+    while _time.perf_counter() < deadline:
+        assumptions = []
+        if best_obj is not None:
+            from ortools_tpu.sat.lcg import FALSE_EXT, TRUE_EXT
+
+            lit = s.le(obj_x, int(best_obj) - 1)
+            if lit == FALSE_EXT:
+                proven = True
+                break
+            if lit != TRUE_EXT:
+                assumptions.append(lit)
+        left = deadline - _time.perf_counter()
+        if left <= 0:
+            break
+        st = s.solve(assumptions, conflict_budget=0,
+                     time_budget=max(0.1, left))
+        if st == UNSAT:
+            proven = best_obj is not None
+            break
+        if st != SAT:
+            break
+        # decode per vehicle; find subtours per vehicle
+        any_sec = False
+        routes = []
+        for v in range(nv):
+            nxt = {}
+            for (vv, t, h), x in xvar.items():
+                if vv == v and s.int_value(x) >= 1:
+                    nxt[t] = h
+            r = []
+            cur = nxt.get(starts[v])
+            guard = 0
+            while cur is not None and cur != ends[v]:
+                r.append(cur)
+                cur = nxt.get(cur)
+                guard += 1
+                if guard > len(visits) + 2:
+                    return None
+            routes.append(r)
+            on_tour = set(r)
+            stray = [i for i in visits
+                     if s.int_value(serve[(v, i)]) >= 1
+                     and i not in on_tour]
+            comp_left = set(stray)
+            while comp_left:
+                seed = comp_left.pop()
+                comp = {seed}
+                cur = nxt.get(seed)
+                guard = 0
+                while cur is not None and cur != seed:
+                    comp.add(cur)
+                    comp_left.discard(cur)
+                    cur = nxt.get(cur)
+                    guard += 1
+                    if guard > len(visits) + 2:
+                        break
+                # SEC for vehicle v: some arc leaves comp, or some
+                # member is not served by v
+                clause = []
+                for (vv, t, h), x in xvar.items():
+                    if vv == v and t in comp and h not in comp:
+                        clause.append(s.ge(x, 1))
+                for i in comp:
+                    clause.append(-s.ge(serve[(v, i)], 1))
+                s.add_clause(clause)
+                any_sec = True
+        if any_sec:
+            continue
+        val = int(s.int_value(obj_x))
+        if best_obj is None or val < best_obj:
+            best_obj = val
+            best_routes = routes
+    if best_routes is None:
+        return None
+    from ortools_tpu.routing.model import Assignment
+
+    internal = [[starts[v]] + list(best_routes[v]) + [ends[v]]
+                for v in range(nv)]
+    dropped = [i for i in visits
+               if all(i not in r for r in best_routes)]
+    obj = model._objective(best_routes, dropped, cost, optional)
+    return Assignment(model, internal, obj), proven

@@ -640,3 +640,49 @@ def test_lcg_inverse_channeling():
     for i in range(n):
         assert gv[fv[i]] == i
     assert fv[0] == 2 and fv[2] == 0 and fv[4] == 1
+
+
+def test_hetero_fleet_certification():
+    """Vehicle-indexed certification handles per-vehicle cost matrices
+    and capacities (the giant-tour form cannot); proves a small
+    2-vehicle heterogeneous CVRP optimal, beating-or-matching LS."""
+    from ortools_tpu.routing.sat_path import certify_hetero
+
+    rng = np.random.default_rng(3)
+    n, nv = 8, 2
+    pts = rng.uniform(0, 100, (n, 2))
+    pts[0] = (50, 50)
+    d = np.round(np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+                 ).astype(np.int64)
+    demand = rng.integers(1, 5, n)
+    demand[0] = 0
+    mgr = RoutingIndexManager(n, nv, 0)
+    m = RoutingModel(mgr)
+    cb0 = m.register_transit_callback(
+        lambda f, t: int(d[mgr.index_to_node(f), mgr.index_to_node(t)]))
+    cb1 = m.register_transit_callback(
+        lambda f, t: 2 * int(d[mgr.index_to_node(f),
+                               mgr.index_to_node(t)]))
+    m.set_arc_cost_evaluator_of_vehicle(cb0, 0)
+    m.set_arc_cost_evaluator_of_vehicle(cb1, 1)
+    dem = m.register_unary_transit_callback(
+        lambda f: int(demand[mgr.index_to_node(f)]))
+    cap = int(demand.sum() * 0.7)
+    m.add_dimension_with_vehicle_capacity(dem, 0, [cap, cap], True,
+                                          "load")
+    p = default_routing_search_parameters()
+    p.time_limit_seconds = 6.0
+    sol = m.solve_with_parameters(p)
+    assert sol is not None
+    out = certify_hetero(
+        m, time_limit_sec=90.0,
+        warm_routes=[[mgr.index_to_node(i) for i in r[1:-1]]
+                     for r in sol.routes()])
+    assert out is not None
+    a, proven = out
+    assert proven
+    assert a.objective_value() <= sol.objective_value()
+    # capacity respected per vehicle in the certified solution
+    for r in a.routes():
+        load = sum(int(demand[mgr.index_to_node(i)]) for i in r[1:-1])
+        assert load <= cap
